@@ -1,0 +1,122 @@
+"""The flagship pipeline: Parquet web pages -> (subj, pred, obj) graph.
+
+    read pages -> extract+clean -> chunk -> score -> argmax -> label ->
+    compound split -> project triples -> link -> canonicalize ->
+    [entities] + sorted partitioned Parquet
+
+Single wide operations: the (url, qa_id) argmax bucket-groupby, the
+salted entity aggregation, and the final (subj, pred) sort.  Everything
+else is narrow map_batches; heavy columns (html, text, context) are
+dropped at the earliest stage that no longer needs them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+from ..registry import QuestionRegistry, default_type_names
+from ..sources import synth
+from ..stages.chunk import ChunkConfig, chunk_stage
+from ..stages.clean import clean_stage
+from ..stages.label import attach_na_labels, attach_synth_labels
+from ..stages.link import link_stage
+from ..stages.postprocess import best_window_stage, split_stage
+from ..stages.score import MockT5Scorer, score_stage
+from ..stages.triples import (
+    canonicalize_obj_stage,
+    entities_stage,
+    project_stage,
+    write_triples,
+)
+
+
+@dataclass
+class KGConfig:
+    chunk: ChunkConfig = field(default_factory=ChunkConfig)
+    type_names: Optional[List[str]] = None
+    use_compound: Optional[List[str]] = None
+    use_fewer_na: bool = True  # postprocess.py:274-280 path
+    label_mode: str = "na"  # 'na' (inference) | 'synth' (eval labels)
+    num_buckets: int = 64
+    num_partitions: int = 64
+    # autoscaling (min, max): a fixed pool equal to the CPU count can
+    # starve the read stage in small local sessions; at cluster scale
+    # pass a fixed int sized to the GPU/CPU budget
+    scorer_concurrency: int | tuple = (1, 4)
+    scorer_batch_size: int = 64
+    chunk_batch_size: int = 128
+
+    def registry(self) -> QuestionRegistry:
+        return QuestionRegistry.default()
+
+    def resolved_type_names(self) -> List[str]:
+        return self.type_names or default_type_names()
+
+    def resolved_use_compound(self) -> List[str]:
+        if self.use_compound is not None:
+            return self.use_compound
+        reg = self.registry()
+        return [q for q in self.resolved_type_names() if reg.is_compound(q)]
+
+
+def kg_answers(pages_ds, cfg: Optional[KGConfig] = None):
+    """pages Dataset -> answers Dataset (variant rows, reference R5)."""
+    cfg = cfg or KGConfig()
+    reg = cfg.registry()
+    tns = cfg.resolved_type_names()
+    compound = cfg.resolved_use_compound()
+
+    ds = clean_stage(pages_ds)
+    ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
+    ds = score_stage(
+        ds,
+        MockT5Scorer,
+        scorer_kwargs={
+            "registry": reg,
+            "type_names": tns,
+            "use_compound": compound,
+        },
+        concurrency=cfg.scorer_concurrency,
+        batch_size=cfg.scorer_batch_size,
+    )
+    best = best_window_stage(
+        ds, use_fewer_na=cfg.use_fewer_na, num_buckets=cfg.num_buckets
+    )
+    if cfg.label_mode == "synth":
+        best = attach_synth_labels(best, reg)
+    else:
+        qa_ids = reg.get_all_qa_ids(
+            list_of_type_names=tns, list_of_use_compound_question=compound
+        )
+        best = attach_na_labels(best, reg, qa_ids)
+    return split_stage(best, reg.type_to_typename)
+
+
+def kg_triples(pages_ds, cfg: Optional[KGConfig] = None):
+    """pages Dataset -> canonical triples Dataset."""
+    cfg = cfg or KGConfig()
+    answers = kg_answers(pages_ds, cfg)
+    raw = project_stage(answers, num_partitions=cfg.num_partitions)
+    linked = link_stage(raw)
+    return canonicalize_obj_stage(linked)
+
+
+def kg_entities(triples_ds, cfg: Optional[KGConfig] = None):
+    cfg = cfg or KGConfig()
+    return entities_stage(triples_ds)
+
+
+def run_kg(
+    sf_dir: str,
+    out_dir: Optional[str] = None,
+    cfg: Optional[KGConfig] = None,
+):
+    """sf_dir documents.parquet -> triples (optionally materialized to
+    sorted partitioned Parquet)."""
+    cfg = cfg or KGConfig()
+    pages = synth.read_pages(sf_dir)
+    triples = kg_triples(pages, cfg)
+    if out_dir:
+        write_triples(triples, out_dir)
+    return triples

@@ -216,7 +216,14 @@ class QuestionRegistry:
 
 
 def default_type_names(project: str = "form") -> List[str]:
-    """The params.yaml:32-48 analog for the default project: every
-    top-level field of the form (endereco used as a compound)."""
+    """Mirror of the reference's params.yaml:32-46 type_names: every
+    top-level field except ``doc_id_uf`` (present in the question
+    registry but not configured — its display type is deliberately
+    absent from the type map, exactly like the reference), with
+    ``endereco`` used as a compound."""
     reg = QuestionRegistry.default()
-    return [f"{project}.{tn}" for tn in reg.questions[project].keys()]
+    return [
+        f"{project}.{tn}"
+        for tn in reg.questions[project].keys()
+        if tn != "doc_id_uf"
+    ]

@@ -1,0 +1,111 @@
+"""DuckDB oracle for the flagship KG pipeline.
+
+The synthetic corpus' field model (sources/synth.py) is closed-form in
+``doc_id``, so the EXPECTED canonical triples — after extraction,
+window argmax, compound split, entity linking and
+``normalize_answer`` canonicalization — are expressible as one SQL
+query over the driver's ``documents`` view.  This makes the whole
+pipeline oracle-checkable end-to-end: the driver runs
+``queries()['kg_triples']`` and this SQL side-by-side and compares
+row-counts + schema + value hashes.
+
+The SQL is BUILT from the same constant tables the generator uses, so
+generator and oracle cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from .synth import (
+    BAIRROS,
+    CITIES,
+    FIRST_NAMES,
+    LAST_NAMES,
+    ORGAOS,
+    STREETS,
+    UF_CODES,
+)
+
+
+def _lst(values) -> str:
+    inner = ",".join("'" + v.replace("'", "''") + "'" for v in values)
+    return f"[{inner}]"
+
+
+URL_SQL = "'https://example.org/'||lpad(CAST(doc_id AS VARCHAR),8,'0')"
+
+# (qa leaf, normalized-obj SQL, presence predicate or None)
+# The obj expression yields normalize_answer(linked surface form):
+# digits lose punctuation, words lose accents+case; estado is linked to
+# its UF code before normalization.
+_FIELD_SQL = [
+    ("etiqueta", "lpad(CAST((doc_id*17+3)%1000000 AS VARCHAR),6,'0')", "doc_id%7<>3"),
+    ("agencia", "CAST((doc_id*31+7)%9000+1000 AS VARCHAR)", None),
+    (
+        "conta_corrente",
+        "CAST((doc_id*97+13)%90000+10000 AS VARCHAR)||CAST(doc_id%10 AS VARCHAR)",
+        None,
+    ),
+    (
+        "cpf",
+        "lpad(CAST((doc_id*7919+12345678901)%100000000000 AS VARCHAR),11,'0')",
+        None,
+    ),
+    (
+        "nome_completo",
+        f"lower({_lst(FIRST_NAMES)}[doc_id%16+1]||' '||{_lst(LAST_NAMES)}[(doc_id//16)%16+1])",
+        None,
+    ),
+    ("n_doc_serie", "CAST((doc_id*53+11)%10000000 AS VARCHAR)", None),
+    ("orgao_emissor", f"lower({_lst(ORGAOS)}[doc_id%6+1])", None),
+    (
+        "data_emissao",
+        "strftime(DATE '2015-01-01' + CAST((doc_id*13)%3650 AS INTEGER), '%d%m%Y')",
+        None,
+    ),
+    (
+        "data_nascimento",
+        "strftime(DATE '1950-01-01' + CAST((doc_id*29)%18250 AS INTEGER), '%d%m%Y')",
+        None,
+    ),
+    (
+        "nome_mae",
+        f"lower({_lst(FIRST_NAMES)}[(doc_id*3+1)%16+1]||' '||{_lst(LAST_NAMES)}[(doc_id*5+2)%16+1])",
+        None,
+    ),
+    (
+        "nome_pai",
+        f"lower({_lst(FIRST_NAMES)}[(doc_id*7+2)%16+1]||' '||{_lst(LAST_NAMES)}[(doc_id*11+4)%16+1])",
+        "doc_id%5<>0",
+    ),
+    (
+        "endereco.logradouro",
+        f"lower('RUA '||{_lst(STREETS)}[(doc_id*7)%12+1])",
+        None,
+    ),
+    ("endereco.numero", "CAST(doc_id%2000+1 AS VARCHAR)", None),
+    (
+        "endereco.complemento",
+        "lower('APTO '||CAST(doc_id%90+1 AS VARCHAR))",
+        "doc_id%3<>0",
+    ),
+    ("endereco.bairro", f"lower({_lst(BAIRROS)}[doc_id%8+1])", None),
+    ("endereco.cidade", f"lower({_lst(CITIES)}[doc_id%10+1])", None),
+    ("endereco.estado", f"lower({_lst(UF_CODES)}[(doc_id*5)%27+1])", None),
+    (
+        "endereco.cep",
+        "lpad(CAST((doc_id*811+9000000)%100000000 AS VARCHAR),8,'0')",
+        None,
+    ),
+]
+
+
+def oracle_triples_sql() -> str:
+    """Expected (subj, pred, obj) set as one UNION ALL over documents."""
+    selects = []
+    for leaf, obj_sql, where in _FIELD_SQL:
+        w = f" WHERE {where}" if where else ""
+        selects.append(
+            f"SELECT {URL_SQL} AS subj, 'form.{leaf}' AS pred, "
+            f"{obj_sql} AS obj FROM documents{w}"
+        )
+    return " UNION ALL ".join(selects)

@@ -1,0 +1,39 @@
+"""Stage 1: HTML->text extraction + byte-identical cleaning.
+
+Stateless ``map_batches`` over zero-copy Arrow (north-star stage 1).
+Drops the heavy ``html``/``text`` columns immediately so only
+``clean_text`` flows downstream (SURVEY.md §7.4 'wide rows').
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.textnorm import clean_chunked_array, html_to_text_array
+
+
+def extract_and_clean(batch: pa.Table) -> pa.Table:
+    """pages -> (url, lang, clean_text).
+
+    ``clean_text`` is computed from ``html`` when present (falling back
+    to the ``text`` column), then normalized with the reference chain —
+    per-row byte-identical to ``clean_text(text)`` by the invariant
+    tested in tests/test_pipeline.py.
+    """
+    names = batch.schema.names
+    if "html" in names:
+        raw = html_to_text_array(batch["html"])
+    else:
+        raw = batch["text"]
+    cleaned = clean_chunked_array(raw)
+    cols = {"url": batch["url"], "clean_text": cleaned}
+    if "lang" in names:
+        cols["lang"] = batch["lang"]
+    return pa.table(cols)
+
+
+def clean_stage(ds, batch_size: int = 256):
+    """Attach the extract+clean stage to a pages Dataset."""
+    return ds.map_batches(
+        extract_and_clean, batch_format="pyarrow", batch_size=batch_size
+    )

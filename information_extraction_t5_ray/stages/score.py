@@ -1,0 +1,239 @@
+"""Stage 3: question-conditioned T5 scoring (windows -> predictions).
+
+A fixed-size actor-pool ``map_batches`` stage (north-star stage 2).
+Each actor holds the model + question plan built once in ``__init__``
+(reference loads T5 once per process, models/qa_model.py:37-88) and
+answers EVERY qa_id of the closed schema for every window in one pass —
+the T5 input ``question: {q} context: {ctx}`` is assembled inside the
+actor per (window, question) pair, so window text is never duplicated
+13x through the object store (scale-conscious departure from the
+reference's materialized R3 tuples, convert_squad_to_t5.py:84-104).
+
+Two scorers with the same output contract
+``(url, window_id, n_windows, qa_id, prediction, prob)``:
+
+* ``T5Scorer`` — production path: HF generate with ``num_beams=5,
+  max_length=200, early_stopping=True`` + ``prob = exp(-loss/len)``
+  (models/qa_model.py:140-171, 327-342).  Gated: transformers/torch are
+  not installed here.
+* ``MockT5Scorer`` — deterministic reader exercising the full grammar:
+  finds the synthetic corpus' label lines in the window, answers
+  ``[Type]: value`` / ``[Type]: N/A`` / compound concatenation in
+  signature order (basic_to_squad.py:95-114), and mimics the
+  ``exp(-loss/len)`` ranking: probability decays with the number of
+  N/A members, so the fewer-NA/highest-prob window argmax is exercised
+  for real.  A value line truncated by the window boundary (last line
+  of an ellipsized context) is treated as unreadable -> N/A, mirroring
+  a model failing on a cut-off span.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+from ..registry import QuestionRegistry
+from ..sources.synth import ENDERECO_LABELS, SIMPLE_LABELS
+
+PREDICTIONS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("window_id", pa.int32()),
+        ("n_windows", pa.int32()),
+        ("qa_id", pa.string()),
+        ("question", pa.string()),
+        ("prediction", pa.string()),
+        ("prob", pa.float64()),
+    ]
+)
+
+
+def choose_question(questions: List[str], how: str, row_key: str) -> str:
+    """'first' / 'random' / 'all' is handled upstream; 'random' derives
+    the choice from a stable per-row hash, never from task order
+    (SURVEY.md §4 determinism)."""
+    if how == "first":
+        return questions[0]
+    if how == "random":
+        import zlib
+
+        return questions[zlib.crc32(row_key.encode()) % len(questions)]
+    raise ValueError(f"choose_question={how} not supported at inference")
+
+
+class _QAPlan:
+    """Per-actor precomputed question plan over the closed qa_id set."""
+
+    def __init__(
+        self,
+        registry: QuestionRegistry,
+        type_names: Optional[List[str]] = None,
+        use_compound: Optional[List[str]] = None,
+        choose: str = "first",
+    ):
+        self.registry = registry
+        self.choose = choose
+        self.type_names = type_names or [
+            f"{proj}.{tn}" for proj, d in registry.questions.items() for tn in d
+        ]
+        self.use_compound = use_compound if use_compound is not None else [
+            qa_id for qa_id in self.type_names if registry.is_compound(qa_id)
+        ]
+        self.all_qa_ids = registry.get_all_qa_ids(
+            list_of_type_names=self.type_names,
+            list_of_use_compound_question=self.use_compound,
+        )
+        self.tn2type = registry.typename_to_type
+        # per qa_id: (is_compound, questions, leaf typename or signature)
+        self.plan: Dict[str, tuple] = {}
+        for qa_id in self.all_qa_ids:
+            if qa_id in self.use_compound:
+                qs = registry.get_questions_for_chunk(qa_id, is_compound=True)
+                sig = list(registry.compound_signature(qa_id).keys())
+                self.plan[qa_id] = (True, qs, sig)
+            else:
+                qs = registry.get_questions_for_chunk(qa_id)
+                leaf = qa_id.split(".")[-1]
+                self.plan[qa_id] = (False, qs, leaf)
+
+
+class MockT5Scorer:
+    """Deterministic scorer over the synthetic corpus layout."""
+
+    def __init__(
+        self,
+        registry: Optional[QuestionRegistry] = None,
+        type_names: Optional[List[str]] = None,
+        use_compound: Optional[List[str]] = None,
+        choose: str = "first",
+    ):
+        registry = registry or QuestionRegistry.default()
+        self.plan = _QAPlan(registry, type_names, use_compound, choose)
+        # leaf typename -> label line of the synthetic corpus
+        self.simple_labels = dict(SIMPLE_LABELS)
+        self.member_labels = dict(ENDERECO_LABELS)
+
+    # -- per-window reading --------------------------------------------------
+
+    def _read_window(self, context: str) -> Tuple[Dict[str, str], bool]:
+        """Index the window's lines; returns (line -> next line) map and
+        whether the window is end-truncated."""
+        lines = context.split("\n")
+        truncated = context.endswith("...")
+        nxt: Dict[str, str] = {}
+        last = len(lines) - 1
+        for i, line in enumerate(lines):
+            if i < last and line not in nxt:
+                # value on the following line; unreadable if that line is
+                # the truncated tail
+                if not (truncated and i + 1 == last):
+                    nxt[line] = lines[i + 1]
+        # member lines 'Key: value' (self-contained)
+        members: Dict[str, str] = {}
+        for i, line in enumerate(lines):
+            if ": " in line:
+                if truncated and i == last:
+                    continue
+                k, v = line.split(": ", 1)
+                if k not in members:
+                    members[k] = v
+        self._members = members
+        return nxt, truncated
+
+    def _answer(self, qa_id: str, nxt: Dict[str, str]) -> Tuple[str, float]:
+        is_compound, _qs, leaf_or_sig = self.plan.plan[qa_id]
+        tn2type = self.plan.tn2type
+        if is_compound:
+            parts, n_na = [], 0
+            for tn in leaf_or_sig:
+                label = self.member_labels.get(tn, tn)
+                value = self._members.get(label)
+                if value is None:
+                    n_na += 1
+                    parts.append(f"[{tn2type[tn]}]: N/A")
+                else:
+                    parts.append(f"[{tn2type[tn]}]: {value}")
+            return " ".join(parts), math.exp(-(0.05 + 0.02 * n_na))
+        leaf = leaf_or_sig
+        label = self.simple_labels.get(leaf)
+        value = nxt.get(label) if label else None
+        if value is None:
+            return f"[{tn2type[leaf]}]: N/A", math.exp(-0.07)
+        return f"[{tn2type[leaf]}]: {value}", math.exp(-0.05)
+
+    # -- batch interface -----------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        wids = batch["window_id"].to_pylist()
+        nwins = batch["n_windows"].to_pylist()
+        ctxs = batch["context"].to_pylist()
+        o_url, o_wid, o_nw, o_qa, o_q, o_pred, o_prob = [], [], [], [], [], [], []
+        for url, wid, nw, ctx in zip(urls, wids, nwins, ctxs):
+            nxt, _trunc = self._read_window(ctx)
+            for qa_id in self.plan.all_qa_ids:
+                _, questions, _ = self.plan.plan[qa_id]
+                pred, prob = self._answer(qa_id, nxt)
+                o_url.append(url)
+                o_wid.append(wid)
+                o_nw.append(nw)
+                o_qa.append(qa_id)
+                o_q.append(choose_question(questions, self.plan.choose, f"{url}|{qa_id}"))
+                o_pred.append(pred)
+                o_prob.append(prob)
+        return pa.table(
+            {
+                "url": o_url,
+                "window_id": o_wid,
+                "n_windows": o_nw,
+                "qa_id": o_qa,
+                "question": o_q,
+                "prediction": o_pred,
+                "prob": o_prob,
+            },
+            schema=PREDICTIONS_SCHEMA,
+        )
+
+
+class T5Scorer:  # pragma: no cover - requires GPU/transformers
+    """Production scorer: same contract, real model.
+
+    __init__ loads the checkpoint once per actor (predict.py:33-47 incl.
+    the CPU int8-quantization branch); __call__ batches
+    ``question: {q} context: {ctx}`` inputs, beam-search generates
+    (models/qa_model.py:153-163) and computes
+    ``prob = exp(-loss / len(output_ids))`` via a second forward pass
+    with the prediction as labels (models/qa_model.py:327-342).
+    """
+
+    def __init__(self, checkpoint_path: str, registry=None, **kwargs):
+        raise NotImplementedError(
+            "T5Scorer needs torch+transformers (not installed in this "
+            "environment); MockT5Scorer implements the same contract."
+        )
+
+
+def score_stage(
+    ds,
+    scorer_cls=MockT5Scorer,
+    scorer_kwargs: Optional[dict] = None,
+    concurrency=4,
+    batch_size: int = 64,
+    num_cpus: float = 1,
+    num_gpus: float = 0,
+):
+    """Attach the scorer as a fixed-size actor pool (north-star: GPU
+    pool sizing via concurrency x num_gpus)."""
+    kwargs = dict(
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+    )
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
+    return ds.map_batches(
+        scorer_cls, fn_constructor_kwargs=(scorer_kwargs or {}), **kwargs
+    )

@@ -1,0 +1,67 @@
+"""The driver contract, driven the way the driver drives it: entry(),
+every queries() entry at sf0.001/sf0.01, compared against oracle_sql()
+via DuckDB with the testdata parquet registered as views."""
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import __ray_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _connect(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if Path(path).exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _compare(got: pd.DataFrame, want: pd.DataFrame, name: str):
+    assert sorted(got.columns) == sorted(want.columns), name
+    cols = sorted(got.columns)
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(w), f"{name}: {len(g)} vs {len(w)} rows"
+    pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=name)
+
+
+def test_entry_smoke(ray_session):
+    res = _to_pandas(entrymod.entry())
+    assert len(res) > 0
+    assert {"subj", "pred", "obj"} <= set(res.columns)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_vs_oracle(ray_session, name):
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        pytest.skip(f"{name} has no SQL oracle (rows-only check)")
+    got = _to_pandas(entrymod.queries()[name](SF))
+    con = _connect(SF)
+    want = con.execute(oracles[name]).df()
+    _compare(got, want, name)

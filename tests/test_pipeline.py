@@ -1,0 +1,240 @@
+"""End-to-end pipeline tests: byte-identity invariant, argmax parity,
+compound-split parity, and triples == closed-form oracle."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from information_extraction_t5_ray.functions.fuzzy import ESTADOS
+from information_extraction_t5_ray.functions.metrics import t5_qa_evaluate
+from information_extraction_t5_ray.functions.textnorm import clean_text, normalize_answer
+from information_extraction_t5_ray.pipelines.kg import (
+    KGConfig,
+    kg_answers,
+    kg_triples,
+)
+from information_extraction_t5_ray.registry import QuestionRegistry
+from information_extraction_t5_ray.sources.synth import (
+    field_values,
+    ground_truth_table,
+    synth_pages_table,
+    url_of,
+)
+from information_extraction_t5_ray.stages.clean import clean_stage
+from information_extraction_t5_ray.stages.postprocess import (
+    best_window_stage,
+    split_compound_batch,
+)
+
+N_DOCS = 60  # covers every modulo branch of the synthetic field model
+
+
+def oracle_triples(n: int) -> set:
+    name2code = {v: k for k, v in ESTADOS.items()}
+    want = set()
+    for d in range(n):
+        for k, v in field_values(d).items():
+            if v is None:
+                continue
+            if k == "endereco.estado":
+                v = name2code[v]
+            want.add((url_of(d), f"form.{k}", normalize_answer(v)))
+    return want
+
+
+def test_clean_stage_byte_identity(ray_session):
+    pages = rd.from_arrow(synth_pages_table(24))
+    out = {r["url"]: r["clean_text"] for r in clean_stage(pages).take_all()}
+    for row in synth_pages_table(24).to_pylist():
+        assert out[row["url"]] == clean_text(row["text"]), row["url"]
+
+
+def test_kg_triples_match_oracle(ray_session):
+    pages = rd.from_arrow(synth_pages_table(N_DOCS))
+    df = kg_triples(pages, KGConfig()).to_pandas()
+    got = set(zip(df.subj, df.pred, df.obj))
+    want = oracle_triples(N_DOCS)
+    assert got == want
+    # P/R == 1.0 >= 0.95 target
+    assert len(got & want) / len(got) == 1.0
+    assert len(got & want) / len(want) == 1.0
+
+
+def test_kg_triples_multiwindow_small_budget(ray_session):
+    """Small token budget forces 2-3 windows/doc; fewer-NA argmax must
+    still reassemble every field (window geometry guarantees each label
+    +value pair is complete in some window)."""
+    from information_extraction_t5_ray.stages.chunk import ChunkConfig
+
+    cfg = KGConfig(chunk=ChunkConfig(max_tokens=256, max_windows=5))
+    pages = rd.from_arrow(synth_pages_table(30))
+    df = kg_triples(pages, cfg).to_pandas()
+    got = set(zip(df.subj, df.pred, df.obj))
+    want = oracle_triples(30)
+    missing = want - got
+    # windows cover the whole doc (max_windows=5 > needed), so no loss
+    assert not missing, sorted(missing)[:5]
+    assert got == want
+
+
+def test_eval_labels_exact_match(ray_session):
+    """With synth ground-truth labels, every ORIG answer matches its
+    label (EM=100) — the golden-pipeline eval harness."""
+    pages = rd.from_arrow(synth_pages_table(20))
+    answers = kg_answers(pages, KGConfig(label_mode="synth")).to_pandas()
+    orig = answers[answers.variant == "orig"]
+    ev = t5_qa_evaluate(list(orig.label), list(orig.prediction))
+    assert ev["exact"] == 100.0
+    assert ev["f1"] == 100.0
+    assert ev["total"] == 20 * 12  # 11 simple + 1 compound per doc
+
+
+def test_best_window_parity_with_reference(ray_session):
+    """Grouped argmax vs reference get_highest_probability_window on a
+    synthetic multi-window prediction set with NA/prob/tie cases."""
+    sys.path.insert(0, "/root/reference")
+    from information_extraction_t5.features.postprocess import (
+        get_highest_probability_window,
+    )
+
+    # NOTE: probs are distinct within each (url, qa_id) group — the
+    # reference's sort_values uses pandas' default unstable quicksort, so
+    # its tie order is implementation-defined; our engine pins ties to
+    # the earliest window instead (deterministic under any partitioning).
+    rows = []
+    rng = np.random.RandomState(7)
+    for doc_i, doc in enumerate(range(12)):
+        for qa_i, qa in enumerate(["form.a", "form.b", "form.c"]):
+            n_win = 1 + doc % 3
+            for w in range(n_win):
+                na = int(rng.randint(0, 3))
+                prob = round(0.5 + 0.03 * ((doc_i * 7 + qa_i * 3 + w * 5) % 12), 3)
+                pred = " ".join(["[Etiqueta]: N/A"] * na) or f"[Etiqueta]: v{doc}{w}"
+                rows.append(
+                    dict(
+                        url=f"doc_{doc}",
+                        qa_id=qa,
+                        window_id=w,
+                        n_windows=n_win,
+                        question="q",
+                        prediction=pred,
+                        prob=prob,
+                    )
+                )
+    df = pd.DataFrame(rows)
+
+    for fewer in (True, False):
+        labels, preds, docs, exs, probs, wids = get_highest_probability_window(
+            list(df.prediction),  # labels (unused by selection)
+            list(df.prediction),
+            list(df.url),
+            list(df.qa_id),
+            list(df.prob),
+            use_fewer_NA=fewer,
+        )
+        want = {
+            (d, e): (p, pr) for d, e, p, pr in zip(docs, exs, preds, probs)
+        }
+        ours = best_window_stage(
+            rd.from_pandas(df), use_fewer_na=fewer, num_buckets=4
+        ).to_pandas()
+        got = {
+            (r.url, r.qa_id): (r.prediction, r.prob) for r in ours.itertuples()
+        }
+        assert got == want
+
+
+def test_split_parity_with_reference():
+    sys.path.insert(0, "/root/reference")
+    import types
+
+    if "transformers" not in sys.modules:
+        fake = types.ModuleType("transformers")
+        fake.AutoTokenizer = object
+        fake.PreTrainedTokenizerBase = object
+        sys.modules["transformers"] = fake
+    from information_extraction_t5.features.postprocess import (
+        split_compound_labels_and_predictions,
+    )
+
+    import pyarrow as pa
+
+    reg = QuestionRegistry.default()
+    t2tn = reg.type_to_typename
+    # the docstring golden case + simple + N/A rows (display types from
+    # the default registry so the type-map lookup path runs)
+    rows = [
+        dict(
+            url="doc_1",
+            qa_id="form.endereco",
+            label="[SENT1] [Logradouro]: Rua [SENT1] [Bairro]: Centro",
+            prediction="[SENT1] [Logradouro]: Rua [SENT1] [Bairro]: Cidade Universitária [SENT1] [Cidade]: Campinas",
+            prob=0.98,
+            window_id=1,
+        ),
+        dict(
+            url="doc_2",
+            qa_id="form.cpf",
+            label="[CPF/CNPJ]: 123.456.789-01",
+            prediction="[CPF/CNPJ]: 123.456.789-01",
+            prob=0.5,
+            window_id=0,
+        ),
+        dict(
+            url="doc_3",
+            qa_id="form.etiqueta",
+            label="[Etiqueta]: N/A",
+            prediction="[Etiqueta]: 778",
+            prob=0.25,
+            window_id=2,
+        ),
+    ]
+    df = pd.DataFrame(rows)
+    table = pa.Table.from_pandas(df)
+    got = split_compound_batch(table, t2tn).to_pandas()
+
+    (
+        labels_new, preds_new, doc_ids, ex_ids, probs, window_ids, sent_ids,
+        raw_texts, original_idx, disjoint,
+    ) = split_compound_labels_and_predictions(
+        list(df.label),
+        list(df.prediction),
+        list(df.url),
+        list(df.qa_id),
+        list(df.prob),
+        [
+            " ".join([str(r.window_id)] * max(1, len(_n_subs(r.prediction, t2tn))))
+            for r in df.itertuples()
+        ],
+    )
+
+    assert list(got.label) == labels_new
+    assert list(got.prediction) == preds_new
+    assert list(got.url) == doc_ids
+    assert list(got.example_id) == ex_ids
+    assert list(got.prob) == probs
+    assert [list(w) for w in got.window_ids] == window_ids
+    got_sids = [list(s) if s is not None else None for s in got.sent_ids]
+    want_sids = [list(s) if s is not None else None for s in sent_ids]
+    assert got_sids == want_sids
+    assert [r if r is not None else None for r in got.raw_text] == raw_texts
+    # ORIG / DISJOINT index sets become predicates
+    assert [i for i, v in enumerate(got.variant) if v == "orig"] == original_idx
+    want_disjoint = sorted(i for idxs in disjoint.values() for i in idxs)
+    assert sorted(got.index[got.is_disjoint]) == want_disjoint
+
+
+def _n_subs(pred, t2tn):
+    from information_extraction_t5_ray.functions.grammar import deconstruct_answer
+
+    return deconstruct_answer(pred, t2tn)[0]
+
+
+def test_ground_truth_table_shape():
+    t = ground_truth_table(10)
+    assert t.num_rows == 10 * 18
+    assert set(t.column_names) == {"url", "qa_id", "value"}
