@@ -37,14 +37,53 @@ def _q_kg_triples(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from information_extraction_t5_ray.pipelines import corpus as c
+
     return {
+        # flagship KG construction
         "kg_triples": _q_kg_triples,
+        # dedup family
+        "exact_dedup": c.q_exact_dedup,
+        "jaccard_dupes": c.q_jaccard_dupes,
+        "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
+        "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
+        "embedding_dupes": c.q_embedding_dupes,
+        "embedding_dupes_lsh": c.q_embedding_dupes_lsh,  # rows-only
+        # similarity search
+        "ann_topk": c.q_ann_topk,
+        # text analysis
+        "doc_stats": c.q_doc_stats,
+        "lang_id": c.q_lang_id,
+        "fingerprint": c.q_fingerprint,
+        "winnow_sketch": c.q_winnow,  # rows-only (list column)
+        # relational operator demos (reference postprocess/balance/split
+        # semantics over the TPC-H-ish tables)
+        "grouped_argmax": c.q_grouped_argmax,
+        "q1_counts": c.q_q1_counts,
+        "balance_counts": c.q_balance_counts,
+        "events_window": c.q_events_window,
+        "events_top100": c.q_events_top100,
+        "hash_split": c.q_hash_split,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from information_extraction_t5_ray.sources import oracle_corpus as oc
     from information_extraction_t5_ray.sources.oracle import oracle_triples_sql
 
     return {
         "kg_triples": oracle_triples_sql(),
+        "exact_dedup": oc.exact_dedup_sql(),
+        "jaccard_dupes": oc.jaccard_dupes_sql(),
+        "embedding_dupes": oc.embedding_dupes_sql(),
+        "ann_topk": oc.ann_topk_sql(),
+        "doc_stats": oc.doc_stats_sql(),
+        "lang_id": oc.lang_id_sql(),
+        "fingerprint": oc.fingerprint_sql(),
+        "grouped_argmax": oc.grouped_argmax_sql(),
+        "q1_counts": oc.q1_counts_sql(),
+        "balance_counts": oc.balance_counts_sql(),
+        "events_window": oc.events_window_sql(),
+        "events_top100": oc.events_top100_sql(),
+        "hash_split": oc.hash_split_sql(),
     }

@@ -1,0 +1,391 @@
+"""Corpus-curation pipelines over the driver testdata tables.
+
+Each public ``q_*`` takes ``sf_dir`` and returns a Ray Dataset; the
+matching SQL oracle lives in ``sources/oracle_corpus.py`` (generated
+from the SAME constants, so pipeline and oracle cannot drift).
+
+Duplicate corpus construction (documents are all-distinct, so dedup
+inputs are derived deterministically and SQL-expressibly):
+
+* exact copy   at ``doc_id + EXACT_OFF``   for ``doc_id % 3 == 0``
+* 75 %-words truncation at ``doc_id + NEAR_OFF`` for ``doc_id % 4 == 0``
+* embedding copy at ``vec_id + EMB_OFF``   for ``vec_id % 5 == 0``
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages import dedup as dedup_ops
+from ..stages import similarity as sim_ops
+from ..stages import textstats
+
+EXACT_OFF = 1_000_000
+NEAR_OFF = 2_000_000
+EMB_OFF = 100_000
+ANN_NUM_QUERIES = 32
+ANN_K = 5
+COSINE_THRESHOLD = 0.9
+JACCARD_K = 3
+JACCARD_MAX_DF = 64
+
+
+def _read_docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+
+
+def truncate_words(text: str) -> str:
+    """First 3/4 of whitespace tokens (SQL mirror: list_slice on
+    regexp_extract_all('\\S+'))."""
+    w = text.split()
+    k = max(1, (3 * len(w)) // 4)
+    return " ".join(w[:k])
+
+
+def _expand_dup_corpus(batch: pa.Table) -> pa.Table:
+    """documents batch -> corpus batch with injected duplicates."""
+    ids = batch["doc_id"].to_numpy()
+    texts = batch["text"].to_pylist()
+    out_ids = list(ids)
+    out_texts = list(texts)
+    for d, t in zip(ids, texts):
+        if d % 3 == 0:
+            out_ids.append(d + EXACT_OFF)
+            out_texts.append(t)
+        if d % 4 == 0:
+            out_ids.append(d + NEAR_OFF)
+            out_texts.append(truncate_words(t))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(out_ids, dtype=np.int64)),
+            "text": pa.array(out_texts, pa.string()),
+        }
+    )
+
+
+def dup_corpus(sf_dir: str):
+    return _read_docs(sf_dir).map_batches(_expand_dup_corpus, batch_format="pyarrow")
+
+
+def _expand_emb_corpus(batch: pa.Table) -> pa.Table:
+    ids = batch["vec_id"].to_numpy()
+    mask = ids % 5 == 0
+    copies = batch.filter(pa.array(mask))
+    copies = copies.set_column(
+        copies.schema.get_field_index("vec_id"),
+        "vec_id",
+        pc.add(copies["vec_id"], EMB_OFF),
+    )
+    return pa.concat_tables([batch, copies])
+
+
+def emb_corpus(sf_dir: str):
+    return _read_embeddings(sf_dir).map_batches(
+        _expand_emb_corpus, batch_format="pyarrow"
+    )
+
+
+# --- queries (sf_dir -> Dataset) -------------------------------------------
+
+
+def q_exact_dedup(sf_dir: str):
+    return dedup_ops.exact_dedup(dup_corpus(sf_dir))
+
+
+def q_jaccard_dupes(sf_dir: str):
+    return dedup_ops.jaccard_pairs(
+        dup_corpus(sf_dir), k=JACCARD_K, max_df=JACCARD_MAX_DF
+    )
+
+
+def q_minhash_dupes(sf_dir: str):
+    return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
+
+
+def q_simhash_dupes(sf_dir: str):
+    return dedup_ops.simhash_pairs(dup_corpus(sf_dir))
+
+
+def q_doc_stats(sf_dir: str):
+    return textstats.doc_stats_stage(_read_docs(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    return textstats.lang_id_stage(_read_docs(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    return textstats.fingerprint_stage(_read_docs(sf_dir))
+
+
+def q_winnow(sf_dir: str):
+    return textstats.winnow_stage(_read_docs(sf_dir))
+
+
+def _query_vectors(sf_dir: str):
+    """Driver-side load of the (tiny) query side — the broadcast small
+    side of the ANN 'join'."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(pc.less(t["vec_id"], ANN_NUM_QUERIES))
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    return ids, mat
+
+
+def q_ann_topk(sf_dir: str):
+    ids, mat = _query_vectors(sf_dir)
+    cands = _read_embeddings(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], ANN_NUM_QUERIES)),
+        batch_format="pyarrow",
+    )
+    return sim_ops.ann_topk(cands, ids, mat, k=ANN_K)
+
+
+def q_embedding_dupes(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    mask = ids % 5 == 0
+    all_ids = np.concatenate([ids, ids[mask] + EMB_OFF])
+    all_mat = np.concatenate([mat, mat[mask]])
+    return sim_ops.cosine_dup_pairs(
+        emb_corpus(sf_dir), all_ids, all_mat, threshold=COSINE_THRESHOLD
+    )
+
+
+def q_embedding_dupes_lsh(sf_dir: str):
+    return sim_ops.rp_lsh_dup_pairs(emb_corpus(sf_dir), threshold=COSINE_THRESHOLD)
+
+
+# --- relational operator demos over the TPC-H-ish tables -------------------
+
+
+def q_grouped_argmax(sf_dir: str):
+    """Per-order argmax lineitem (max l_extendedprice, tie -> lowest
+    l_linenumber) — the best-window argmax pattern on a relational
+    table (reference postprocess.py:277-284 semantics)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"],
+    )
+    num_buckets = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_extendedprice", "l_linenumber"], ascending=[False, True], kind="stable"
+        ).drop_duplicates("l_orderkey")
+        df["bucket"] = (df["l_orderkey"] % num_buckets).astype(np.int32)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["l_extendedprice", "l_linenumber"], ascending=[False, True], kind="stable"
+        ).drop_duplicates("l_orderkey")
+        return df[["l_orderkey", "l_linenumber", "l_partkey"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def q_q1_counts(sf_dir: str):
+    """TPC-H-Q1-style grouped aggregate, integral outputs only (exact
+    under any summation order): sum_qty, count_order, avg_qty."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("l_quantity", "sum"), count_order=("l_quantity", "size"))
+            .reset_index()
+        )
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+            .agg(sum_qty=("sum_qty", "sum"), count_order=("count_order", "sum"))
+            .reset_index()
+        )
+        g["sum_qty"] = g["sum_qty"].astype(np.int64)
+        g["avg_qty"] = g["sum_qty"] / g["count_order"]
+        return g
+
+    # group cardinality is tiny (R/A/N x O/F) — partials all land in one
+    # group key space; a single-bucket final is fine BECAUSE the partial
+    # already collapsed each batch to <=6 rows
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = partials.map_batches(
+        lambda df: df.assign(bucket=np.int32(0)), batch_format="pandas"
+    )
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def q_balance_counts(sf_dir: str):
+    """Per-order pos/neg counts, keep keys with both (the reference's
+    balance_data outer-join + dropna, utils/balance_data.py:65-70)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    num_buckets = 64
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df["pos"] = (df["l_returnflag"] == "R").astype(np.int64)
+        g = (
+            df.groupby("l_orderkey", sort=False)
+            .agg(n_pos=("pos", "sum"), n_all=("pos", "size"))
+            .reset_index()
+        )
+        g["bucket"] = (g["l_orderkey"] % num_buckets).astype(np.int32)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("l_orderkey", sort=False)
+            .agg(n_pos=("n_pos", "sum"), n_all=("n_all", "sum"))
+            .reset_index()
+        )
+        g["n_neg"] = g["n_all"] - g["n_pos"]
+        g = g[(g["n_pos"] > 0) & (g["n_neg"] > 0)]
+        return g[["l_orderkey", "n_pos", "n_neg"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def q_events_window(sf_dir: str):
+    """Hourly tumbling-window aggregate per event_type with exact
+    distinct users (two-phase: per-batch (hour, type, user) partial
+    counts -> bucketed final sum + nunique)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
+    )
+    num_buckets = 16
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        df = pd.DataFrame(
+            {
+                "hour": hour.to_pandas(),
+                "event_type": batch["event_type"].to_pylist(),
+                "user_id": batch["user_id"].to_numpy(),
+            }
+        )
+        g = (
+            df.groupby(["hour", "event_type", "user_id"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["bucket"] = (
+            pd.util.hash_pandas_object(g["hour"], index=False) % num_buckets
+        ).astype(np.int32)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["hour", "event_type", "user_id"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        out = (
+            g.groupby(["hour", "event_type"], sort=False)
+            .agg(n_events=("cnt", "sum"), n_users=("user_id", "nunique"))
+            .reset_index()
+        )
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def q_events_top100(sf_dir: str):
+    """Global top-100 events by value (desc, event_id tie-break) as a
+    two-phase partial top-k: each batch keeps its own top-100, the tiny
+    partials reduce in one final group — no all-to-all sort of the full
+    table (a global ``ds.sort`` on the same input measured ~30x slower
+    at sf0.01)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "value"]
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            ["value", "event_id"], ascending=[False, True], kind="stable"
+        ).head(100)
+        return out.assign(bucket=np.int32(0))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            ["value", "event_id"], ascending=[False, True], kind="stable"
+        ).head(100)
+        return out[["event_id"]]
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def q_hash_split(sf_dir: str):
+    """Seeded deterministic train/test split (reference
+    train_test_split(random_state=42) re-expressed as a pure key hash so
+    it is stable under any partitioning)."""
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        h = ((ids * 1103515245 + 12345) % 2147483648) % 10
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "split": pa.array(
+                    np.where(h < 8, "train", "test").tolist(), pa.string()
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(split, batch_format="pyarrow")
+
+
+# --- bench subset ----------------------------------------------------------
+
+
+def bench_queries(sf_dir: str):
+    """name -> zero-arg callable (consumes the pipeline, returns rows)."""
+    return {
+        "exact_dedup": lambda: q_exact_dedup(sf_dir).count(),
+        "minhash_dupes": lambda: q_minhash_dupes(sf_dir).count(),
+        "jaccard_dupes": lambda: q_jaccard_dupes(sf_dir).count(),
+        "doc_stats": lambda: q_doc_stats(sf_dir).count(),
+        "ann_topk": lambda: q_ann_topk(sf_dir).count(),
+        "embedding_dupes": lambda: q_embedding_dupes(sf_dir).count(),
+    }

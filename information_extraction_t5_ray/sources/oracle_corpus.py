@@ -1,0 +1,196 @@
+"""DuckDB oracle SQL for the corpus-curation pipelines.
+
+Each function returns the ANSI-SQL equivalent of the matching
+``pipelines/corpus.q_*`` query (the driver runs both sides at sf=0.01
+and hash-compares).  Constants are imported FROM the pipeline module so
+the two sides cannot drift.
+
+Float discipline: every oracle-checked output column is integral, a
+string, or a timestamp; threshold tests are kept in integer arithmetic
+(e.g. Jaccard >= 1/2 as ``3*inter >= |A|+|B|``), except cosine
+similarities where the threshold sits far from the data's float noise
+(copies at cos=1.0 vs a background max of ~0.51).
+"""
+
+from __future__ import annotations
+
+from ..pipelines.corpus import (
+    ANN_K,
+    ANN_NUM_QUERIES,
+    COSINE_THRESHOLD,
+    EMB_OFF,
+    EXACT_OFF,
+    JACCARD_K,
+    JACCARD_MAX_DF,
+    NEAR_OFF,
+)
+from ..stages.textstats import LANG_MARKERS, LANG_ORDER
+
+# corpus with injected duplicates — mirror of pipelines/corpus.dup_corpus
+DUP_CORPUS_CTE = f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {EXACT_OFF}, text FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + {NEAR_OFF},
+         array_to_string(
+           list_slice(regexp_extract_all(text, '\\S+'), 1,
+                      greatest(1, 3 * len(regexp_extract_all(text, '\\S+')) // 4)),
+           ' ')
+  FROM documents WHERE doc_id % 4 = 0
+)"""
+
+EMB_CORPUS_CTE = f"""
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {EMB_OFF}, embedding FROM embeddings WHERE vec_id % 5 = 0
+)"""
+
+
+def exact_dedup_sql() -> str:
+    return f"""WITH {DUP_CORPUS_CTE}
+SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+FROM corpus GROUP BY md5(text)"""
+
+
+def jaccard_dupes_sql() -> str:
+    k = JACCARD_K
+    return f"""WITH {DUP_CORPUS_CTE},
+toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
+),
+sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {k - 2}, 1)),
+           i -> {" || ' ' || ".join(f"w[i+{j}]" if j else "w[i]" for j in range(k))}
+         ))) AS s
+  FROM toks WHERE len(w) >= {k}
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+df AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}),
+sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)),
+pairs AS (
+  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i, j
+FROM pairs
+JOIN sizes si ON si.doc_id = pairs.i
+JOIN sizes sj ON sj.doc_id = pairs.j
+WHERE 3 * inter >= si.sz + sj.sz"""
+
+
+def doc_stats_sql() -> str:
+    return """SELECT doc_id,
+  length(text) AS n_chars,
+  len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+  length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+FROM documents"""
+
+
+def _marker_count_sql(marker: str) -> str:
+    esc = marker.replace("'", "''")
+    return f"(length(p) - length(replace(p, '{esc}', ''))) // {len(marker)}"
+
+
+def lang_id_sql() -> str:
+    score_cols = ",\n  ".join(
+        " + ".join(_marker_count_sql(m) for m in LANG_MARKERS[lang])
+        + f" AS s_{lang}"
+        for lang in LANG_ORDER
+    )
+    cases = []
+    for lang in LANG_ORDER:
+        others = [o for o in LANG_ORDER if o != lang]
+        cond = " AND ".join(f"s_{lang} > s_{o}" for o in others)
+        cases.append(f"WHEN {cond} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " ELSE 'und' END"
+    return f"""WITH padded AS (
+  SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents
+),
+scored AS (
+  SELECT doc_id,
+  {score_cols}
+  FROM padded
+)
+SELECT doc_id, s_en, s_pt, s_es, {case_sql} AS lang_pred FROM scored"""
+
+
+def fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def ann_topk_sql() -> str:
+    return f"""WITH q AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}
+),
+c AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= {ANN_NUM_QUERIES}
+),
+s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding, c.embedding) AS sim
+  FROM q CROSS JOIN c
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+)
+SELECT query_id, rank, neighbor_id FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def embedding_dupes_sql() -> str:
+    return f"""WITH {EMB_CORPUS_CTE}
+SELECT a.vec_id AS i, b.vec_id AS j
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {COSINE_THRESHOLD}"""
+
+
+def grouped_argmax_sql() -> str:
+    return """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+  SELECT l_orderkey, l_linenumber, l_partkey,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1"""
+
+
+def q1_counts_sql() -> str:
+    return """SELECT l_returnflag, l_linestatus,
+  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+  count(*) AS count_order,
+  CAST(sum(l_quantity) AS BIGINT) / CAST(count(*) AS DOUBLE) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def balance_counts_sql() -> str:
+    return """SELECT l_orderkey,
+  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_pos,
+  sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_neg
+FROM lineitem GROUP BY l_orderkey
+HAVING n_pos > 0 AND n_neg > 0"""
+
+
+def events_window_sql() -> str:
+    return """SELECT date_trunc('hour', ts) AS hour, event_type,
+  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2"""
+
+
+def events_top100_sql() -> str:
+    return """SELECT event_id FROM events
+ORDER BY value DESC, event_id LIMIT 100"""
+
+
+def hash_split_sql() -> str:
+    return """SELECT doc_id,
+  CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 10 < 8
+       THEN 'train' ELSE 'test' END AS split
+FROM documents"""

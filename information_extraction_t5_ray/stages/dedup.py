@@ -1,0 +1,413 @@
+"""Deduplication operators for web-scale corpora.
+
+Four families, each expressed Ray-Data-first (the shuffle key and skew
+mitigation are the design):
+
+* exact_dedup            — content-hash groupby, keep first (min doc_id);
+                           two-phase (per-batch partial -> bucketed final)
+                           so the shuffle moves one row per (batch, key),
+                           not every input row.
+* jaccard_pairs          — EXACT word-k-gram Jaccard duplicate pairs via
+                           a distributed shingle inverted index:
+                           doc -> distinct shingle rows (carrying the
+                           doc's set size) -> bucket-groupby on shingle
+                           -> emit candidate pairs -> bucket-groupby on
+                           pair -> integral threshold test
+                           (3*inter >= |A|+|B|  <=>  J >= 0.5, no float
+                           boundary).  A df cap drops stop-shingles
+                           (bounded C(df,2) blowup per shingle — the
+                           classic skew guard for inverted-index joins).
+* minhash_lsh_pairs      — MinHash signatures (128 perms, universal
+                           hashing) + banded LSH; candidates verified by
+                           signature-estimated Jaccard.  Approximate by
+                           construction (tested for recall/precision vs
+                           jaccard_pairs, not oracle-matched).
+* simhash_pairs          — 64-bit SimHash + 16-bit band partitioning for
+                           hamming radius <= 3; verification is EXACT
+                           popcount inside the band group (fingerprints
+                           ride along with the band rows — no broadcast,
+                           no second join).
+
+Semantics model the reference's dedup moves (first-occurrence keep:
+``/root/reference/information_extraction_t5/features/postprocess.py:277-284``
+grouped head(1); key-set dedup ``:196-199``) lifted to corpus scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .textstats import shingle_hashes
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs_ds, num_buckets: int = 64, batch_size: int = 4096):
+    """(doc_id, text) -> (doc_id=min per content group, n_dups).
+
+    Phase 1 folds each batch to one row per content key; phase 2
+    shuffles only those partials, bucketed by key hash.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        df = pd.DataFrame({"key": keys, "doc_id": batch["doc_id"].to_numpy()})
+        g = df.groupby("key", sort=False).agg(
+            doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        ).reset_index()
+        g["bucket"] = g["key"].map(lambda k: zlib.crc32(k.encode()) % num_buckets)
+        return g
+
+    def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket_df.groupby("key", sort=False)
+            .agg(doc_id=("doc_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()[["doc_id", "n_dups"]]
+        )
+        return out
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via shingle inverted index
+# ---------------------------------------------------------------------------
+
+
+def _shingle_rows(batch: pa.Table, k: int, num_buckets: int) -> pa.Table:
+    """doc -> one row per distinct shingle: (bucket, sh, doc_id, size)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    sh_col, id_col, size_col = [], [], []
+    for d, t in zip(doc_ids, texts):
+        sh = shingle_hashes(t, k)
+        sh_col.append(sh)
+        id_col.append(np.full(len(sh), d, dtype=np.int64))
+        size_col.append(np.full(len(sh), len(sh), dtype=np.int32))
+    sh_all = np.concatenate(sh_col) if sh_col else np.empty(0, np.uint64)
+    return pa.table(
+        {
+            "bucket": pa.array((sh_all % num_buckets).astype(np.int32)),
+            "sh": pa.array(sh_all.astype(np.int64)),
+            "doc_id": pa.array(
+                np.concatenate(id_col) if id_col else np.empty(0, np.int64)
+            ),
+            "size": pa.array(
+                np.concatenate(size_col) if size_col else np.empty(0, np.int32)
+            ),
+        }
+    )
+
+
+def _emit_pairs(bucket_df: pd.DataFrame, max_df: int, num_buckets: int) -> pd.DataFrame:
+    """One inverted-index bucket -> candidate pair rows with both set
+    sizes attached.  Shingles with df > max_df are dropped (stop-shingle
+    skew guard; the SQL oracle applies the same cap)."""
+    rows_i, rows_j, rows_si, rows_sj = [], [], [], []
+    for _, g in bucket_df.groupby("sh", sort=False):
+        if len(g) < 2 or len(g) > max_df:
+            continue
+        ids = g["doc_id"].to_numpy()
+        szs = g["size"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, szs = ids[order], szs[order]
+        iu, ju = np.triu_indices(len(ids), k=1)
+        rows_i.append(ids[iu])
+        rows_j.append(ids[ju])
+        rows_si.append(szs[iu])
+        rows_sj.append(szs[ju])
+    if not rows_i:
+        return pd.DataFrame(
+            {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64),
+             "si": pd.Series(dtype=np.int32), "sj": pd.Series(dtype=np.int32),
+             "inter": pd.Series(dtype=np.int64), "pbucket": pd.Series(dtype=np.int32)}
+        )
+    df = pd.DataFrame(
+        {
+            "i": np.concatenate(rows_i),
+            "j": np.concatenate(rows_j),
+            "si": np.concatenate(rows_si),
+            "sj": np.concatenate(rows_sj),
+        }
+    )
+    # partial pre-aggregation before the pair shuffle
+    g = df.groupby(["i", "j"], sort=False).agg(
+        si=("si", "first"), sj=("sj", "first"), inter=("si", "size")
+    ).reset_index()
+    g["pbucket"] = ((g["i"] * 1000003 + g["j"]) % num_buckets).astype(np.int32)
+    return g
+
+
+def jaccard_pairs(
+    docs_ds,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 64,
+    num_buckets: int = 64,
+    batch_size: int = 2048,
+):
+    """Pairs (i < j) with word-k-gram Jaccard >= num/den, exact.
+
+    The threshold test is kept integral:
+        inter/(si+sj-inter) >= n/d  <=>  (n+d)*inter >= n*(si+sj).
+    """
+
+    nd = threshold_num + threshold_den
+
+    def final_pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        g = bucket_df.groupby(["i", "j"], sort=False).agg(
+            si=("si", "first"), sj=("sj", "first"), inter=("inter", "sum")
+        ).reset_index()
+        keep = nd * g["inter"] >= threshold_num * (g["si"] + g["sj"])
+        return g.loc[keep, ["i", "j"]]
+
+    shingles = docs_ds.map_batches(
+        lambda b: _shingle_rows(b, k, num_buckets),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    candidates = shingles.groupby("bucket").map_groups(
+        lambda df: _emit_pairs(df, max_df, num_buckets), batch_format="pandas"
+    )
+    return candidates.groupby("pbucket").map_groups(
+        final_pairs, batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MH_MUL = np.uint64(0xFF51AFD7ED558CCD)
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    # two independent uint64 xor-seeds per permutation
+    s1 = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    s2 = rng.randint(0, 1 << 62, size=num_perm).astype(np.uint64)
+    return s1, s2
+
+
+def minhash_signature(sh: np.ndarray, s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Min over shingles of a per-permutation xor-multiply mix (native
+    uint64 wraparound — one (P, S) matrix op, no Python loop).  Not a
+    textbook universal family but an adequate permutation approximation
+    for MinHash in practice, and ~100x faster than exact mod-p."""
+    if len(sh) == 0:
+        return np.full(len(s1), np.iinfo(np.uint64).max, dtype=np.uint64)
+    x = sh.astype(np.uint64)
+    h = (x[None, :] ^ s1[:, None]) * _MH_MUL
+    h ^= h >> np.uint64(33)
+    h = (h ^ s2[:, None]) * _MH_MUL
+    return h.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool callable: permutation params built once per actor
+    (map_batches(MinHasher, concurrency=N) — stateful-stage idiom)."""
+
+    def __init__(self, num_perm: int = 128, k: int = 3, bands: int = 32, seed: int = 42):
+        self.s1, self.s2 = _minhash_params(num_perm, seed)
+        self.k = k
+        self.bands = bands
+        self.rows = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(shingle_hashes(text, self.k), self.s1, self.s2)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        band_keys, ids, sigs = [], [], []
+        for d, t in zip(doc_ids, texts):
+            sig = self.signature(t)
+            sig_bytes = sig.tobytes()
+            for bi in range(self.bands):
+                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
+                bk = zlib.crc32(bytes([bi]) + chunk.tobytes())
+                band_keys.append(bk)
+                ids.append(d)
+                sigs.append(sig_bytes)
+        return pa.table(
+            {
+                "band_key": pa.array(band_keys, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "sig": pa.array(sigs, pa.binary()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    num_perm: int = 128,
+    k: int = 3,
+    bands: int = 32,
+    threshold: float = 0.5,
+    concurrency=(1, 4),
+    batch_size: int = 1024,
+    num_buckets: int = 64,
+):
+    """Near-duplicate pairs via MinHash banding.  Output: (i, j) where
+    the pair collides in >=1 band AND the signature-estimated Jaccard
+    (fraction of equal minhash components) >= threshold."""
+
+    def bucket_of(bk: pd.Series) -> pd.Series:
+        return (bk % num_buckets).astype(np.int32)
+
+    def candidates(band_df: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j, out_si, out_sj = [], [], [], []
+        for _, g in band_df.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            sg = g["sig"].tolist()
+            iu, ju = np.triu_indices(len(ids), k=1)
+            for ii, jj in zip(iu, ju):
+                out_i.append(ids[ii])
+                out_j.append(ids[jj])
+                out_si.append(sg[ii])
+                out_sj.append(sg[jj])
+        return pd.DataFrame({"i": out_i, "j": out_j, "sig_i": out_si, "sig_j": out_sj})
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame({"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)})
+        batch = batch.drop_duplicates(["i", "j"])
+        keep = []
+        for si, sj in zip(batch["sig_i"], batch["sig_j"]):
+            a = np.frombuffer(si, dtype=np.uint64)
+            b = np.frombuffer(sj, dtype=np.uint64)
+            keep.append(float((a == b).mean()) >= threshold)
+        return batch.loc[keep, ["i", "j"]]
+
+    band_rows = docs_ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "bands": bands},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    band_rows = band_rows.map_batches(
+        lambda df: df.assign(bucket=bucket_of(df["band_key"])),
+        batch_format="pandas",
+    )
+    cand = band_rows.groupby("bucket").map_groups(candidates, batch_format="pandas")
+    # a pair colliding in B bands appears B times across buckets; final
+    # distinct happens in the verify groupby keyed on the pair hash
+    cand = cand.map_batches(
+        lambda df: df.assign(
+            pbucket=((df["i"] * 1000003 + df["j"]) % num_buckets).astype(np.int32)
+        )
+        if len(df)
+        else df.assign(pbucket=pd.Series(dtype=np.int32)),
+        batch_format="pandas",
+    )
+    return cand.groupby("pbucket").map_groups(verify, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigram crc-derived hashes (Charikar'02)."""
+    from .textstats import token_hashes
+
+    th = token_hashes(text)
+    if len(th) == 0:
+        return 0
+    # spread 32-bit crc to 64 bits deterministically
+    h64 = (th * np.uint64(0x9E3779B97F4A7C15)) ^ (th << np.uint64(31))
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for bit in range(64):
+        if v[bit] > 0:
+            out |= 1 << bit
+    return out
+
+
+def simhash_pairs(
+    docs_ds,
+    max_hamming: int = 3,
+    batch_size: int = 2048,
+    num_buckets: int = 64,
+):
+    """Pairs (i < j) with SimHash hamming distance <= max_hamming.
+
+    Band partition: 4 x 16-bit bands — any pair within hamming 3 agrees
+    exactly on >= 1 band (pigeonhole), so grouping by (band_id, band
+    value) finds all of them; the exact popcount check runs inside the
+    group (fingerprints ride with the rows)."""
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        bkey, ids, fps = [], [], []
+        for d, t in zip(doc_ids, texts):
+            fp = simhash64(t)
+            for bi in range(4):
+                band_val = (fp >> (16 * bi)) & 0xFFFF
+                bkey.append((bi << 16) | band_val)
+                ids.append(d)
+                fps.append(fp - (1 << 63))  # store as int64
+        return pa.table(
+            {
+                "band_key": pa.array(bkey, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "fp": pa.array(fps, pa.int64()),
+            }
+        )
+
+    def pairs_in_band(band_df: pd.DataFrame) -> pd.DataFrame:
+        out_i, out_j = [], []
+        for _, g in band_df.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = g["doc_id"].to_numpy()
+            fp = (g["fp"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
+            iu, ju = np.triu_indices(len(ids), k=1)
+            x = fp[iu] ^ fp[ju]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            m = ham <= max_hamming
+            out_i.extend(ids[iu][m])
+            out_j.extend(ids[ju][m])
+        return pd.DataFrame({"i": out_i, "j": out_j}, dtype=np.int64)
+
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["i", "j"])[["i", "j"]]
+
+    bands = docs_ds.map_batches(to_bands, batch_format="pyarrow", batch_size=batch_size)
+    bands = bands.map_batches(
+        lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
+        batch_format="pandas",
+    )
+    cand = bands.groupby("bucket").map_groups(pairs_in_band, batch_format="pandas")
+    cand = cand.map_batches(
+        lambda df: df.assign(
+            pbucket=((df["i"] * 1000003 + df["j"]) % num_buckets).astype(np.int32)
+        )
+        if len(df)
+        else df.assign(pbucket=pd.Series(dtype=np.int32)),
+        batch_format="pandas",
+    )
+    return cand.groupby("pbucket").map_groups(dedup_pairs, batch_format="pandas")

@@ -1,0 +1,193 @@
+"""Text-analysis operators over a document corpus.
+
+Large-scale training-data curation primitives, each a narrow
+``map_batches`` stage (no shuffle):
+
+* ``doc_stats_batch``      — length / token / line / punctuation counts,
+                             fully vectorized ``pyarrow.compute``;
+* ``lang_id_batch``        — marker-substring language heuristic whose
+                             arithmetic is mirrored 1:1 in ANSI SQL
+                             (sources/oracle_corpus.py) so the driver can
+                             oracle-check it;
+* ``fingerprint_batch``    — exact content fingerprint (md5, matches
+                             DuckDB's ``md5()``);
+* ``winnow_fingerprints``  — winnowing document sketch (rolling k-gram
+                             hash minima; Schleimer et al., SIGMOD'03
+                             public algorithm), for local-dedup sketches.
+
+Quality scoring mirrors the *shape* of the reference's normalization
+helpers (``/root/reference/information_extraction_t5/utils/metrics.py:14-37``
+treats lowercase/punct/whitespace as the text signal) re-expressed as
+corpus-level per-doc statistics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# --- doc_stats -------------------------------------------------------------
+
+PUNCT_RE = r"[.,;:!?]"
+TOKEN_RE = r"\S+"
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> per-doc integer statistics (zero-copy in,
+    vectorized Arrow kernels, no Python row loop)."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_lines = pc.add(pc.count_substring(text, "\n"), 1)
+    n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "n_lines": pc.cast(n_lines, pa.int64()),
+            "n_punct": pc.cast(n_punct, pa.int64()),
+        }
+    )
+
+
+# --- language id -----------------------------------------------------------
+
+# marker substrings counted on ' '+lower(text)+' '; scoring and the
+# nested tie-break CASE are replicated verbatim in SQL — keep the two in
+# sync (oracle_corpus.lang_id_sql builds the SQL FROM these constants).
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of "],
+    "pt": [" de ", " que ", " para "],
+    "es": [" el ", " los ", " una "],
+}
+LANG_ORDER = ["en", "pt", "es"]  # first-wins on strict-greater cascade
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Marker-count language heuristic.  predicted = first lang in
+    LANG_ORDER whose score strictly beats every other; all-equal -> 'und'.
+    Non-overlapping substring counts == Python str.count == SQL
+    (len(t)-len(replace(t,m,'')))/len(m)."""
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * len(batch)), pc.utf8_lower(batch["text"]), pa.array([" "] * len(batch)), ""
+    )
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = pc.count_substring(padded, m)
+            s = c if s is None else pc.add(s, c)
+        scores[lang] = pc.cast(s, pa.int64())
+    s_np = {k: v.to_numpy(zero_copy_only=False) for k, v in scores.items()}
+    n = len(batch)
+    pred = np.full(n, "und", dtype=object)
+    # cascade: en wins if > pt and > es; else pt if > en and > es; ...
+    remaining = np.ones(n, dtype=bool)
+    for lang in LANG_ORDER:
+        others = [s_np[o] for o in LANG_ORDER if o != lang]
+        win = remaining & np.logical_and.reduce([s_np[lang] > o for o in others])
+        pred[win] = lang
+        remaining &= ~win
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "s_en": scores["en"],
+            "s_pt": scores["pt"],
+            "s_es": scores["es"],
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+        }
+    )
+
+
+# --- fingerprints ----------------------------------------------------------
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, fp) exact content fingerprint.
+    hashlib.md5(utf8) hex == DuckDB md5(text) — oracle-checkable."""
+    fps = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+    return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())})
+
+
+_B64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_MUL = np.uint64(0x9E3779B97F4A7C15)
+
+
+def token_hashes(text: str) -> np.ndarray:
+    """uint64 hash per whitespace token (crc32 — C speed, stable across
+    runs, unlike Python hash())."""
+    import zlib
+
+    toks = text.split()
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    return np.array([zlib.crc32(t.encode("utf-8")) for t in toks], dtype=np.uint64)
+
+
+def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Distinct uint64 hashes of word k-grams (rolling combine of token
+    hashes).  The SQL oracle shingles on the literal joined strings;
+    both sides agree because hashing is injective enough at corpus
+    scale and the *pair arithmetic* (3*inter >= |A|+|B|) is integral."""
+    th = token_hashes(text)
+    if len(th) < k:
+        return np.empty(0, dtype=np.uint64)
+    h = th[: len(th) - k + 1].copy()
+    for i in range(1, k):
+        h = (h * _MUL + th[i : len(th) - k + 1 + i]) & _B64
+    return np.unique(h)
+
+
+def winnow_fingerprints(text: str, k: int = 5, window: int = 8) -> List[int]:
+    """Winnowing sketch: minima of each sliding window over char k-gram
+    hashes (public algorithm; robust to local edits)."""
+    data = text.encode("utf-8")
+    if len(data) < k:
+        return []
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    h = arr[: len(arr) - k + 1].copy()
+    for i in range(1, k):
+        h = (h * _MUL + arr[i : len(arr) - k + 1 + i]) & _B64
+    if len(h) <= window:
+        return [int(h.min())]
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return sorted(set(int(x) for x in sw.min(axis=1)))
+
+
+def winnow_batch(batch: pa.Table, k: int = 5, window: int = 8) -> pa.Table:
+    sk = [winnow_fingerprints(t, k, window) for t in batch["text"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sketch": pa.array(sk, pa.list_(pa.uint64())),
+            "sketch_size": pa.array([len(s) for s in sk], pa.int32()),
+        }
+    )
+
+
+# --- stage wrappers --------------------------------------------------------
+
+
+def doc_stats_stage(docs_ds, batch_size: int = 4096):
+    return docs_ds.map_batches(doc_stats_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def lang_id_stage(docs_ds, batch_size: int = 4096):
+    return docs_ds.map_batches(lang_id_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def fingerprint_stage(docs_ds, batch_size: int = 4096):
+    return docs_ds.map_batches(fingerprint_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def winnow_stage(docs_ds, k: int = 5, window: int = 8, batch_size: int = 2048):
+    return docs_ds.map_batches(
+        lambda b: winnow_batch(b, k, window),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
