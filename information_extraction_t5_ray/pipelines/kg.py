@@ -120,3 +120,83 @@ def run_kg(
     if out_dir:
         write_triples(triples, out_dir)
     return triples
+
+
+def run_kg_checkpointed(
+    sf_dir: str,
+    ckpt_dir: str,
+    cfg: Optional[KGConfig] = None,
+):
+    """Checkpointed flagship run: every stage boundary materializes to
+    ``{ckpt_dir}/{stage}/`` with a lineage manifest; a rerun with the
+    same inputs/config SKIPS completed stages (the scale version of the
+    reference's ``use_cached_predictions`` pickle cache,
+    models/qa_model.py:79-85,204-211).
+
+    Boundaries: predictions (after the expensive scorer actor pool),
+    answers (after the argmax shuffle + compound split), triples
+    (final, partitioned by ``partition_id``).
+
+    Returns (triples_dataset, {stage: skipped_bool}).
+    """
+    from ..state import manifest as mf
+
+    cfg = cfg or KGConfig()
+    reg = cfg.registry()
+    tns = cfg.resolved_type_names()
+    compound = cfg.resolved_use_compound()
+    cfg_fp = mf.fingerprint("kgconfig", repr(cfg))
+    fp_pred = mf.fingerprint("predictions", sf_dir, cfg_fp)
+    fp_ans = mf.fingerprint("answers", fp_pred)
+    fp_tri = mf.fingerprint("triples", fp_ans)
+    skipped = {}
+
+    def build_predictions():
+        ds = clean_stage(synth.read_pages(sf_dir))
+        ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
+        return score_stage(
+            ds,
+            MockT5Scorer,
+            scorer_kwargs={
+                "registry": reg,
+                "type_names": tns,
+                "use_compound": compound,
+            },
+            concurrency=cfg.scorer_concurrency,
+            batch_size=cfg.scorer_batch_size,
+        )
+
+    preds, skipped["predictions"] = mf.checkpointed(
+        build_predictions, f"{ckpt_dir}/predictions", "predictions", fp_pred
+    )
+
+    def build_answers():
+        best = best_window_stage(
+            preds, use_fewer_na=cfg.use_fewer_na, num_buckets=cfg.num_buckets
+        )
+        if cfg.label_mode == "synth":
+            best = attach_synth_labels(best, reg)
+        else:
+            qa_ids = reg.get_all_qa_ids(
+                list_of_type_names=tns, list_of_use_compound_question=compound
+            )
+            best = attach_na_labels(best, reg, qa_ids)
+        return split_stage(best, reg.type_to_typename)
+
+    answers, skipped["answers"] = mf.checkpointed(
+        build_answers, f"{ckpt_dir}/answers", "answers", fp_ans
+    )
+
+    def build_triples():
+        raw = project_stage(answers, num_partitions=cfg.num_partitions)
+        linked = link_stage(raw)
+        return canonicalize_obj_stage(linked)
+
+    triples, skipped["triples"] = mf.checkpointed(
+        build_triples,
+        f"{ckpt_dir}/triples",
+        "triples",
+        fp_tri,
+        partition_col="partition_id",
+    )
+    return triples, skipped
