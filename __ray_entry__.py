@@ -36,12 +36,49 @@ def _q_kg_triples(sf_dir: str):
     return run_kg(sf_dir).select_columns(["subj", "pred", "obj"])
 
 
+def _q_t5_examples(sf_dir: str):
+    from information_extraction_t5_ray.pipelines.kg import run_t5_examples
+
+    return run_t5_examples(sf_dir)
+
+
+def _q_balanced_examples(sf_dir: str):
+    from information_extraction_t5_ray.pipelines.kg import run_balanced_examples
+
+    return run_balanced_examples(sf_dir)
+
+
+def _q_eval_by_qaid(sf_dir: str):
+    from information_extraction_t5_ray.pipelines.kg import kg_eval_metrics
+
+    return kg_eval_metrics(sf_dir, granularity="qa_id")
+
+
+def _q_eval_by_typename(sf_dir: str):
+    from information_extraction_t5_ray.pipelines.kg import kg_eval_metrics
+
+    return kg_eval_metrics(sf_dir, granularity="typename")
+
+
+def _q_eval_by_document(sf_dir: str):
+    from information_extraction_t5_ray.pipelines.kg import kg_eval_metrics
+
+    return kg_eval_metrics(sf_dir, granularity="document")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from information_extraction_t5_ray.pipelines import corpus as c
 
     return {
         # flagship KG construction
         "kg_triples": _q_kg_triples,
+        # E1 training-data production + balancing + eval harness
+        "t5_examples": _q_t5_examples,  # rows-only (windowed seq2seq text)
+        "balanced_examples": _q_balanced_examples,  # rows-only
+        "balanced_sample": c.q_balanced_sample,
+        "eval_by_qaid": _q_eval_by_qaid,
+        "eval_by_typename": _q_eval_by_typename,  # rows-only (variant groups)
+        "eval_by_document": _q_eval_by_document,  # rows-only
         # dedup family
         "exact_dedup": c.q_exact_dedup,
         "jaccard_dupes": c.q_jaccard_dupes,
@@ -71,8 +108,14 @@ def oracle_sql() -> dict[str, str]:
     from information_extraction_t5_ray.sources import oracle_corpus as oc
     from information_extraction_t5_ray.sources.oracle import oracle_triples_sql
 
+    from information_extraction_t5_ray.sources.oracle import (
+        oracle_eval_by_qaid_sql,
+    )
+
     return {
         "kg_triples": oracle_triples_sql(),
+        "balanced_sample": oc.balanced_sample_sql(),
+        "eval_by_qaid": oracle_eval_by_qaid_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_dupes": oc.jaccard_dupes_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),

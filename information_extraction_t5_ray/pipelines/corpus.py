@@ -376,6 +376,39 @@ def q_hash_split(sf_dir: str):
     return _read_docs(sf_dir).map_batches(split, batch_format="pyarrow")
 
 
+def q_balanced_sample(sf_dir: str):
+    """The reference's balance_data negative resampling
+    (utils/balance_data.py:30-99) on a relational table: per l_orderkey,
+    keep every positive (l_returnflag='R') row and resample negatives
+    with replacement to a 1:1 ratio via the deterministic per-key LCG
+    draw (stages/balance.py) — keys without a positive are dropped
+    (outer-join + dropna semantics)."""
+    import ray.data as rd
+
+    from ..stages.balance import balance_stage
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_negative", pc.not_equal(batch["l_returnflag"], "R")
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    balanced = balance_stage(
+        tagged,
+        key_cols=["l_orderkey"],
+        neg_col="is_negative",
+        order_cols=["l_linenumber"],
+        negative_ratio=1,
+        key_hash_col="l_orderkey",
+    )
+    return balanced.select_columns(["l_orderkey", "l_linenumber"])
+
+
 # --- bench subset ----------------------------------------------------------
 
 

@@ -107,6 +107,91 @@ def kg_entities(triples_ds, cfg: Optional[KGConfig] = None):
     return entities_stage(triples_ds)
 
 
+def kg_t5_examples(pages_ds, cfg: Optional[KGConfig] = None, **squad_kwargs):
+    """pages Dataset -> T5 training examples (the reference's E1 path:
+    convert_dataset_to_squad + convert_squad_to_t5, as one streaming
+    cross-product of windows x question schema)."""
+    from ..stages.squad import t5_examples_stage
+
+    cfg = cfg or KGConfig()
+    ds = clean_stage(pages_ds)
+    ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
+    return t5_examples_stage(
+        ds,
+        registry=cfg.registry(),
+        type_names=cfg.resolved_type_names(),
+        use_compound=cfg.resolved_use_compound(),
+        **squad_kwargs,
+    )
+
+
+def run_t5_examples(sf_dir: str, cfg: Optional[KGConfig] = None, **kw):
+    return kg_t5_examples(synth.read_pages(sf_dir), cfg, **kw)
+
+
+def run_balanced_examples(
+    sf_dir: str, cfg: Optional[KGConfig] = None, negative_ratio: int = 1
+):
+    """E1 + the reference's balance_data resampling, distributed
+    (stages/balance.py)."""
+    from ..stages.balance import balance_stage
+
+    examples = run_t5_examples(sf_dir, cfg)
+    return balance_stage(
+        examples,
+        key_cols=["url", "qa_id"],
+        neg_col="is_negative",
+        order_cols=["window_id", "question"],
+        negative_ratio=negative_ratio,
+    )
+
+
+def kg_eval_metrics(
+    sf_dir: str,
+    cfg: Optional[KGConfig] = None,
+    granularity: str = "qa_id",
+):
+    """Distributed EM/F1 harness over the flagship pipeline with
+    synthetic ground-truth labels (reference metrics_by_typenames /
+    metrics_by_documents JSONs, qa_model.py:305-319).
+
+    granularity: 'qa_id'   -> best rows pre-split, grouped by qa_id
+                              (+ project rollup + 'all') — oracle-checked;
+                 'typename' -> split variant rows, reference typename
+                              grouping incl. ~member/* collapsing;
+                 'document' -> split rows grouped per url.
+    """
+    from ..stages.evalqa import eval_stage
+
+    cfg = cfg or KGConfig(label_mode="synth")
+    cfg.label_mode = "synth"
+    pages = synth.read_pages(sf_dir)
+    if granularity == "qa_id":
+        reg = cfg.registry()
+        ds = clean_stage(pages)
+        ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
+        ds = score_stage(
+            ds,
+            MockT5Scorer,
+            scorer_kwargs={
+                "registry": reg,
+                "type_names": cfg.resolved_type_names(),
+                "use_compound": cfg.resolved_use_compound(),
+            },
+            concurrency=cfg.scorer_concurrency,
+            batch_size=cfg.scorer_batch_size,
+        )
+        best = best_window_stage(
+            ds, use_fewer_na=cfg.use_fewer_na, num_buckets=cfg.num_buckets
+        )
+        best = attach_synth_labels(best, reg)
+        return eval_stage(best, id_col="qa_id", by="typenames")
+    answers = kg_answers(pages, cfg)
+    if granularity == "typename":
+        return eval_stage(answers, id_col="example_id", by="typenames")
+    return eval_stage(answers, id_col="url", by="documents")
+
+
 def run_kg(
     sf_dir: str,
     out_dir: Optional[str] = None,

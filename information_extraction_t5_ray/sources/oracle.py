@@ -99,6 +99,36 @@ _FIELD_SQL = [
 ]
 
 
+def oracle_eval_by_qaid_sql() -> str:
+    """Expected per-group EM/F1 partial sums for the flagship pipeline
+    evaluated against its own synthetic ground truth
+    (pipelines/kg.kg_eval_metrics granularity='qa_id').
+
+    Every (url, qa_id) best answer must match its label exactly — the
+    extraction fidelity statement (P/R >= 0.95 target at EM=1.0 here) —
+    so each of the schema's qa_id groups scores (n, n*1e6, n), plus the
+    'form' project rollup and the 'all' overall group.
+    """
+    from ..pipelines.kg import KGConfig
+
+    cfg = KGConfig()
+    qa_ids = sorted(cfg.resolved_type_names())
+    k = len(qa_ids)
+    selects = [
+        "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)"
+    ]
+    rows = [
+        f"SELECT '{qa_id}' AS grp, c AS n_exact, "
+        f"c * 1000000 AS f1_sum_x1e6, c AS total FROM n"
+        for qa_id in qa_ids
+    ]
+    for grp, mult in (("form", k), ("all", k)):
+        rows.append(
+            f"SELECT '{grp}', c * {mult}, c * {mult} * 1000000, c * {mult} FROM n"
+        )
+    return selects[0] + " " + " UNION ALL ".join(rows)
+
+
 def oracle_triples_sql() -> str:
     """Expected (subj, pred, obj) set as one UNION ALL over documents."""
     selects = []

@@ -178,6 +178,34 @@ FROM lineitem GROUP BY l_orderkey
 HAVING n_pos > 0 AND n_neg > 0"""
 
 
+def balanced_sample_sql() -> str:
+    """Mirror of pipelines/corpus.q_balanced_sample: all positives plus
+    per-key LCG-resampled negatives (stages/balance.py pick_indices)."""
+    from ..stages.balance import DRAW_STEP, LCG_INC, LCG_MULT
+
+    return f"""WITH pos AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+),
+neg AS (
+  SELECT l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) - 1 AS r,
+         count(*) OVER (PARTITION BY l_orderkey) AS n
+  FROM lineitem WHERE l_returnflag <> 'R'
+),
+cnt AS (SELECT l_orderkey, count(*) AS n_pos FROM pos GROUP BY 1),
+picks AS (
+  SELECT l_orderkey,
+         l_orderkey * {LCG_MULT} + {LCG_INC}
+           + unnest(generate_series(0, n_pos - 1)) * {DRAW_STEP} AS draw
+  FROM cnt
+)
+SELECT n.l_orderkey, n.l_linenumber
+FROM picks p JOIN neg n
+  ON n.l_orderkey = p.l_orderkey AND n.r = p.draw % n.n
+UNION ALL
+SELECT l_orderkey, l_linenumber FROM pos"""
+
+
 def events_window_sql() -> str:
     return """SELECT date_trunc('hour', ts) AS hour, event_type,
   count(*) AS n_events, count(DISTINCT user_id) AS n_users

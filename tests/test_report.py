@@ -1,0 +1,65 @@
+"""Report sinks: outputs.txt dump, pivot sheet, metrics JSON."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from information_extraction_t5_ray.stages.evalqa import eval_stage, finalize_eval
+from information_extraction_t5_ray.stages.report import (
+    save_metrics_json,
+    save_outputs_report,
+    save_sheets_report,
+)
+
+
+@pytest.fixture()
+def answers_df():
+    return pd.DataFrame(
+        {
+            "url": ["u1", "u1", "u2", "u2"],
+            "example_id": ["form.cpf", "form.nome_completo", "form.cpf", "form.nome_completo"],
+            "label": ["[CPF/CNPJ]: 123", "[Nome]: Ana Lima", "[CPF/CNPJ]: 99", "[Nome]: Bruno"],
+            "prediction": ["[CPF/CNPJ]: 123", "[Nome]: Ana", "[CPF/CNPJ]: 99", "[Nome]: Bruno"],
+            "prob": [0.9, 0.8, 0.95, 0.7],
+            "window_id": [0, 0, 1, 0],
+        }
+    )
+
+
+def test_outputs_report(ray_session, answers_df, tmp_path):
+    import ray.data as rd
+
+    p = save_outputs_report(
+        rd.from_pandas(answers_df), str(tmp_path / "outputs.txt")
+    )
+    text = open(p).read()
+    assert "form.cpf" in text and "[Nome]: Ana Lima" in text
+    # misprediction-only filter keeps just the one mismatching row
+    p2 = save_outputs_report(
+        rd.from_pandas(answers_df),
+        str(tmp_path / "mis.txt"),
+        only_mispredictions=True,
+    )
+    t2 = open(p2).read()
+    assert "[Nome]: Ana Lima" in t2 and "[CPF/CNPJ]: 123" not in t2
+
+
+def test_sheets_report(ray_session, answers_df, tmp_path):
+    import ray.data as rd
+
+    p = save_sheets_report(rd.from_pandas(answers_df), str(tmp_path / "sheet.xlsx"))
+    # openpyxl absent -> CSV fallback with the pivot cells
+    df = pd.read_csv(p)
+    flat = df.to_csv()
+    assert "form.cpf" in flat and "Ana" in flat
+
+
+def test_metrics_json(ray_session, answers_df, tmp_path):
+    import ray.data as rd
+
+    out = eval_stage(rd.from_pandas(answers_df)).to_pandas()
+    p = save_metrics_json(finalize_eval(out), str(tmp_path / "metrics.json"))
+    d = json.load(open(p))
+    assert d["all"]["total"] == 4
+    assert d["form.cpf"]["exact"] == 100.0
