@@ -43,9 +43,14 @@ class KGConfig:
     # autoscaling (min, max): a fixed pool equal to the CPU count can
     # starve the read stage in small local sessions; at cluster scale
     # pass a fixed int sized to the GPU/CPU budget
-    scorer_concurrency: int | tuple = (1, 4)
-    scorer_batch_size: int = 64
-    chunk_batch_size: int = 128
+    scorer_concurrency: int | tuple = (1, 4)  # actors mode only
+    scorer_batch_size: int | None = None  # None = whole blocks
+    chunk_batch_size: int | None = None
+    # fused chunk+score+argmax (stages/extract.py): shuffle-free and
+    # partition-safe because the argmax key (url, qa_id) derives from a
+    # single input row.  False = separable stages + (url,qa_id) groupby
+    # (the reference-shaped plan; needed when windows must materialize)
+    fused_extraction: bool = True
 
     def registry(self) -> QuestionRegistry:
         return QuestionRegistry.default()
@@ -60,14 +65,24 @@ class KGConfig:
         return [q for q in self.resolved_type_names() if reg.is_compound(q)]
 
 
-def kg_answers(pages_ds, cfg: Optional[KGConfig] = None):
-    """pages Dataset -> answers Dataset (variant rows, reference R5)."""
+def kg_best(pages_ds, cfg: Optional[KGConfig] = None):
+    """pages Dataset -> best answer per (url, qa_id)."""
     cfg = cfg or KGConfig()
     reg = cfg.registry()
     tns = cfg.resolved_type_names()
     compound = cfg.resolved_use_compound()
-
     ds = clean_stage(pages_ds)
+    if cfg.fused_extraction:
+        from ..stages.extract import extract_best_stage
+
+        return extract_best_stage(
+            ds,
+            chunk=cfg.chunk,
+            registry=reg,
+            type_names=tns,
+            use_compound=compound,
+            use_fewer_na=cfg.use_fewer_na,
+        )
     ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
     ds = score_stage(
         ds,
@@ -80,9 +95,18 @@ def kg_answers(pages_ds, cfg: Optional[KGConfig] = None):
         concurrency=cfg.scorer_concurrency,
         batch_size=cfg.scorer_batch_size,
     )
-    best = best_window_stage(
+    return best_window_stage(
         ds, use_fewer_na=cfg.use_fewer_na, num_buckets=cfg.num_buckets
     )
+
+
+def kg_answers(pages_ds, cfg: Optional[KGConfig] = None):
+    """pages Dataset -> answers Dataset (variant rows, reference R5)."""
+    cfg = cfg or KGConfig()
+    reg = cfg.registry()
+    tns = cfg.resolved_type_names()
+    compound = cfg.resolved_use_compound()
+    best = kg_best(pages_ds, cfg)
     if cfg.label_mode == "synth":
         best = attach_synth_labels(best, reg)
     else:
@@ -167,24 +191,7 @@ def kg_eval_metrics(
     cfg.label_mode = "synth"
     pages = synth.read_pages(sf_dir)
     if granularity == "qa_id":
-        reg = cfg.registry()
-        ds = clean_stage(pages)
-        ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
-        ds = score_stage(
-            ds,
-            MockT5Scorer,
-            scorer_kwargs={
-                "registry": reg,
-                "type_names": cfg.resolved_type_names(),
-                "use_compound": cfg.resolved_use_compound(),
-            },
-            concurrency=cfg.scorer_concurrency,
-            batch_size=cfg.scorer_batch_size,
-        )
-        best = best_window_stage(
-            ds, use_fewer_na=cfg.use_fewer_na, num_buckets=cfg.num_buckets
-        )
-        best = attach_synth_labels(best, reg)
+        best = attach_synth_labels(kg_best(pages, cfg), cfg.registry())
         return eval_stage(best, id_col="qa_id", by="typenames")
     answers = kg_answers(pages, cfg)
     if granularity == "typename":
@@ -237,28 +244,17 @@ def run_kg_checkpointed(
     skipped = {}
 
     def build_predictions():
-        ds = clean_stage(synth.read_pages(sf_dir))
-        ds = chunk_stage(ds, cfg.chunk, batch_size=cfg.chunk_batch_size)
-        return score_stage(
-            ds,
-            MockT5Scorer,
-            scorer_kwargs={
-                "registry": reg,
-                "type_names": tns,
-                "use_compound": compound,
-            },
-            concurrency=cfg.scorer_concurrency,
-            batch_size=cfg.scorer_batch_size,
-        )
+        """Stage 1 boundary: best answers after the (expensive) model
+        scoring — the scale analog of the reference's prediction cache
+        (fused extraction when enabled, else score + argmax)."""
+        return kg_best(synth.read_pages(sf_dir), cfg)
 
     preds, skipped["predictions"] = mf.checkpointed(
         build_predictions, f"{ckpt_dir}/predictions", "predictions", fp_pred
     )
 
     def build_answers():
-        best = best_window_stage(
-            preds, use_fewer_na=cfg.use_fewer_na, num_buckets=cfg.num_buckets
-        )
+        best = preds
         if cfg.label_mode == "synth":
             best = attach_synth_labels(best, reg)
         else:

@@ -29,6 +29,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 
 # --- closed-form field model ----------------------------------------------
 
@@ -253,12 +254,53 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, include_html: bool = True):
+REPEAT_STRIDE = 50_000_000  # distinct doc_id space per replica
+
+
+def read_pages(sf_dir: str, include_html: bool = True, repeat: int = 1):
     """Ray Dataset of pages derived 1:1 from ``{sf_dir}/documents.parquet``
-    (column-pruned read -> map_batches)."""
+    (column-pruned read -> map_batches).
+
+    ``repeat > 1`` replicates every document with doc_ids shifted by
+    ``r * REPEAT_STRIDE`` (distinct urls, identical work profile) INSIDE
+    the read tasks — a deterministic work multiplier for scaling runs
+    where the fixture is too small to dominate fixed session overheads
+    (bench.py --scaling).  Both cluster sizes see the same input."""
+    import ray
     import ray.data as rd
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return ds.map_batches(documents_to_pages, batch_format="pyarrow")
+    # the fixture is ONE parquet file with ONE row group -> one serial
+    # read task that trickles blocks out while downstream waits.  Real
+    # Common-Crawl input is thousands of shards (parallel read tasks);
+    # stand in for that by scattering the tiny raw table across ~2
+    # blocks per core BEFORE the ~10x page expansion.
+    try:
+        n_blocks = max(16, 2 * int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:  # pragma: no cover - no cluster yet
+        n_blocks = 16
+    ds = ds.repartition(n_blocks)
+    if repeat > 1:
+
+        def replicate(batch: pa.Table) -> pa.Table:
+            tables = [batch]
+            for r in range(1, repeat):
+                tables.append(
+                    batch.set_column(
+                        batch.schema.get_field_index("doc_id"),
+                        "doc_id",
+                        _pc.add(batch["doc_id"], r * REPEAT_STRIDE),
+                    )
+                )
+            return pa.concat_tables(tables)
+
+        ds = ds.map_batches(replicate, batch_format="pyarrow")
+    # small row bundles: each doc row expands ~10x in bytes (html + text
+    # + window duplication downstream), so bundling by the default
+    # byte target would fuse the whole corpus into ~16 tasks and cap
+    # every downstream stage's parallelism at that number
+    return ds.map_batches(
+        documents_to_pages, batch_format="pyarrow", batch_size=64
+    )

@@ -93,11 +93,13 @@ class WindowChunker:
         )
 
 
-def chunk_stage(ds, config: ChunkConfig | None = None, concurrency=None, batch_size: int = 128):
+def chunk_stage(ds, config: ChunkConfig | None = None, concurrency=None, batch_size: int | None = None):
     """Attach the chunker actor pool.  ``concurrency=None`` lets Ray run
     it as stateless tasks (fine for the stub tokenizer); pass an int or
     (min, max) when the tokenizer is expensive to build."""
-    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    kwargs = dict(batch_format="pyarrow")
+    if batch_size:
+        kwargs["batch_size"] = batch_size
     if concurrency is not None:
         kwargs["concurrency"] = concurrency
         return ds.map_batches(WindowChunker, fn_constructor_kwargs={"config": config}, **kwargs)

@@ -32,8 +32,11 @@ def extract_and_clean(batch: pa.Table) -> pa.Table:
     return pa.table(cols)
 
 
-def clean_stage(ds, batch_size: int = 256):
-    """Attach the extract+clean stage to a pages Dataset."""
-    return ds.map_batches(
-        extract_and_clean, batch_format="pyarrow", batch_size=batch_size
-    )
+def clean_stage(ds, batch_size: int | None = None):
+    """Attach the extract+clean stage to a pages Dataset.
+
+    Default whole-block batches: an explicit batch_size is counted in
+    the fused chain's INPUT rows by the bundler and coalesces upstream
+    blocks, capping the parallelism of every fused downstream stage."""
+    kw = {"batch_size": batch_size} if batch_size else {}
+    return ds.map_batches(extract_and_clean, batch_format="pyarrow", **kw)

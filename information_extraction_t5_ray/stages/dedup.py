@@ -216,9 +216,57 @@ def minhash_signature(sh: np.ndarray, s1: np.ndarray, s2: np.ndarray) -> np.ndar
     return h.min(axis=1)
 
 
+def minhash_signatures_batch(
+    shingle_arrays, s1: np.ndarray, s2: np.ndarray, perm_chunk: int = 16
+) -> np.ndarray:
+    """(docs) list of shingle-hash arrays -> (N, P) signature matrix.
+
+    Fully vectorized across the batch: all shingles flatten into ONE
+    array, each perm-chunk mixes it in a (chunk, total_shingles) matrix
+    and ``np.minimum.reduceat`` takes per-document minima on segment
+    boundaries — no per-document temporaries (the naive per-doc P x S
+    matrix allocates ~2 MB/doc and dominated the stage's wall time)."""
+    n = len(shingle_arrays)
+    P = len(s1)
+    out = np.full((n, P), np.iinfo(np.uint64).max, dtype=np.uint64)
+    lens = np.fromiter((len(a) for a in shingle_arrays), np.int64, count=n)
+    nz = lens > 0
+    if not nz.any():
+        return out
+    flat = np.concatenate([a for a in shingle_arrays if len(a)]).astype(np.uint64)
+    starts = np.concatenate([[0], np.cumsum(lens[nz])[:-1]])
+    for c0 in range(0, P, perm_chunk):
+        s1c = s1[c0 : c0 + perm_chunk][:, None]
+        s2c = s2[c0 : c0 + perm_chunk][:, None]
+        h = (flat[None, :] ^ s1c) * _MH_MUL
+        h ^= h >> np.uint64(33)
+        h = (h ^ s2c) * _MH_MUL
+        out[np.flatnonzero(nz)[:, None], np.arange(c0, c0 + s1c.shape[0])[None, :]] = (
+            np.minimum.reduceat(h, starts, axis=1).T
+        )
+    return out
+
+
+def band_keys_of(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(N, P) signatures -> (N, bands) mixed int64 band keys (band index
+    folded into the key so equal values in different bands never
+    collide).  Vectorized Fibonacci-xor mixing."""
+    n, P = sigs.shape
+    rows = P // bands
+    banded = sigs[:, : bands * rows].reshape(n, bands, rows)
+    h = np.zeros((n, bands), dtype=np.uint64)
+    for r in range(rows):
+        h = (h ^ banded[:, :, r]) * _MH_MUL
+        h ^= h >> np.uint64(29)
+    h ^= np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
+    return h.view(np.int64)
+
+
 class MinHasher:
     """Actor-pool callable: permutation params built once per actor
-    (map_batches(MinHasher, concurrency=N) — stateful-stage idiom)."""
+    (map_batches(MinHasher, concurrency=N) — stateful-stage idiom).
+    Emits NARROW band rows (band_key, doc_id) — signatures never enter
+    the shuffle; verification uses the band-collision count."""
 
     def __init__(self, num_perm: int = 128, k: int = 3, bands: int = 32, seed: int = 42):
         self.s1, self.s2 = _minhash_params(num_perm, seed)
@@ -230,23 +278,16 @@ class MinHasher:
         return minhash_signature(shingle_hashes(text, self.k), self.s1, self.s2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
         texts = batch["text"].to_pylist()
-        band_keys, ids, sigs = [], [], []
-        for d, t in zip(doc_ids, texts):
-            sig = self.signature(t)
-            sig_bytes = sig.tobytes()
-            for bi in range(self.bands):
-                chunk = sig[bi * self.rows : (bi + 1) * self.rows]
-                bk = zlib.crc32(bytes([bi]) + chunk.tobytes())
-                band_keys.append(bk)
-                ids.append(d)
-                sigs.append(sig_bytes)
+        sigs = minhash_signatures_batch(
+            [shingle_hashes(t, self.k) for t in texts], self.s1, self.s2
+        )
+        bk = band_keys_of(sigs, self.bands)  # (N, bands)
         return pa.table(
             {
-                "band_key": pa.array(band_keys, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "sig": pa.array(sigs, pa.binary()),
+                "band_key": pa.array(bk.ravel()),
+                "doc_id": pa.array(np.repeat(doc_ids.astype(np.int64), self.bands)),
             }
         )
 
@@ -260,40 +301,55 @@ def minhash_lsh_pairs(
     concurrency=(1, 4),
     batch_size: int = 1024,
     num_buckets: int = 64,
+    max_band_df: int = 256,
 ):
-    """Near-duplicate pairs via MinHash banding.  Output: (i, j) where
-    the pair collides in >=1 band AND the signature-estimated Jaccard
-    (fraction of equal minhash components) >= threshold."""
+    """Near-duplicate pairs via MinHash banding with band-collision-count
+    verification.
 
-    def bucket_of(bk: pd.Series) -> pd.Series:
-        return (bk % num_buckets).astype(np.int32)
+    A pair with Jaccard J collides in one band with probability J^rows;
+    counting collisions b over all bands estimates J = (b/bands)^(1/rows),
+    so ``keep iff b >= ceil(bands * threshold**rows)`` — e.g. >=2 of 32
+    four-row bands for t=0.5.  This keeps the shuffle NARROW: band rows
+    are (band_key:int64, doc_id:int64) and verification is the same
+    pair-count groupby that dedups candidates — signatures never leave
+    the hashing actor (shipping 1 KB sigs on every band row was ~95% of
+    this stage's shuffle volume).  ``max_band_df`` caps C(df,2) pair
+    blowup on degenerate band groups (near-empty docs all sharing one
+    signature), the same stop-key skew guard as jaccard_pairs."""
+    rows = num_perm // bands
+    min_bands = max(1, int(np.ceil(bands * threshold**rows)))
 
     def candidates(band_df: pd.DataFrame) -> pd.DataFrame:
-        out_i, out_j, out_si, out_sj = [], [], [], []
+        out_i, out_j = [], []
         for _, g in band_df.groupby("band_key", sort=False):
-            if len(g) < 2:
+            if len(g) < 2 or len(g) > max_band_df:
                 continue
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            sg = g["sig"].tolist()
+            ids = np.unique(g["doc_id"].to_numpy())
+            if len(ids) < 2:
+                continue
             iu, ju = np.triu_indices(len(ids), k=1)
-            for ii, jj in zip(iu, ju):
-                out_i.append(ids[ii])
-                out_j.append(ids[jj])
-                out_si.append(sg[ii])
-                out_sj.append(sg[jj])
-        return pd.DataFrame({"i": out_i, "j": out_j, "sig_i": out_si, "sig_j": out_sj})
+            out_i.append(ids[iu])
+            out_j.append(ids[ju])
+        if not out_i:
+            return pd.DataFrame(
+                {
+                    "i": pd.Series(dtype=np.int64),
+                    "j": pd.Series(dtype=np.int64),
+                    "cnt": pd.Series(dtype=np.int64),
+                    "pbucket": pd.Series(dtype=np.int32),
+                }
+            )
+        df = pd.DataFrame({"i": np.concatenate(out_i), "j": np.concatenate(out_j)})
+        # partial pre-aggregation before the pair shuffle
+        g = df.groupby(["i", "j"], sort=False).size().rename("cnt").reset_index()
+        g["pbucket"] = ((g["i"] * 1000003 + g["j"]) % num_buckets).astype(np.int32)
+        return g
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
-        if len(batch) == 0:
-            return pd.DataFrame({"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)})
-        batch = batch.drop_duplicates(["i", "j"])
-        keep = []
-        for si, sj in zip(batch["sig_i"], batch["sig_j"]):
-            a = np.frombuffer(si, dtype=np.uint64)
-            b = np.frombuffer(sj, dtype=np.uint64)
-            keep.append(float((a == b).mean()) >= threshold)
-        return batch.loc[keep, ["i", "j"]]
+        g = (
+            batch.groupby(["i", "j"], sort=False)["cnt"].sum().reset_index()
+        )
+        return g.loc[g["cnt"] >= min_bands, ["i", "j"]]
 
     band_rows = docs_ds.map_batches(
         MinHasher,
@@ -303,20 +359,10 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
     band_rows = band_rows.map_batches(
-        lambda df: df.assign(bucket=bucket_of(df["band_key"])),
+        lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
     )
     cand = band_rows.groupby("bucket").map_groups(candidates, batch_format="pandas")
-    # a pair colliding in B bands appears B times across buckets; final
-    # distinct happens in the verify groupby keyed on the pair hash
-    cand = cand.map_batches(
-        lambda df: df.assign(
-            pbucket=((df["i"] * 1000003 + df["j"]) % num_buckets).astype(np.int32)
-        )
-        if len(df)
-        else df.assign(pbucket=pd.Series(dtype=np.int32)),
-        batch_format="pandas",
-    )
     return cand.groupby("pbucket").map_groups(verify, batch_format="pandas")
 
 

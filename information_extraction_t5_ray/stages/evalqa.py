@@ -60,7 +60,7 @@ def eval_stage(
     by: str = "typenames",
     overall_key: str = "all",
     num_buckets: int = 16,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ):
     """answers Dataset -> per-group metrics Dataset
     ``(grp, n_exact, f1_sum_x1e6, total)`` (ints — exact under any
@@ -111,7 +111,9 @@ def eval_stage(
         )
         return g
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+    partials = ds.map_batches(
+        partial, batch_format="pandas", **({"batch_size": batch_size} if batch_size else {})
+    )
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
 
 

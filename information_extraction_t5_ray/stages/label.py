@@ -37,7 +37,7 @@ def na_label_map(registry: QuestionRegistry, qa_ids) -> Dict[str, str]:
     return out
 
 
-def _label_stage(best_ds, label_fn, batch_size: int = 8192):
+def _label_stage(best_ds, label_fn, batch_size: int | None = None):
     def add(batch: pa.Table) -> pa.Table:
         labels = [
             label_fn(u, q)
@@ -45,7 +45,8 @@ def _label_stage(best_ds, label_fn, batch_size: int = 8192):
         ]
         return batch.append_column("label", pa.array(labels, pa.large_string()))
 
-    return best_ds.map_batches(add, batch_format="pyarrow", batch_size=batch_size)
+    kw = {"batch_size": batch_size} if batch_size else {}
+    return best_ds.map_batches(add, batch_format="pyarrow", **kw)
 
 
 def attach_na_labels(best_ds, registry: QuestionRegistry, qa_ids):

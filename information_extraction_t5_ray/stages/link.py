@@ -100,9 +100,11 @@ def link_stage(
     triples_ds,
     alias_dict=None,
     concurrency=None,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ):
-    kwargs = dict(batch_format="pyarrow", batch_size=batch_size)
+    kwargs = dict(batch_format="pyarrow")
+    if batch_size:
+        kwargs["batch_size"] = batch_size
     if concurrency is not None:
         return triples_ds.map_batches(
             EntityLinker,

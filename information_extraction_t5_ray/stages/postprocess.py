@@ -61,7 +61,9 @@ def best_window_stage(
     predictions_ds,
     use_fewer_na: bool = True,
     num_buckets: int = 64,
-    batch_size: int = 8192,
+    batch_size: int | None = None,  # None = whole blocks: an explicit
+    # batch_size on a stage fused behind row-expanding maps is counted
+    # in INPUT rows by the bundler and collapses task parallelism
 ):
     """predictions -> one best row per (url, qa_id)."""
 
@@ -77,7 +79,7 @@ def best_window_stage(
         return _reduce_best(bucket_df, use_fewer_na).drop(columns=["bucket", "na"])
 
     partials = predictions_ds.map_batches(
-        partial, batch_format="pandas", batch_size=batch_size
+        partial, batch_format="pandas", **({"batch_size": batch_size} if batch_size else {})
     )
     return partials.groupby("bucket").map_groups(final, batch_format="pandas")
 
@@ -182,9 +184,10 @@ def split_compound_batch(
     return pa.table(cols, schema=ANSWERS_SCHEMA)
 
 
-def split_stage(best_ds, type_to_typename: dict, batch_size: int = 4096):
+def split_stage(best_ds, type_to_typename: dict, batch_size: int | None = None):
+    kw = {"batch_size": batch_size} if batch_size else {}
     return best_ds.map_batches(
         lambda b: split_compound_batch(b, type_to_typename),
         batch_format="pyarrow",
-        batch_size=batch_size,
+        **kw,
     )

@@ -80,16 +80,8 @@ class SquadGen:
         from .score import _QAPlan
 
         registry = registry or QuestionRegistry.default()
-        if type_names is None:
-            # configured universe = typenames whose display type exists in
-            # the type map (the reference's params.yaml type_names list
-            # deliberately omits unmapped questions like doc_id_uf)
-            type_names = [
-                f"{proj}.{tn}"
-                for proj, d in registry.questions.items()
-                for tn in d
-                if isinstance(d[tn], dict) or tn in registry.typename_to_type
-            ]
+        # _QAPlan's default type_names already excludes typenames with no
+        # display-type mapping (reference params.yaml behavior)
         self.plan = _QAPlan(registry, type_names, use_compound, choose_question)
         self.values_of = values_of
         self.choose = choose_question
@@ -185,22 +177,33 @@ def t5_examples_stage(
     values_of: Callable = synth_values_of,
     choose_question: str = "first",
     use_sentence_id: bool = True,
-    batch_size: int = 256,
-    concurrency=(1, 8),
+    batch_size: int | None = None,
+    concurrency=None,
 ):
-    """windows Dataset -> T5 examples Dataset (R3).  The generator is an
-    actor pool: the question plan builds once per worker."""
+    """windows Dataset -> T5 examples Dataset (R3).
+
+    Default: stateless tasks with the (cheap-to-build) generator
+    instance broadcast in the UDF closure — full parallelism from the
+    first block.  Pass ``concurrency`` to run as an actor pool instead
+    (only worthwhile once the values lookup holds real state)."""
+    ctor = dict(
+        registry=registry,
+        type_names=type_names,
+        use_compound=use_compound,
+        values_of=values_of,
+        choose_question=choose_question,
+        use_sentence_id=use_sentence_id,
+    )
+    kw = {"batch_size": batch_size} if batch_size else {}
+    if concurrency is not None:
+        return windows_ds.map_batches(
+            SquadGen,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            fn_constructor_kwargs=ctor,
+            **kw,
+        )
+    gen = SquadGen(**ctor)
     return windows_ds.map_batches(
-        SquadGen,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            registry=registry,
-            type_names=type_names,
-            use_compound=use_compound,
-            values_of=values_of,
-            choose_question=choose_question,
-            use_sentence_id=use_sentence_id,
-        ),
+        lambda b: gen(b), batch_format="pyarrow", **kw
     )

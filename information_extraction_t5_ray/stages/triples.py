@@ -76,15 +76,16 @@ def project_triples_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table
     )
 
 
-def project_stage(answers_ds, num_partitions: int = 64, batch_size: int = 8192):
+def project_stage(answers_ds, num_partitions: int = 64, batch_size: int | None = None):
+    kw = {"batch_size": batch_size} if batch_size else {}
     return answers_ds.map_batches(
         lambda b: project_triples_batch(b, num_partitions),
         batch_format="pyarrow",
-        batch_size=batch_size,
+        **kw,
     )
 
 
-def canonicalize_obj_stage(linked_ds, batch_size: int = 8192):
+def canonicalize_obj_stage(linked_ds, batch_size: int | None = None):
     """obj = normalize_answer(linked surface) — the canonical entity key."""
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -94,7 +95,8 @@ def canonicalize_obj_stage(linked_ds, batch_size: int = 8192):
             ["subj", "pred", "obj", "obj_surface", "prob", "window_id", "partition_id"]
         )
 
-    return linked_ds.map_batches(canon, batch_format="pyarrow", batch_size=batch_size)
+    kw = {"batch_size": batch_size} if batch_size else {}
+    return linked_ds.map_batches(canon, batch_format="pyarrow", **kw)
 
 
 # ---------------------------------------------------------------------------
