@@ -60,6 +60,19 @@ def _q_eval_by_typename(sf_dir: str):
     return kg_eval_metrics(sf_dir, granularity="typename")
 
 
+def _q_squad_sample(sf_dir: str):
+    """E1 on the reference's own shipped raw-JSON corpus (sf_dir unused:
+    the input is the fixed golden corpus; parity vs the reference
+    converter is asserted in tests/test_squad_e1_parity.py)."""
+    from information_extraction_t5_ray.pipelines.squad_e1 import (
+        convert_raw_dataset,
+    )
+
+    return convert_raw_dataset(
+        "/root/reference/data/raw/sample_train.json", use_sentence_id=False
+    )
+
+
 def _q_eval_by_document(sf_dir: str):
     from information_extraction_t5_ray.pipelines.kg import kg_eval_metrics
 
@@ -79,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_by_qaid": _q_eval_by_qaid,
         "eval_by_typename": _q_eval_by_typename,  # rows-only (variant groups)
         "eval_by_document": _q_eval_by_document,  # rows-only
+        "squad_sample": _q_squad_sample,  # rows-only (golden-corpus E1)
         # dedup family
         "exact_dedup": c.q_exact_dedup,
         "jaccard_dupes": c.q_jaccard_dupes,

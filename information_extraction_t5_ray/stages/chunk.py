@@ -57,8 +57,15 @@ class WindowChunker:
         cfg = self.cfg
         urls = batch["url"].to_pylist()
         texts = batch["clean_text"].to_pylist()
+        # per-row annotations (raw-JSON E1 path) replicate onto windows
+        carry = (
+            batch["fields_json"].to_pylist()
+            if "fields_json" in batch.schema.names
+            else None
+        )
+        out_carry = [] if carry is not None else None
         out_url, out_wid, out_start, out_ctx, out_n = [], [], [], [], []
-        for url, text in zip(urls, texts):
+        for row_i, (url, text) in enumerate(zip(urls, texts)):
             if not text:
                 continue
             contexts, offsets = get_context(
@@ -81,16 +88,20 @@ class WindowChunker:
             out_start.extend(int(o) for o in offsets)
             out_ctx.extend(contexts)
             out_n.extend([n] * n)
-        return pa.table(
-            {
-                "url": out_url,
-                "window_id": out_wid,
-                "window_start": out_start,
-                "context": out_ctx,
-                "n_windows": out_n,
-            },
-            schema=WINDOWS_SCHEMA,
-        )
+            if out_carry is not None:
+                out_carry.extend([carry[row_i]] * n)
+        cols = {
+            "url": out_url,
+            "window_id": out_wid,
+            "window_start": out_start,
+            "context": out_ctx,
+            "n_windows": out_n,
+        }
+        if out_carry is not None:
+            schema = WINDOWS_SCHEMA.append(pa.field("fields_json", pa.large_string()))
+            cols["fields_json"] = out_carry
+            return pa.table(cols, schema=schema)
+        return pa.table(cols, schema=WINDOWS_SCHEMA)
 
 
 def chunk_stage(ds, config: ChunkConfig | None = None, concurrency=None, batch_size: int | None = None):

@@ -27,8 +27,9 @@ def extract_and_clean(batch: pa.Table) -> pa.Table:
         raw = batch["text"]
     cleaned = clean_chunked_array(raw)
     cols = {"url": batch["url"], "clean_text": cleaned}
-    if "lang" in names:
-        cols["lang"] = batch["lang"]
+    for passthrough in ("lang", "fields_json"):
+        if passthrough in names:
+            cols[passthrough] = batch[passthrough]
     return pa.table(cols)
 
 

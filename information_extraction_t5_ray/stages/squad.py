@@ -55,6 +55,13 @@ T5_EXAMPLES_SCHEMA = pa.schema(
     ]
 )
 
+# + raw SQuAD fields (answer text + window context) for the JSON sink
+SQUAD_EXTRA_FIELDS = [
+    ("answer", pa.string()),
+    ("context", pa.large_string()),
+    ("qa_seq", pa.int32()),  # qa order within (url, window) paragraph
+]
+
 
 def synth_values_of(url: str) -> Dict[str, Optional[str]]:
     """Default broadcast value lookup: closed-form in doc_id."""
@@ -76,6 +83,7 @@ class SquadGen:
         choose_question: str = "first",
         use_sentence_id: bool = True,
         project: str = "form",
+        include_squad_cols: bool = False,
     ):
         from .score import _QAPlan
 
@@ -88,6 +96,8 @@ class SquadGen:
         self.use_sentence_id = use_sentence_id
         self.project = project
         self.tn2type = registry.typename_to_type
+        # also emit (answer, context, qa_seq) for the SQuAD JSON sink
+        self.include_squad_cols = include_squad_cols
 
     # -- reference basic_to_squad.py:13-130 semantics -------------------------
 
@@ -122,10 +132,23 @@ class SquadGen:
     # -- batch interface -------------------------------------------------------
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import json as _json
+
         urls = batch["url"].to_pylist()
         wids = batch["window_id"].to_pylist()
         ctxs = batch["context"].to_pylist()
-        out = {k.name: [] for k in T5_EXAMPLES_SCHEMA}
+        # annotations riding with the row win over the broadcast lookup
+        fields = (
+            batch["fields_json"].to_pylist()
+            if "fields_json" in batch.schema.names
+            else None
+        )
+        schema = T5_EXAMPLES_SCHEMA
+        if self.include_squad_cols:
+            for name, typ in SQUAD_EXTRA_FIELDS:
+                schema = schema.append(pa.field(name, typ))
+        out = {k: [] for k in schema.names}
+        seq = {"n": 0}
 
         def emit(url, wid, ctx, qa_id, question, answer):
             x = generate_t5_input_sentence(ctx, question, self.use_sentence_id)
@@ -138,9 +161,18 @@ class SquadGen:
             out["label_sentence"].append(y)
             out["answer_start"].append(-1)
             out["is_negative"].append("N/A" in answer)
+            if self.include_squad_cols:
+                out["answer"].append(answer)
+                out["context"].append(ctx)
+                out["qa_seq"].append(seq["n"])
+                seq["n"] += 1
 
-        for url, wid, ctx in zip(urls, wids, ctxs):
-            values = self.values_of(url)
+        for row_i, (url, wid, ctx) in enumerate(zip(urls, wids, ctxs)):
+            seq["n"] = 0
+            if fields is not None:
+                values = _json.loads(fields[row_i])
+            else:
+                values = self.values_of(url)
             satisfied = []
             for qa_id in self.plan.type_names:
                 if qa_id.split(".")[0] != self.project:
@@ -166,7 +198,7 @@ class SquadGen:
                 _, questions, _ = entry
                 answer, _ = self._answer_for(qa_id, {})
                 emit(url, wid, ctx, qa_id, questions[0], answer)
-        return pa.table(out, schema=T5_EXAMPLES_SCHEMA)
+        return pa.table(out, schema=schema)
 
 
 def t5_examples_stage(
@@ -177,6 +209,7 @@ def t5_examples_stage(
     values_of: Callable = synth_values_of,
     choose_question: str = "first",
     use_sentence_id: bool = True,
+    include_squad_cols: bool = False,
     batch_size: int | None = None,
     concurrency=None,
 ):
@@ -193,6 +226,7 @@ def t5_examples_stage(
         values_of=values_of,
         choose_question=choose_question,
         use_sentence_id=use_sentence_id,
+        include_squad_cols=include_squad_cols,
     )
     kw = {"batch_size": batch_size} if batch_size else {}
     if concurrency is not None:
