@@ -36,6 +36,16 @@ def _q_kg_triples(sf_dir: str):
     return run_kg(sf_dir).select_columns(["subj", "pred", "obj"])
 
 
+def _q_kg_entities(sf_dir: str):
+    """Canonical entity table via the SALTED two-phase aggregation
+    (head-entity skew path — 'ssp' holds ~half the orgao mentions)."""
+    from information_extraction_t5_ray.pipelines.kg import kg_entities, run_kg
+
+    return kg_entities(run_kg(sf_dir)).select_columns(
+        ["entity_id", "n_mentions"]
+    )
+
+
 def _q_t5_examples(sf_dir: str):
     from information_extraction_t5_ray.pipelines.kg import run_t5_examples
 
@@ -85,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship KG construction
         "kg_triples": _q_kg_triples,
+        "kg_entities": _q_kg_entities,
         # E1 training-data production + balancing + eval harness
         "t5_examples": _q_t5_examples,  # rows-only (windowed seq2seq text)
         "balanced_examples": _q_balanced_examples,  # rows-only
@@ -107,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": c.q_lang_id,
         "fingerprint": c.q_fingerprint,
         "winnow_sketch": c.q_winnow,  # rows-only (list column)
+        "media_features": c.q_media_features,  # rows-only (binary payloads)
         # relational operator demos (reference postprocess/balance/split
         # semantics over the TPC-H-ish tables)
         "grouped_argmax": c.q_grouped_argmax,
@@ -123,11 +135,13 @@ def oracle_sql() -> dict[str, str]:
     from information_extraction_t5_ray.sources.oracle import oracle_triples_sql
 
     from information_extraction_t5_ray.sources.oracle import (
+        oracle_entities_sql,
         oracle_eval_by_qaid_sql,
     )
 
     return {
         "kg_triples": oracle_triples_sql(),
+        "kg_entities": oracle_entities_sql(),
         "balanced_sample": oc.balanced_sample_sql(),
         "eval_by_qaid": oracle_eval_by_qaid_sql(),
         "exact_dedup": oc.exact_dedup_sql(),

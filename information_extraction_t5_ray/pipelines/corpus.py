@@ -409,6 +409,20 @@ def q_balanced_sample(sf_dir: str):
     return balanced.select_columns(["l_orderkey", "l_linenumber"])
 
 
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing end-to-end: attach a deterministic binary
+    image payload per doc (stand-in for real WARC media), decode +
+    histogram-feature inside an actor-pool stage, then frame-sample
+    (stages/multimodal.py; decode backends gated behind import-try)."""
+    from ..stages import multimodal as mm
+
+    docs = _read_docs(sf_dir).map_batches(
+        lambda b: mm.attach_payload(b), batch_format="pyarrow"
+    )
+    feats = mm.media_features_stage(docs)
+    return feats.select_columns(["doc_id", "feature_dim"])
+
+
 # --- bench subset ----------------------------------------------------------
 
 

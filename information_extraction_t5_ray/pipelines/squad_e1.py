@@ -124,6 +124,48 @@ def write_squad_json(qas_ds, path: str, version: str = "0.1") -> str:
     return path
 
 
+def read_squad_json(path: str, use_sentence_id: bool = False):
+    """SQuAD JSON file -> T5-example rows Dataset (the reference's
+    SquadV1Processor + squad_convert_examples_to_t5_format read path,
+    data/qa_data.py:43-69 + convert_squad_to_t5.py:55-113: takes
+    ``answers[0]`` only, generates the seq2seq pair per qa)."""
+    import ray.data as rd
+
+    from ..functions.preprocess import (
+        generate_t5_input_sentence,
+        generate_t5_label_sentence,
+    )
+
+    with open(path) as f:
+        payload = json.load(f)
+    rows = []
+    for doc in payload["data"]:
+        for wid, paragraph in enumerate(doc["paragraphs"]):
+            ctx = paragraph["context"]
+            for seq, qa in enumerate(paragraph["qas"]):
+                ans = qa["answers"][0]
+                rows.append(
+                    {
+                        "url": doc["title"],
+                        "window_id": wid,
+                        "qa_id": qa["id"],
+                        "question": qa["question"],
+                        "input_sentence": generate_t5_input_sentence(
+                            ctx, qa["question"], use_sentence_id
+                        ),
+                        "label_sentence": generate_t5_label_sentence(
+                            ans["text"], ans["answer_start"], ctx, use_sentence_id
+                        ),
+                        "answer_start": int(ans["answer_start"]),
+                        "is_negative": "N/A" in ans["text"],
+                        "answer": ans["text"],
+                        "context": ctx,
+                        "qa_seq": seq,
+                    }
+                )
+    return rd.from_items(rows)
+
+
 def run_convert(
     path: str,
     out_dir: str,

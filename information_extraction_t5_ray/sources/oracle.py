@@ -139,3 +139,13 @@ def oracle_triples_sql() -> str:
             f"{obj_sql} AS obj FROM documents{w}"
         )
     return " UNION ALL ".join(selects)
+
+
+def oracle_entities_sql() -> str:
+    """Expected canonical entity table: mention counts per normalized
+    object over the triples oracle (checks the SALTED two-phase
+    aggregation end to end, incl. the deliberate 'ssp' head entity)."""
+    return (
+        f"SELECT obj AS entity_id, CAST(count(*) AS BIGINT) AS n_mentions "
+        f"FROM ({oracle_triples_sql()}) GROUP BY obj"
+    )

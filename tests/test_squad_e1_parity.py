@@ -111,6 +111,30 @@ def test_write_squad_json_roundtrip(ray_session, ref_converter, tmp_path):
     assert "form.endereco" in qa_ids and "form.cpf" in qa_ids
 
 
+def test_read_squad_json_roundtrip(ray_session, ref_converter, tmp_path):
+    """write_squad_json -> read_squad_json reproduces the T5-example
+    rows the direct pipeline emits (reference SquadV1 read path)."""
+    from information_extraction_t5_ray.pipelines.squad_e1 import (
+        convert_raw_dataset,
+        read_squad_json,
+        write_squad_json,
+    )
+
+    direct = convert_raw_dataset(SAMPLE, use_sentence_id=False).to_pandas()
+    path = write_squad_json(
+        convert_raw_dataset(SAMPLE, use_sentence_id=False),
+        str(tmp_path / "rt.json"),
+    )
+    rt = read_squad_json(path, use_sentence_id=False).to_pandas()
+    cols = ["url", "window_id", "qa_id", "question", "input_sentence",
+            "label_sentence", "answer_start", "is_negative"]
+    a = direct[cols].sort_values(cols, ignore_index=True)
+    b = rt[cols].sort_values(cols, ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_hash_split_partition(ray_session):
     from information_extraction_t5_ray.pipelines.squad_e1 import (
         convert_raw_dataset,
