@@ -34,6 +34,12 @@ JACCARD_MAX_DF = 64
 
 
 def _read_docs(sf_dir: str):
+    # NOTE: deliberately no pre-scatter here — these pipelines end in
+    # groupby shuffles whose cost grows with input block count; at this
+    # fixture size the vectorized per-task kernels saturate with a few
+    # fat blocks (measured: scattering to 64 blocks made jaccard 4x
+    # slower via sort fan-out).  Sharded real corpora parallelize at
+    # the read instead.
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])

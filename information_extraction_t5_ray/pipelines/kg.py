@@ -214,6 +214,45 @@ def run_kg(
     return triples
 
 
+def run_kg_sharded(
+    sf_dir: str,
+    ckpt_dir: str,
+    cfg: Optional[KGConfig] = None,
+    num_shards: int = 8,
+):
+    """Partition-granular checkpointed resume: the input splits into
+    ``num_shards`` deterministic doc_id shards, each flowing through the
+    WHOLE pipeline into its own Parquet dir + lineage manifest.  A
+    failed/killed run reruns only the shards whose manifest is missing
+    or stale — the north rule's "skip finished partitions" semantics
+    (at real scale each shard is an input file range and shards are
+    separate ``ray job submit`` units).
+
+    Returns (union triples Dataset, {shard: skipped_bool}).
+    """
+    from ..state import manifest as mf
+
+    cfg = cfg or KGConfig()
+    cfg_fp = mf.fingerprint("kgconfig", repr(cfg))
+    skipped = {}
+    parts = []
+    for k in range(num_shards):
+        fp = mf.fingerprint("triples-shard", sf_dir, cfg_fp, f"{k}/{num_shards}")
+
+        def build(k=k):
+            pages = synth.read_pages(sf_dir, shard=(k, num_shards))
+            return kg_triples(pages, cfg)
+
+        ds, skipped[k] = mf.checkpointed(
+            build, f"{ckpt_dir}/shard={k}", f"triples-shard-{k}", fp
+        )
+        parts.append(ds)
+    out = parts[0]
+    for extra in parts[1:]:
+        out = out.union(extra)
+    return out, skipped
+
+
 def run_kg_checkpointed(
     sf_dir: str,
     ckpt_dir: str,

@@ -257,7 +257,12 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
 REPEAT_STRIDE = 50_000_000  # distinct doc_id space per replica
 
 
-def read_pages(sf_dir: str, include_html: bool = True, repeat: int = 1):
+def read_pages(
+    sf_dir: str,
+    include_html: bool = True,
+    repeat: int = 1,
+    shard: Optional[tuple] = None,
+):
     """Ray Dataset of pages derived 1:1 from ``{sf_dir}/documents.parquet``
     (column-pruned read -> map_batches).
 
@@ -272,6 +277,18 @@ def read_pages(sf_dir: str, include_html: bool = True, repeat: int = 1):
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
+    if shard is not None:
+        # shard (k, n): deterministic doc_id slice — the unit of
+        # partition-granular checkpointed resume (run_kg_sharded).  At
+        # real scale a shard is a file range and this filter is a path
+        # selection, not a row filter.
+        k, n = shard
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = batch["doc_id"].to_numpy() % n == k
+            return batch.filter(pa.array(mask))
+
+        ds = ds.map_batches(keep, batch_format="pyarrow")
     # the fixture is ONE parquet file with ONE row group -> one serial
     # read task that trickles blocks out while downstream waits.  Real
     # Common-Crawl input is thousands of shards (parallel read tasks);

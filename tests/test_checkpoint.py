@@ -98,3 +98,48 @@ def test_corrupt_manifest_forces_recompute(ray_session, tmp_path):
     _, skipped2 = run_kg_checkpointed(SF, str(ckpt))
     assert skipped2["predictions"] is True
     assert skipped2["answers"] is False
+
+
+# --- sharded (partition-granular) resume ------------------------------------
+
+
+def test_sharded_resume_skips_finished_shards(ray_session, tmp_path):
+    """Kill-and-rerun semantics at shard granularity: only shards whose
+    manifest is gone get recomputed; the union equals the unsharded run."""
+    from pathlib import Path
+
+    from information_extraction_t5_ray.pipelines.kg import (
+        KGConfig,
+        run_kg,
+        run_kg_sharded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "shards")
+    n = 3
+
+    ds1, skipped1 = run_kg_sharded(sf, ck, KGConfig(), num_shards=n)
+    assert skipped1 == {k: False for k in range(n)}
+    df1 = ds1.to_pandas().sort_values(["subj", "pred"], ignore_index=True)
+
+    # simulate a crash that lost shard 1's checkpoint
+    (Path(ck) / "shard=1" / "_MANIFEST.json").unlink()
+
+    ds2, skipped2 = run_kg_sharded(sf, ck, KGConfig(), num_shards=n)
+    assert skipped2 == {0: True, 1: False, 2: True}
+    df2 = ds2.to_pandas().sort_values(["subj", "pred"], ignore_index=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(df1, df2)
+
+    # and the union matches the unsharded pipeline
+    direct = (
+        run_kg(sf)
+        .to_pandas()
+        .sort_values(["subj", "pred"], ignore_index=True)
+    )
+    assert len(direct) == len(df1)
+    pd.testing.assert_frame_equal(
+        direct[["subj", "pred", "obj"]],
+        df1[["subj", "pred", "obj"]],
+    )
