@@ -45,6 +45,8 @@ def project_triples_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table
     mask = pc.is_in(batch["variant"], value_set=pa.array(["clean", "member_clean"]))
     rows = batch.filter(mask)
     subjs, preds, objs, probs, wids, parts = [], [], [], [], [], []
+    memo_vals: dict = {}  # answer strings repeat heavily (N/A, small vocabularies)
+    memo_rel: dict = {}
     for url, ex_id, pred_sa, prob, window_ids in zip(
         rows["url"].to_pylist(),
         rows["example_id"].to_pylist(),
@@ -52,12 +54,18 @@ def project_triples_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table
         rows["prob"].to_pylist(),
         rows["window_ids"].to_pylist(),
     ):
-        values = find_sub_answers(pred_sa) if pred_sa else []
-        value = values[-1] if values else ""
+        value = memo_vals.get(pred_sa)
+        if value is None:
+            vs = find_sub_answers(pred_sa) if pred_sa else []
+            value = vs[-1] if vs else ""
+            memo_vals[pred_sa] = value
         if not value or value == "N/A":
             continue
         # 'form.cpf*' -> 'form.cpf'; 'form.endereco~cidade*' -> 'form.endereco.cidade'
-        rel = ex_id.rstrip("*").replace("~", ".")
+        rel = memo_rel.get(ex_id)
+        if rel is None:
+            rel = ex_id.rstrip("*").replace("~", ".")
+            memo_rel[ex_id] = rel
         subjs.append(url)
         preds.append(rel)
         objs.append(value)
@@ -89,7 +97,16 @@ def canonicalize_obj_stage(linked_ds, batch_size: int | None = None):
     """obj = normalize_answer(linked surface) — the canonical entity key."""
 
     def canon(batch: pa.Table) -> pa.Table:
-        objs = [normalize_answer(v) for v in batch["obj_linked"].to_pylist()]
+        memo: dict = {}  # small value vocabularies -> memoize per batch
+
+        def norm(v):
+            out = memo.get(v)
+            if out is None:
+                out = normalize_answer(v)
+                memo[v] = out
+            return out
+
+        objs = [norm(v) for v in batch["obj_linked"].to_pylist()]
         batch = batch.append_column("obj", pa.array(objs, pa.string()))
         return batch.select(
             ["subj", "pred", "obj", "obj_surface", "prob", "window_id", "partition_id"]
