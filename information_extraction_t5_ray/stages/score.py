@@ -202,21 +202,168 @@ class MockT5Scorer:
         )
 
 
-class T5Scorer:  # pragma: no cover - requires GPU/transformers
-    """Production scorer: same contract, real model.
+def build_t5_inputs(
+    batch: pa.Table, plan: "_QAPlan", use_sentence_id: bool = False
+):
+    """(windows batch, plan) -> flat lists (urls, wids, nwins, qa_ids,
+    questions, input_sentences): the window x qa_id cross-product with
+    the seq2seq input assembled in place (convert_squad_to_t5.py:84-104
+    semantics; pure — unit-testable without torch)."""
+    from ..functions.preprocess import generate_t5_input_sentence
 
-    __init__ loads the checkpoint once per actor (predict.py:33-47 incl.
-    the CPU int8-quantization branch); __call__ batches
-    ``question: {q} context: {ctx}`` inputs, beam-search generates
-    (models/qa_model.py:153-163) and computes
+    urls, wids, nwins, qa_ids, questions, inputs = [], [], [], [], [], []
+    for url, wid, nw, ctx in zip(
+        batch["url"].to_pylist(),
+        batch["window_id"].to_pylist(),
+        batch["n_windows"].to_pylist(),
+        batch["context"].to_pylist(),
+    ):
+        for qa_id in plan.all_qa_ids:
+            _, qs, _ = plan.plan[qa_id]
+            q = choose_question(qs, plan.choose, f"{url}|{qa_id}")
+            urls.append(url)
+            wids.append(wid)
+            nwins.append(nw)
+            qa_ids.append(qa_id)
+            questions.append(q)
+            inputs.append(generate_t5_input_sentence(ctx, q, use_sentence_id))
+    return urls, wids, nwins, qa_ids, questions, inputs
+
+
+class T5Scorer:  # pragma: no cover - requires torch+transformers
+    """Production scorer: same output contract as MockT5Scorer, real
+    model on a fixed-size (GPU) actor pool.
+
+    __init__ loads weights ONCE per actor — newest ``*.ckpt`` under the
+    checkpoint dir or an HF name (predict.py:33-47) — and on CPU applies
+    dynamic int8 quantization of Linear layers + ``set_num_threads(1)``
+    (predict.py:43-52: one thread per 1-CPU actor, parallelism comes
+    from the pool).  __call__ assembles the window x qa_id inputs,
+    beam-search generates (``num_beams=5, max_length=200,
+    early_stopping=True``, models/qa_model.py:153-163) and computes
     ``prob = exp(-loss / len(output_ids))`` via a second forward pass
-    with the prediction as labels (models/qa_model.py:327-342).
+    with the prediction as labels, batched with per-row masked CE
+    instead of the reference's per-example loop
+    (models/qa_model.py:327-342).
     """
 
-    def __init__(self, checkpoint_path: str, registry=None, **kwargs):
-        raise NotImplementedError(
-            "T5Scorer needs torch+transformers (not installed in this "
-            "environment); MockT5Scorer implements the same contract."
+    def __init__(
+        self,
+        checkpoint_path: Optional[str] = None,
+        model_name: str = "unicamp-dl/ptt5-base-portuguese-vocab",
+        registry: Optional[QuestionRegistry] = None,
+        type_names: Optional[List[str]] = None,
+        use_compound: Optional[List[str]] = None,
+        choose: str = "first",
+        use_sentence_id: bool = False,
+        max_seq_length: int = 512,
+        num_beams: int = 5,
+        max_length: int = 200,
+    ):
+        try:
+            import torch
+            from transformers import AutoTokenizer, T5ForConditionalGeneration
+        except ImportError as e:  # this container has no torch
+            raise ImportError(
+                "T5Scorer needs torch+transformers; MockT5Scorer "
+                "implements the same contract for CPU-only environments."
+            ) from e
+        self.torch = torch
+        self.plan = _QAPlan(
+            registry or QuestionRegistry.default(), type_names, use_compound, choose
+        )
+        self.use_sentence_id = use_sentence_id
+        self.max_seq_length = max_seq_length
+        self.num_beams = num_beams
+        self.max_length = max_length
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name, use_fast=False)
+        if checkpoint_path:
+            import glob as _glob
+
+            ckpts = sorted(_glob.glob(f"{checkpoint_path}/*ckpt"))
+            state = torch.load(ckpts[-1], map_location="cpu")["state_dict"]
+            self.model = T5ForConditionalGeneration.from_pretrained(model_name)
+            self.model.load_state_dict(
+                {k.removeprefix("model."): v for k, v in state.items()},
+                strict=False,
+            )
+        else:
+            self.model = T5ForConditionalGeneration.from_pretrained(model_name)
+        self.device = "cuda" if torch.cuda.is_available() else "cpu"
+        if self.device == "cpu":
+            self.model = torch.quantization.quantize_dynamic(
+                self.model, {torch.nn.Linear}, dtype=torch.qint8
+            )
+            torch.set_num_threads(1)
+        else:
+            self.model = self.model.to(self.device)
+        self.model.eval()
+
+    def _generate(self, sentences: List[str]) -> List[str]:
+        toks = self.tokenizer.batch_encode_plus(
+            sentences,
+            padding=True,
+            truncation=True,
+            max_length=self.max_seq_length,
+            return_tensors="pt",
+        )
+        out = self.model.generate(
+            input_ids=toks["input_ids"].to(self.device).long(),
+            attention_mask=toks["attention_mask"].to(self.device).long(),
+            max_length=self.max_length,
+            num_beams=self.num_beams,
+            early_stopping=True,
+        )
+        return self.tokenizer.batch_decode(out, skip_special_tokens=True)
+
+    def _compute_probs(self, sentences: List[str], predictions: List[str]):
+        """Batched exp(-loss/len): one forward with prediction ids as
+        labels; per-row mean CE over non-pad positions."""
+        torch = self.torch
+        with torch.no_grad():
+            enc = self.tokenizer.batch_encode_plus(
+                sentences, padding=True, truncation=True,
+                max_length=self.max_seq_length, return_tensors="pt",
+            )
+            lab = self.tokenizer.batch_encode_plus(
+                predictions, padding=True, truncation=True,
+                max_length=self.max_seq_length, return_tensors="pt",
+            )
+            labels = lab["input_ids"].to(self.device).long()
+            labels_masked = labels.clone()
+            labels_masked[lab["attention_mask"].to(self.device) == 0] = -100
+            out = self.model(
+                input_ids=enc["input_ids"].to(self.device).long(),
+                attention_mask=enc["attention_mask"].to(self.device).long(),
+                labels=labels_masked,
+            )
+            logits = out.logits
+            ce = torch.nn.functional.cross_entropy(
+                logits.transpose(1, 2), labels_masked,
+                ignore_index=-100, reduction="none",
+            )
+            n_tok = (labels_masked != -100).sum(dim=1).clamp(min=1)
+            loss_per_row = ce.sum(dim=1) / n_tok
+            probs = torch.exp(-loss_per_row / n_tok).cpu().numpy()
+        return probs.tolist()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls, wids, nwins, qa_ids, questions, inputs = build_t5_inputs(
+            batch, self.plan, self.use_sentence_id
+        )
+        preds = self._generate(inputs)
+        probs = self._compute_probs(inputs, preds)
+        return pa.table(
+            {
+                "url": urls,
+                "window_id": wids,
+                "n_windows": nwins,
+                "qa_id": qa_ids,
+                "question": questions,
+                "prediction": preds,
+                "prob": probs,
+            },
+            schema=PREDICTIONS_SCHEMA,
         )
 
 

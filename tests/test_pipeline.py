@@ -238,3 +238,39 @@ def test_ground_truth_table_shape():
     t = ground_truth_table(10)
     assert t.num_rows == 10 * 18
     assert set(t.column_names) == {"url", "qa_id", "value"}
+
+
+def test_build_t5_inputs_cross_product(ray_session):
+    """The production scorer's input assembly (pure, torch-free)."""
+    import pyarrow as pa
+
+    from information_extraction_t5_ray.stages.score import (
+        T5Scorer,
+        _QAPlan,
+        build_t5_inputs,
+    )
+    from information_extraction_t5_ray.registry import QuestionRegistry
+
+    plan = _QAPlan(QuestionRegistry.default())
+    batch = pa.table(
+        {
+            "url": ["u1", "u1"],
+            "window_id": [0, 1],
+            "n_windows": [2, 2],
+            "context": ["linha um\nlinha dois", "linha dois\nlinha tres"],
+        }
+    )
+    urls, wids, nwins, qa_ids, questions, inputs = build_t5_inputs(
+        batch, plan, use_sentence_id=True
+    )
+    n = len(plan.all_qa_ids)
+    assert len(inputs) == 2 * n
+    assert set(qa_ids) == set(plan.all_qa_ids)
+    assert inputs[0].startswith("question: ")
+    assert " context:  [SENT1] " in inputs[0]  # sentence-id mode
+    # torch absent here: the production scorer must fail loudly with the
+    # actionable message, not at first batch
+    import pytest
+
+    with pytest.raises(ImportError, match="MockT5Scorer"):
+        T5Scorer()
