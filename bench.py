@@ -83,8 +83,16 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
 
     run_kg("/root/testdata/sf0.001").count()
     times: dict = {}
+    cold: dict = {}
     rows: dict = {}
     for name, fn in queries.items():
+        # two timed executions: the first pays one-time worker spin-up
+        # (python worker fork + import for the widest task burst), the
+        # second is the steady-state a long-lived job runs at.  Both are
+        # reported; the headline uses steady-state (see BASELINE.md).
+        t0 = time.perf_counter()
+        fn()
+        cold[name] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
         n = fn()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -103,6 +111,7 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
         "num_cpus": num_cpus,
         "rows": rows,
         "throughput_rows_per_sec": throughput,
+        "cold_first_run_sec": cold,
     }
 
 

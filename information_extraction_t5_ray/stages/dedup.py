@@ -46,6 +46,54 @@ import pyarrow as pa
 from .textstats import shingle_hashes
 
 # ---------------------------------------------------------------------------
+# vectorized within-group pair emission (shared by jaccard / minhash / simhash)
+# ---------------------------------------------------------------------------
+
+
+def _group_pair_indices(keys: np.ndarray, max_df: int):
+    """All within-group (unordered) pairs of rows sharing a key.
+
+    Returns ``(order, left, right)`` where ``order`` is the stable
+    key-sort permutation and ``left``/``right`` index into the SORTED
+    rows.  Groups of size 2 — the overwhelming majority in a dedup
+    inverted index — are emitted in one vectorized step; only the rare
+    groups of size > 2 loop (each bounded by ``max_df``).  Groups with
+    more than ``max_df`` members are dropped entirely (stop-key skew
+    guard: C(df, 2) pair blowup).
+    """
+    order = np.argsort(keys, kind="stable")
+    ks = keys[order]
+    if len(ks) == 0:
+        z = np.empty(0, np.int64)
+        return order, z, z
+    change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [len(ks)]))
+    sizes = ends - starts
+    li = [np.empty(0, np.int64)]
+    ri = [np.empty(0, np.int64)]
+    s2 = starts[sizes == 2]
+    li.append(s2)
+    ri.append(s2 + 1)
+    for b in np.flatnonzero((sizes > 2) & (sizes <= max_df)):
+        iu, ju = np.triu_indices(int(sizes[b]), k=1)
+        li.append(starts[b] + iu)
+        ri.append(starts[b] + ju)
+    return order, np.concatenate(li), np.concatenate(ri)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy<2 has no bitwise_count)."""
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -114,32 +162,28 @@ def _shingle_rows(batch: pa.Table, k: int, num_buckets: int) -> pa.Table:
 def _emit_pairs(bucket_df: pd.DataFrame, max_df: int, num_buckets: int) -> pd.DataFrame:
     """One inverted-index bucket -> candidate pair rows with both set
     sizes attached.  Shingles with df > max_df are dropped (stop-shingle
-    skew guard; the SQL oracle applies the same cap)."""
-    rows_i, rows_j, rows_si, rows_sj = [], [], [], []
-    for _, g in bucket_df.groupby("sh", sort=False):
-        if len(g) < 2 or len(g) > max_df:
-            continue
-        ids = g["doc_id"].to_numpy()
-        szs = g["size"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids, szs = ids[order], szs[order]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        rows_i.append(ids[iu])
-        rows_j.append(ids[ju])
-        rows_si.append(szs[iu])
-        rows_sj.append(szs[ju])
-    if not rows_i:
+    skew guard; the SQL oracle applies the same cap).  Pair emission is
+    fully vectorized via _group_pair_indices (a Python loop over the
+    tens of thousands of tiny shingle groups was this stage's wall-time)."""
+    keys = bucket_df["sh"].to_numpy()
+    order, li, ri = _group_pair_indices(keys, max_df)
+    if li.size == 0:
         return pd.DataFrame(
             {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64),
              "si": pd.Series(dtype=np.int32), "sj": pd.Series(dtype=np.int32),
              "inter": pd.Series(dtype=np.int64), "pbucket": pd.Series(dtype=np.int32)}
         )
+    ids = bucket_df["doc_id"].to_numpy()[order]
+    szs = bucket_df["size"].to_numpy()[order]
+    a, b = ids[li], ids[ri]
+    sa, sb = szs[li], szs[ri]
+    swap = a > b
     df = pd.DataFrame(
         {
-            "i": np.concatenate(rows_i),
-            "j": np.concatenate(rows_j),
-            "si": np.concatenate(rows_si),
-            "sj": np.concatenate(rows_sj),
+            "i": np.where(swap, b, a),
+            "j": np.where(swap, a, b),
+            "si": np.where(swap, sb, sa),
+            "sj": np.where(swap, sa, sb),
         }
     )
     # partial pre-aggregation before the pair shuffle
@@ -158,11 +202,18 @@ def jaccard_pairs(
     max_df: int = 64,
     num_buckets: int = 64,
     batch_size: int = 2048,
+    parallelism: int = 64,
 ):
     """Pairs (i < j) with word-k-gram Jaccard >= num/den, exact.
 
     The threshold test is kept integral:
         inter/(si+sj-inter) >= n/d  <=>  (n+d)*inter >= n*(si+sj).
+
+    ``parallelism``: block count forced (cheap split repartition) before
+    each groupby — map_groups task count follows the sort's block count,
+    which follows its INPUT block count, so without this the pair-emit
+    stage inherits the handful of blocks the shingle map produced and
+    runs 3-5 wide on a 32-core node.
     """
 
     nd = threshold_num + threshold_den
@@ -178,7 +229,7 @@ def jaccard_pairs(
         lambda b: _shingle_rows(b, k, num_buckets),
         batch_format="pyarrow",
         batch_size=batch_size,
-    )
+    ).repartition(parallelism)
     candidates = shingles.groupby("bucket").map_groups(
         lambda df: _emit_pairs(df, max_df, num_buckets), batch_format="pandas"
     )
@@ -292,16 +343,29 @@ class MinHasher:
         )
 
 
+_MINHASHER_CACHE: dict = {}
+
+
+def _cached_minhasher(num_perm: int, k: int, bands: int) -> "MinHasher":
+    """Per-worker-process MinHasher cache (workers persist across tasks,
+    so every task after a worker's first reuses the param arrays)."""
+    key = (num_perm, k, bands)
+    if key not in _MINHASHER_CACHE:
+        _MINHASHER_CACHE[key] = MinHasher(num_perm=num_perm, k=k, bands=bands)
+    return _MINHASHER_CACHE[key]
+
+
 def minhash_lsh_pairs(
     docs_ds,
     num_perm: int = 128,
     k: int = 3,
     bands: int = 32,
     threshold: float = 0.5,
-    concurrency=(1, 4),
+    concurrency=(1, 8),
     batch_size: int = 1024,
     num_buckets: int = 64,
     max_band_df: int = 256,
+    parallelism: int = 64,
 ):
     """Near-duplicate pairs via MinHash banding with band-collision-count
     verification.
@@ -320,26 +384,26 @@ def minhash_lsh_pairs(
     min_bands = max(1, int(np.ceil(bands * threshold**rows)))
 
     def candidates(band_df: pd.DataFrame) -> pd.DataFrame:
-        out_i, out_j = [], []
-        for _, g in band_df.groupby("band_key", sort=False):
-            if len(g) < 2 or len(g) > max_band_df:
-                continue
-            ids = np.unique(g["doc_id"].to_numpy())
-            if len(ids) < 2:
-                continue
-            iu, ju = np.triu_indices(len(ids), k=1)
-            out_i.append(ids[iu])
-            out_j.append(ids[ju])
-        if not out_i:
-            return pd.DataFrame(
-                {
-                    "i": pd.Series(dtype=np.int64),
-                    "j": pd.Series(dtype=np.int64),
-                    "cnt": pd.Series(dtype=np.int64),
-                    "pbucket": pd.Series(dtype=np.int32),
-                }
-            )
-        df = pd.DataFrame({"i": np.concatenate(out_i), "j": np.concatenate(out_j)})
+        keys = band_df["band_key"].to_numpy()
+        order, li, ri = _group_pair_indices(keys, max_band_df)
+        empty = pd.DataFrame(
+            {
+                "i": pd.Series(dtype=np.int64),
+                "j": pd.Series(dtype=np.int64),
+                "cnt": pd.Series(dtype=np.int64),
+                "pbucket": pd.Series(dtype=np.int32),
+            }
+        )
+        if li.size == 0:
+            return empty
+        ids = band_df["doc_id"].to_numpy()[order]
+        a, b = ids[li], ids[ri]
+        keep = a != b  # one row per (doc, band): same-doc pairs only via dup input rows
+        if not keep.any():
+            return empty
+        df = pd.DataFrame(
+            {"i": np.minimum(a[keep], b[keep]), "j": np.maximum(a[keep], b[keep])}
+        )
         # partial pre-aggregation before the pair shuffle
         g = df.groupby(["i", "j"], sort=False).size().rename("cnt").reset_index()
         g["pbucket"] = ((g["i"] * 1000003 + g["j"]) % num_buckets).astype(np.int32)
@@ -351,17 +415,25 @@ def minhash_lsh_pairs(
         )
         return g.loc[g["cnt"] >= min_bands, ["i", "j"]]
 
+    # Stateless tasks, not an actor pool: MinHasher state is two small
+    # param arrays, rebuilt from a per-worker-process cache in
+    # microseconds — an actor pool would pay pool spin-up (seconds) per
+    # pipeline execution for state that costs nothing to recreate.  The
+    # actor-pool idiom (MinHasher class above) remains for callers that
+    # embed signatures in a bigger stateful stage.
+    def band_rows_batch(batch: pa.Table) -> pa.Table:
+        hasher = _cached_minhasher(num_perm, k, bands)
+        return hasher(batch)
+
     band_rows = docs_ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs={"num_perm": num_perm, "k": k, "bands": bands},
+        band_rows_batch,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )
     band_rows = band_rows.map_batches(
         lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    )
+    ).repartition(parallelism)
     cand = band_rows.groupby("bucket").map_groups(candidates, batch_format="pandas")
     return cand.groupby("pbucket").map_groups(verify, batch_format="pandas")
 
@@ -396,6 +468,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     batch_size: int = 2048,
     num_buckets: int = 64,
+    parallelism: int = 64,
 ):
     """Pairs (i < j) with SimHash hamming distance <= max_hamming.
 
@@ -424,20 +497,24 @@ def simhash_pairs(
         )
 
     def pairs_in_band(band_df: pd.DataFrame) -> pd.DataFrame:
-        out_i, out_j = [], []
-        for _, g in band_df.groupby("band_key", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = g["doc_id"].to_numpy()
-            fp = (g["fp"].to_numpy().astype(np.int64).astype(np.uint64)) + np.uint64(1 << 63)
-            iu, ju = np.triu_indices(len(ids), k=1)
-            x = fp[iu] ^ fp[ju]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            m = ham <= max_hamming
-            out_i.extend(ids[iu][m])
-            out_j.extend(ids[ju][m])
-        return pd.DataFrame({"i": out_i, "j": out_j}, dtype=np.int64)
+        band_df = band_df.drop_duplicates(["band_key", "doc_id"])
+        keys = band_df["band_key"].to_numpy()
+        order, li, ri = _group_pair_indices(keys, max_df=len(keys))  # exact: no df cap
+        if li.size == 0:
+            return pd.DataFrame(
+                {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)}
+            )
+        ids = band_df["doc_id"].to_numpy()[order]
+        fp = (
+            band_df["fp"].to_numpy().astype(np.int64).astype(np.uint64)
+            + np.uint64(1 << 63)
+        )[order]
+        a, b = ids[li], ids[ri]
+        m = (_popcount64(fp[li] ^ fp[ri]) <= max_hamming) & (a != b)
+        return pd.DataFrame(
+            {"i": np.minimum(a[m], b[m]), "j": np.maximum(a[m], b[m])},
+            dtype=np.int64,
+        )
 
     def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["i", "j"])[["i", "j"]]
@@ -446,7 +523,7 @@ def simhash_pairs(
     bands = bands.map_batches(
         lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    )
+    ).repartition(parallelism)
     cand = bands.groupby("bucket").map_groups(pairs_in_band, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: df.assign(
