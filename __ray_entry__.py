@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dupes_lsh": c.q_embedding_dupes_lsh,  # rows-only
         # similarity search
         "ann_topk": c.q_ann_topk,
+        "ann_topk_ivf": c.q_ann_topk_ivf,  # nprobe=all -> oracle-exact
         # text analysis
         "doc_stats": c.q_doc_stats,
         "lang_id": c.q_lang_id,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_dupes": oc.jaccard_dupes_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),
+        "ann_topk_ivf": oc.ann_topk_sql(),
         "doc_stats": oc.doc_stats_sql(),
         "lang_id": oc.lang_id_sql(),
         "fingerprint": oc.fingerprint_sql(),

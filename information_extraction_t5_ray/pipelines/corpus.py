@@ -164,6 +164,19 @@ def q_ann_topk(sf_dir: str):
     return sim_ops.ann_topk(cands, ids, mat, k=ANN_K)
 
 
+def q_ann_topk_ivf(sf_dir: str):
+    """IVF-Flat scale path; with nprobe == n_clusters the result equals
+    q_ann_topk exactly, so it shares the brute-force DuckDB oracle."""
+    ids, mat = _query_vectors(sf_dir)
+    cands = _read_embeddings(sf_dir).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], ANN_NUM_QUERIES)),
+        batch_format="pyarrow",
+    )
+    return sim_ops.ann_topk_ivf(
+        cands, ids, mat, k=ANN_K, n_clusters=16, nprobe=16
+    )
+
+
 def q_embedding_dupes(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -440,5 +453,6 @@ def bench_queries(sf_dir: str):
         "jaccard_dupes": lambda: q_jaccard_dupes(sf_dir).count(),
         "doc_stats": lambda: q_doc_stats(sf_dir).count(),
         "ann_topk": lambda: q_ann_topk(sf_dir).count(),
+        "ann_topk_ivf": lambda: q_ann_topk_ivf(sf_dir).count(),
         "embedding_dupes": lambda: q_embedding_dupes(sf_dir).count(),
     }

@@ -104,6 +104,145 @@ def ann_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF-Flat cosine top-k (the scale path for search)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_lite(
+    sample: np.ndarray, n_clusters: int, n_iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample.
+
+    Lloyd iterations over NORMALIZED vectors with cosine (=dot)
+    assignment; empty clusters re-seeded from the worst-assigned points.
+    The sample is small (<= a few 10^4 rows) — training is a driver-side
+    numpy job; only the (C, d) centroid matrix is broadcast.
+    """
+    rng = np.random.RandomState(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    n = len(x)
+    k = min(n_clusters, n)
+    cent = x[rng.choice(n, size=k, replace=False)]
+    for _ in range(n_iters):
+        sims = x @ cent.T  # (n, k)
+        assign = np.argmax(sims, axis=1)
+        best = sims[np.arange(n), assign]
+        new = np.zeros_like(cent)
+        np.add.at(new, assign, x)
+        counts = np.bincount(assign, minlength=k)
+        empty = counts == 0
+        if empty.any():
+            # re-seed empties on the points farthest from their centroid
+            worst = np.argsort(best)[: int(empty.sum())]
+            new[empty] = x[worst]
+            counts[empty] = 1
+        cent = _normalize(new / counts[:, None])
+    return cent
+
+
+def ann_topk_ivf(
+    embeddings_ds,
+    query_ids: np.ndarray,
+    query_matrix: np.ndarray,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    train_sample: int = 20000,
+    num_buckets: int = 16,
+    batch_size: int = 4096,
+    seed: int = 42,
+):
+    """IVF-Flat approximate top-k: candidates are scored only against the
+    queries whose ``nprobe`` nearest centroids include the candidate's
+    cluster.
+
+    Scale shape: centroids train on a bounded driver-side sample
+    (``limit(train_sample)`` streams just that prefix), the (C, d)
+    centroid matrix + per-cluster query lists broadcast ONCE via
+    ``ray.put``, and each data batch does one (B, C) assignment matmul
+    plus per-present-cluster partial matmuls — expected query-side work
+    is ``nprobe / n_clusters`` of brute force, and the corpus is never
+    shuffled.  With ``nprobe == n_clusters`` results equal ``ann_topk``
+    exactly (tested); recall at lower nprobe is the usual IVF tradeoff.
+    Same output contract as ``ann_topk``: (query_id, rank, neighbor_id),
+    rank 1-based, ties by ascending neighbor_id.
+    """
+    import ray
+
+    sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
+    sample = np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64)
+    cent = _kmeans_lite(sample, n_clusters, seed=seed)
+    C = len(cent)
+    nprobe = min(nprobe, C)
+
+    qn = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qc = qn @ cent.T  # (Q, C)
+    probe = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]  # (Q, nprobe)
+    # cluster -> indices of queries probing it (driver-side inverse map)
+    cluster_queries = [np.flatnonzero((probe == c).any(axis=1)) for c in range(C)]
+
+    cent_ref = ray.put(cent)
+    qn_ref = ray.put(qn)
+    qid_ref = ray.put(qids)
+    cq_ref = ray.put(cluster_queries)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        cent_m = ray.get(cent_ref)
+        qn_m = ray.get(qn_ref)
+        qids_m = ray.get(qid_ref)
+        cq = ray.get(cq_ref)
+        cand = _normalize(_mat(batch["embedding"]))
+        cand_ids = batch["vec_id"].to_numpy()
+        assign = np.argmax(cand @ cent_m.T, axis=1)  # (B,)
+        out_q, out_n, out_s = [], [], []
+        for c in np.unique(assign):
+            q_idx = cq[c]
+            if len(q_idx) == 0:
+                continue
+            rows = np.flatnonzero(assign == c)
+            sims = qn_m[q_idx] @ cand[rows].T  # (q, b)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for qi in range(sims.shape[0]):
+                sel = idx[qi]
+                out_q.append(np.full(len(sel), qids_m[q_idx[qi]], dtype=np.int64))
+                out_n.append(cand_ids[rows[sel]])
+                out_s.append(sims[qi, sel])
+        if not out_q:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "neighbor_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64),
+                 "bucket": pd.Series(dtype=np.int32)}
+            )
+        df = pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s),
+            }
+        )
+        df["bucket"] = (df["query_id"] % num_buckets).astype(np.int32)
+        return df
+
+    def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        bucket_df = bucket_df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        top = bucket_df.groupby("query_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+        return top[["query_id", "rank", "neighbor_id"]].astype(np.int64)
+
+    partials = embeddings_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 

@@ -115,3 +115,50 @@ def test_simhash_near_for_similar_far_for_different():
     assert h(t1, t1) == 0
     assert h(t1, t2) <= 12
     assert h(t1, t3) > 12
+
+
+def test_ann_topk_ivf_exact_at_full_probe(ray_session):
+    """nprobe == n_clusters scores every (query, candidate) pair once —
+    result must equal brute-force ann_topk row for row."""
+    bf = c.q_ann_topk(SF).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    ivf = c.q_ann_topk_ivf(SF).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+    assert bf.equals(ivf)
+
+
+def test_ann_topk_ivf_pruned_recall(ray_session):
+    """Real IVF operation (nprobe < n_clusters): bounded work, high
+    recall@k vs brute force on the clustered synthetic embeddings."""
+    from information_extraction_t5_ray.stages import similarity as sim
+    import pyarrow.compute as pc
+
+    ids, mat = c._query_vectors(SF)
+    cands = c._read_embeddings(SF).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["vec_id"], c.ANN_NUM_QUERIES)),
+        batch_format="pyarrow",
+    )
+    bf = c.q_ann_topk(SF).to_pandas()
+    # the synthetic embeddings are near-isotropic — the WORST case for
+    # IVF pruning (no cluster structure to exploit), so this bounds
+    # recall from below; clustered real corpora do better at lower nprobe
+    ivf = sim.ann_topk_ivf(
+        cands, ids, mat, k=c.ANN_K, n_clusters=8, nprobe=6
+    ).to_pandas()
+    truth = set(zip(bf["query_id"], bf["neighbor_id"]))
+    got = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.85, f"ivf recall {recall:.3f}"
+
+
+def test_kmeans_lite_deterministic_and_covering():
+    rng = np.random.RandomState(0)
+    x = rng.randn(500, 16)
+    from information_extraction_t5_ray.stages.similarity import _kmeans_lite
+
+    c1 = _kmeans_lite(x, 8)
+    c2 = _kmeans_lite(x, 8)
+    assert np.array_equal(c1, c2), "same seed must give identical centroids"
+    assert c1.shape == (8, 16)
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.allclose(norms, 1.0), "spherical k-means centroids are unit-norm"
