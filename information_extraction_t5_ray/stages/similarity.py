@@ -34,8 +34,23 @@ import pyarrow as pa
 
 
 def _mat(batch_col) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (one copy)."""
+    """list<float> column -> (n, d) float64 matrix.
+
+    Rectangular list arrays flatten zero-copy (values buffer -> numpy)
+    and reshape; only ragged input falls back to the python-object path.
+    """
     arr = batch_col.combine_chunks() if hasattr(batch_col, "combine_chunks") else batch_col
+    try:
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and (widths == widths[0]).all():
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), int(widths[0])).astype(np.float64, copy=False)
+    except AttributeError:  # FixedSizeListArray or non-list input
+        values = getattr(arr, "values", None)
+        if values is not None and hasattr(arr.type, "list_size"):
+            flat = values.to_numpy(zero_copy_only=False)
+            return flat.reshape(len(arr), arr.type.list_size).astype(np.float64, copy=False)
     return np.asarray(arr.to_pylist(), dtype=np.float64)
 
 
@@ -321,20 +336,25 @@ def rp_lsh_dup_pairs(
             )
 
     def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out_i, out_j = [], []
-        for _, g in df.groupby("bkey", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates("vec_id").sort_values("vec_id")
-            ids = g["vec_id"].to_numpy()
-            v = np.asarray(g["vec"].tolist(), dtype=np.float64)
-            sims = v @ v.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            m = sims[iu, ju] >= threshold
-            out_i.extend(ids[iu][m])
-            out_j.extend(ids[ju][m])
-    # noqa: the group loop is over *buckets*, not rows — bounded fan-in
-        return pd.DataFrame({"i": out_i, "j": out_j}, dtype=np.int64)
+        from .dedup import _group_pair_indices
+
+        df = df.drop_duplicates(["bkey", "vec_id"])
+        keys = df["bkey"].to_numpy()
+        order, li, ri = _group_pair_indices(keys, max_df=len(keys))
+        if li.size == 0:
+            return pd.DataFrame(
+                {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)}
+            )
+        ids = df["vec_id"].to_numpy()[order]
+        v = np.asarray(df["vec"].tolist(), dtype=np.float64)[order]
+        # exact cosine per candidate pair (vectors are pre-normalized)
+        sims = np.einsum("ij,ij->i", v[li], v[ri])
+        a, b = ids[li], ids[ri]
+        m = (sims >= threshold) & (a != b)
+        return pd.DataFrame(
+            {"i": np.minimum(a[m], b[m]), "j": np.maximum(a[m], b[m])},
+            dtype=np.int64,
+        )
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["i", "j"])[["i", "j"]]
@@ -345,7 +365,7 @@ def rp_lsh_dup_pairs(
     h = h.map_batches(
         lambda df: df.assign(bucket=(df["bkey"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    )
+    ).repartition(num_buckets)
     cand = h.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: df.assign(
