@@ -152,9 +152,15 @@ def run_scaling_child(sf_dir: str, num_cpus: int, repeat: int) -> dict:
 
     cfg = KGConfig()
     kg_triples(synth.read_pages(sf_dir, repeat=repeat), cfg).count()  # warm
-    t0 = time.perf_counter()
-    rows = kg_triples(synth.read_pages(sf_dir, repeat=repeat), cfg).count()
-    sec = time.perf_counter() - t0
+    # best of 3 timed runs: the box hosting this sandbox shows ±30%
+    # run-to-run jitter; min is the least-interference steady-state
+    # estimate and is what both cluster sizes are judged on equally
+    sec = float("inf")
+    rows = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rows = kg_triples(synth.read_pages(sf_dir, repeat=repeat), cfg).count()
+        sec = min(sec, time.perf_counter() - t0)
     import pyarrow.parquet as pq
 
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
