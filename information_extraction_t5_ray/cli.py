@@ -1,0 +1,175 @@
+"""Command-line entry points mirroring the reference's user workflow.
+
+The reference is driven as::
+
+    python information_extraction_t5/data/<converter>.py ...   # raw -> SQuAD
+    python information_extraction_t5/train.py   -c params.yaml
+    python information_extraction_t5/predict.py -c params.yaml
+
+This engine maps the same workflow onto Ray Data pipelines::
+
+    python -m information_extraction_t5_ray convert -c params.yaml --out-dir OUT
+    python -m information_extraction_t5_ray predict --squad-file F --out-dir OUT
+    python -m information_extraction_t5_ray kg --input SF_DIR --output OUT
+    python -m information_extraction_t5_ray train -c params.yaml
+
+``kg`` is the flagship corpus-scale path (Parquet web pages -> canonical
+triples) with optional partition-granular checkpointed resume — at
+cluster scale each invocation is one ``ray job submit`` unit.
+
+The CLI owns the Ray session (init guarded / shutdown on exit); the
+library never calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    return ray
+
+
+def cmd_convert(args) -> int:
+    from .config import convert_from_params
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        paths = convert_from_params(args.config, args.out_dir, repo_root=args.repo_root)
+        print(json.dumps({"written": paths}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_predict(args) -> int:
+    from .pipelines.predict import run_predict
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        registry = None
+        use_fewer_na = True
+        only_mis = True
+        if args.config:
+            from .config import load_params_yaml
+
+            cfg = load_params_yaml(args.config)
+            registry = cfg.kg.registry()
+            use_fewer_na = cfg.kg.use_fewer_na
+            only_mis = cfg.only_misprediction_outputs
+        result = run_predict(
+            args.squad_file,
+            args.out_dir,
+            registry=registry,
+            scorer=args.scorer,
+            checkpoint_dir=args.checkpoint_dir,
+            use_cached_predictions=args.use_cached_predictions,
+            use_fewer_na=use_fewer_na,
+            only_mispredictions=only_mis,
+        )
+        print(json.dumps(result))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_kg(args) -> int:
+    from .pipelines.kg import KGConfig, run_kg, run_kg_sharded
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        cfg = KGConfig()
+        if args.config:
+            from .config import load_params_yaml
+
+            cfg = load_params_yaml(args.config).kg
+        if args.ckpt_dir:
+            triples, skipped = run_kg_sharded(
+                args.input, args.ckpt_dir, cfg=cfg, num_shards=args.shards
+            )
+            n = triples.count()
+            print(json.dumps({"triples": n, "shards_skipped": skipped}))
+        else:
+            triples = run_kg(args.input, out_dir=args.output, cfg=cfg)
+            print(json.dumps({"triples": triples.count(), "output": args.output}))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+def cmd_train(args) -> int:
+    # Training parity is the torch-gated path: the reference fine-tunes
+    # with pytorch-lightning (train.py:20-155); this engine produces the
+    # training data (convert + balance) and consumes checkpoints via
+    # T5Scorer, but does not re-implement the trainer loop.  Fail with
+    # the exact dependency story instead of pretending.
+    try:
+        import torch  # noqa: F401
+    except ImportError:
+        print(
+            "train requires torch+transformers (not present in this "
+            "environment). Produce training data with `convert` (plus "
+            "stages.balance for negative balancing), fine-tune with the "
+            "reference trainer or any HF seq2seq trainer on the SQuAD "
+            "files, then point `predict --scorer t5 --checkpoint-dir` "
+            "at the checkpoint.",
+            file=sys.stderr,
+        )
+        return 2
+    print("torch found — wire your trainer here; see stages/score.py T5Scorer.", file=sys.stderr)
+    return 2
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="information_extraction_t5_ray",
+        description="Ray-Data-native information-extraction engine",
+    )
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="raw annotated JSON -> SQuAD files (reference E1)")
+    c.add_argument("-c", "--config", required=True, help="reference-style params.yaml")
+    c.add_argument("--out-dir", required=True)
+    c.add_argument("--repo-root", default=None, help="base for relative raw_data_file paths")
+    c.set_defaults(fn=cmd_convert)
+
+    pr = sub.add_parser("predict", help="SQuAD file -> predictions + reports (reference predict.py)")
+    pr.add_argument("--squad-file", required=True)
+    pr.add_argument("--out-dir", required=True)
+    pr.add_argument("-c", "--config", default=None)
+    pr.add_argument("--scorer", choices=["mock", "t5"], default="mock")
+    pr.add_argument("--checkpoint-dir", default=None)
+    pr.add_argument("--use-cached-predictions", action="store_true")
+    pr.set_defaults(fn=cmd_predict)
+
+    k = sub.add_parser("kg", help="Parquet pages -> canonical triples (flagship)")
+    k.add_argument("--input", required=True, help="directory with documents.parquet")
+    k.add_argument("--output", default=None, help="triples Parquet output dir")
+    k.add_argument("-c", "--config", default=None)
+    k.add_argument("--ckpt-dir", default=None, help="enable sharded checkpointed resume")
+    k.add_argument("--shards", type=int, default=8)
+    k.set_defaults(fn=cmd_kg)
+
+    t = sub.add_parser("train", help="torch-gated; see convert + T5Scorer")
+    t.add_argument("-c", "--config", default=None)
+    t.set_defaults(fn=cmd_train)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

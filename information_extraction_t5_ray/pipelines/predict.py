@@ -1,0 +1,178 @@
+"""Reference ``predict.py`` as a Ray Data pipeline.
+
+The reference's predict entry point (``/root/reference/information_extraction_t5/predict.py:14-54``
++ ``models/qa_model.py:140-319``) takes the SQuAD-format file produced by
+E1, runs the T5 model over every (window, qa) example, caches raw
+predictions, then post-processes: highest-probability window per
+(document, qa), compound split, EM/F1 metrics by type-name group, and
+the outputs/sheet/metrics report files.
+
+This module re-expresses that as streaming stages:
+
+* windows come from the SQuAD file (driver-side JSON parse — the same
+  unit of work the reference loads in memory; at corpus scale use the
+  Parquet pages path in ``pipelines.kg`` instead),
+* scoring is ``score_stage`` (MockT5Scorer contract or the torch-gated
+  T5Scorer actor pool),
+* the prediction cache is a Parquet directory — ``use_cached_predictions``
+  (predict.py:26-27) re-reads it and re-runs only post-processing,
+* labels attach by broadcast (url, qa_id, window_id) lookup from the
+  same file, so evaluation compares against the window the argmax chose
+  (``features/postprocess.py:249-288`` semantics).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import pyarrow as pa
+
+from ..registry import QuestionRegistry
+from ..stages.evalqa import eval_stage, finalize_eval
+from ..stages.postprocess import best_window_stage, split_stage
+from ..stages.report import (
+    save_metrics_json,
+    save_outputs_report,
+    save_sheets_report,
+)
+from ..stages.score import MockT5Scorer, score_stage
+
+
+def read_squad_windows(path: str):
+    """SQuAD JSON -> distinct window rows (url, window_id, n_windows,
+    context) — the scorer's input contract."""
+    import ray.data as rd
+
+    with open(path) as f:
+        payload = json.load(f)
+    rows = []
+    for doc in payload["data"]:
+        n = len(doc["paragraphs"])
+        for wid, paragraph in enumerate(doc["paragraphs"]):
+            rows.append(
+                {
+                    "url": doc["title"],
+                    "window_id": wid,
+                    "n_windows": n,
+                    "context": paragraph["context"],
+                }
+            )
+    return rd.from_items(rows)
+
+
+def squad_label_map(path: str) -> Dict[Tuple[str, str, int], str]:
+    """(url, qa_id, window_id) -> reference label sentence (answers[0],
+    qa_data.py:43-69 read path)."""
+    out: Dict[Tuple[str, str, int], str] = {}
+    with open(path) as f:
+        payload = json.load(f)
+    for doc in payload["data"]:
+        for wid, paragraph in enumerate(doc["paragraphs"]):
+            for qa in paragraph["qas"]:
+                out[(doc["title"], qa["id"], wid)] = qa["answers"][0]["text"]
+    return out
+
+
+def _attach_file_labels(best_ds, label_map: Dict[Tuple[str, str, int], str]):
+    """Label the argmax row from the broadcast file map; rows whose
+    (url, qa_id) never appears in the file are dropped (the scorer
+    answers every registry qa, the file defines the eval set)."""
+    import ray
+
+    first_labeled: Dict[Tuple[str, str], str] = {}
+    for (u, q, _w), lab in label_map.items():
+        first_labeled.setdefault((u, q), lab)
+    ref = ray.put((label_map, first_labeled))
+
+    def add(batch: pa.Table) -> pa.Table:
+        table, by_qa = ray.get(ref)
+        labels, keep = [], []
+        for u, q, w in zip(
+            batch["url"].to_pylist(),
+            batch["qa_id"].to_pylist(),
+            batch["window_id"].to_pylist(),
+        ):
+            lab = table.get((u, q, w))
+            if lab is None:
+                # argmax picked a window the file lacks for this qa —
+                # fall back to the qa's first labeled window
+                lab = by_qa.get((u, q))
+            keep.append(lab is not None)
+            labels.append(lab if lab is not None else "")
+        out = batch.append_column("label", pa.array(labels, pa.large_string()))
+        return out.filter(pa.array(keep))
+
+    return best_ds.map_batches(add, batch_format="pyarrow")
+
+
+def run_predict(
+    squad_path: str,
+    out_dir: str,
+    registry: Optional[QuestionRegistry] = None,
+    scorer: str = "mock",
+    checkpoint_dir: Optional[str] = None,
+    use_cached_predictions: bool = False,
+    use_fewer_na: bool = True,
+    only_mispredictions: bool = True,
+    group_by: str = "typenames",
+    scorer_kwargs: Optional[dict] = None,
+    concurrency=4,
+) -> dict:
+    """SQuAD file -> reports + metrics dict (reference predict run).
+
+    Returns {"metrics": eval dict, "paths": {artifact: path}}.
+    """
+    import ray.data as rd
+
+    registry = registry or QuestionRegistry.default()
+    os.makedirs(out_dir, exist_ok=True)
+    pred_dir = os.path.join(out_dir, "predictions")
+
+    if use_cached_predictions and os.path.isdir(pred_dir):
+        preds = rd.read_parquet(pred_dir)
+    else:
+        windows = read_squad_windows(squad_path)
+        kwargs = dict(scorer_kwargs or {})
+        kwargs.setdefault("registry", registry)
+        if scorer == "t5":
+            from ..stages.score import T5Scorer
+
+            if checkpoint_dir:
+                kwargs.setdefault("checkpoint_path", checkpoint_dir)
+            preds = score_stage(
+                windows, T5Scorer, scorer_kwargs=kwargs, concurrency=concurrency
+            )
+        else:
+            preds = score_stage(
+                windows, MockT5Scorer, scorer_kwargs=kwargs, concurrency=concurrency
+            )
+        # the reference's prediction cache (predict.py:26-27): raw
+        # predictions persist before any post-processing
+        preds.write_parquet(pred_dir)
+        preds = rd.read_parquet(pred_dir)
+
+    labels = squad_label_map(squad_path)
+    best = best_window_stage(preds, use_fewer_na=use_fewer_na)
+    best = _attach_file_labels(best, labels)
+    answers = split_stage(best, registry.type_to_typename)
+
+    metrics_ds = eval_stage(answers, id_col="example_id", by=group_by)
+    metrics = finalize_eval(metrics_ds.to_pandas())
+
+    paths = {
+        "predictions": pred_dir,
+        "outputs": save_outputs_report(
+            answers,
+            os.path.join(out_dir, "outputs.txt"),
+            only_mispredictions=only_mispredictions,
+        ),
+        "sheets": save_sheets_report(
+            answers, os.path.join(out_dir, "sheet.xlsx")
+        ),
+        "metrics": save_metrics_json(
+            metrics, os.path.join(out_dir, "metrics.json")
+        ),
+    }
+    return {"metrics": metrics, "paths": paths}

@@ -1,0 +1,93 @@
+"""Reference predict.py parity surface: SQuAD file -> prediction cache
+-> postprocess -> reports, plus the CLI parser wiring."""
+
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from information_extraction_t5_ray.cli import build_parser
+from information_extraction_t5_ray.pipelines.predict import (
+    read_squad_windows,
+    run_predict,
+    squad_label_map,
+)
+from information_extraction_t5_ray.pipelines.squad_e1 import run_convert
+
+SAMPLE = "/root/reference/data/raw/sample_train.json"
+
+
+@pytest.fixture(scope="module")
+def squad_file(ray_session, tmp_path_factory):
+    out = tmp_path_factory.mktemp("convert")
+    paths = run_convert(SAMPLE, str(out))
+    return paths["train"]
+
+
+def test_squad_windows_and_labels(ray_session, squad_file):
+    wins = read_squad_windows(squad_file).to_pandas()
+    assert set(wins.columns) == {"url", "window_id", "n_windows", "context"}
+    # every url's n_windows equals its distinct window count
+    g = wins.groupby("url").agg(n=("window_id", "nunique"), nw=("n_windows", "first"))
+    assert (g["n"] == g["nw"]).all()
+    labels = squad_label_map(squad_file)
+    assert labels, "sample corpus produces labeled examples"
+    # label keys reference real windows
+    keys = set(zip(wins["url"], wins["window_id"]))
+    assert {(u, w) for (u, _q, w) in labels} <= keys
+
+
+def test_run_predict_end_to_end(ray_session, squad_file, tmp_path):
+    res = run_predict(squad_file, str(tmp_path / "out"))
+    m = res["metrics"]
+    assert "all" in m and set(m["all"]) == {"exact", "f1", "total"}
+    assert m["all"]["total"] > 0
+    for artifact in ("predictions", "outputs", "sheets", "metrics"):
+        assert Path(res["paths"][artifact]).exists(), artifact
+    saved = json.loads(Path(res["paths"]["metrics"]).read_text())
+    assert saved["all"]["total"] == m["all"]["total"]
+
+
+def test_run_predict_cached_reuses_predictions(ray_session, squad_file, tmp_path):
+    out = str(tmp_path / "out")
+    first = run_predict(squad_file, out)
+    pred_dir = Path(first["paths"]["predictions"])
+    stamp = {p.name: p.stat().st_mtime for p in pred_dir.iterdir()}
+    second = run_predict(squad_file, out, use_cached_predictions=True)
+    stamp2 = {p.name: p.stat().st_mtime for p in pred_dir.iterdir()}
+    assert stamp == stamp2, "cached run must not rewrite the prediction cache"
+    assert first["metrics"] == second["metrics"]
+
+
+def test_cli_parser_covers_reference_workflow():
+    p = build_parser()
+    a = p.parse_args(
+        ["convert", "-c", "params.yaml", "--out-dir", "/tmp/x"]
+    )
+    assert a.cmd == "convert"
+    a = p.parse_args(
+        ["predict", "--squad-file", "f.json", "--out-dir", "/tmp/x",
+         "--scorer", "t5", "--checkpoint-dir", "ckpts", "--use-cached-predictions"]
+    )
+    assert a.scorer == "t5" and a.use_cached_predictions
+    a = p.parse_args(["kg", "--input", "sf", "--ckpt-dir", "c", "--shards", "4"])
+    assert a.shards == 4
+    a = p.parse_args(["train"])
+    assert a.cmd == "train"
+
+
+def test_train_gated_without_torch(capsys):
+    from information_extraction_t5_ray.cli import cmd_train
+
+    try:
+        import torch  # noqa: F401
+
+        pytest.skip("torch present; gate test targets torch-less env")
+    except ImportError:
+        pass
+    rc = cmd_train(build_parser().parse_args(["train"]))
+    assert rc == 2
+    assert "torch" in capsys.readouterr().err
