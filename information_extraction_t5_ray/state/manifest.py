@@ -71,17 +71,36 @@ def load_manifest(out_dir: str) -> Optional[dict]:
     return m
 
 
-def write_manifest(out_dir: str, stage: str, fp: str, schema_str: str) -> dict:
+def write_manifest(
+    out_dir: str,
+    stage: str,
+    fp: str,
+    schema_str: str,
+    wall_sec: Optional[float] = None,
+) -> dict:
+    import time
+
     out = Path(out_dir)
     files = _scan_partitions(out)
+    n_rows = sum(e["rows"] for e in files)
     manifest = {
         "format_version": FORMAT_VERSION,
         "stage": stage,
         "fingerprint": fp,
         "schema": schema_str,
         "num_files": len(files),
-        "num_rows": sum(e["rows"] for e in files),
+        "num_rows": n_rows,
         "files": files,
+        # runtime metrics: what the partition cost to produce, so a
+        # resume report can show where a failed run spent its time
+        "metrics": {
+            "wall_sec": round(wall_sec, 3) if wall_sec is not None else None,
+            "rows_per_sec": (
+                round(n_rows / wall_sec, 1) if wall_sec else None
+            ),
+            "bytes": sum(e["bytes"] for e in files),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        },
     }
     fd, tmp = tempfile.mkstemp(dir=str(out), suffix=".manifest.tmp")
     with os.fdopen(fd, "w") as f:
@@ -121,15 +140,19 @@ def checkpointed(
         shutil.rmtree(out)
     out.mkdir(parents=True, exist_ok=True)
 
+    import time
+
+    t0 = time.perf_counter()
     ds = ds_factory()
     if partition_col is not None:
         ds.write_parquet(str(out), partition_cols=[partition_col])
     else:
         ds.write_parquet(str(out))
+    wall = time.perf_counter() - t0
     schema_str = ""
     try:
         schema_str = str(rd.read_parquet(str(out)).schema())
     except Exception:
         pass
-    write_manifest(out_dir, stage, fp, schema_str)
+    write_manifest(out_dir, stage, fp, schema_str, wall_sec=wall)
     return rd.read_parquet(str(out)), False

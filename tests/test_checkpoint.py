@@ -53,6 +53,11 @@ def test_cold_run_writes_manifests(cold_run):
 
         for e in m["files"]:
             assert pq.read_metadata(ckpt / stage / e["file"]).num_rows == e["rows"]
+        # runtime metrics ride with the lineage (resume reports show
+        # where a failed run spent its time)
+        assert m["metrics"]["wall_sec"] is not None and m["metrics"]["wall_sec"] > 0
+        assert m["metrics"]["rows_per_sec"] > 0
+        assert m["metrics"]["bytes"] == sum(e["bytes"] for e in m["files"])
     # triples stage is partitioned by partition_id (resumable output layout)
     parts = {p.name for p in (ckpt / "triples").iterdir() if p.is_dir()}
     assert any(p.startswith("partition_id=") for p in parts)
