@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": c.q_exact_dedup,
         "jaccard_dupes": c.q_jaccard_dupes,
+        "dedup_apply": c.q_dedup_apply,  # anti-join keep-first consumer
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
         "embedding_dupes": c.q_embedding_dupes,
@@ -147,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_by_qaid": oracle_eval_by_qaid_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_dupes": oc.jaccard_dupes_sql(),
+        "dedup_apply": oc.dedup_apply_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),
         "ann_topk_ivf": oc.ann_topk_sql(),

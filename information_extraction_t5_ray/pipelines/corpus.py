@@ -117,6 +117,16 @@ def q_jaccard_dupes(sf_dir: str):
     )
 
 
+def q_dedup_apply(sf_dir: str):
+    """Corpus-level keep-first dedup: the exact-Jaccard pairs drive a
+    distributed left-anti hash join; the kept doc_ids come back."""
+    pairs = dedup_ops.jaccard_pairs(
+        dup_corpus(sf_dir), k=JACCARD_K, max_df=JACCARD_MAX_DF
+    )
+    kept = dedup_ops.apply_dedup(dup_corpus(sf_dir), pairs, num_partitions=16)
+    return kept.select_columns(["doc_id"])
+
+
 def q_minhash_dupes(sf_dir: str):
     return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
 

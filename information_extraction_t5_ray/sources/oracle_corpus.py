@@ -222,3 +222,12 @@ def hash_split_sql() -> str:
   CASE WHEN ((doc_id * 1103515245 + 12345) % 2147483648) % 10 < 8
        THEN 'train' ELSE 'test' END AS split
 FROM documents"""
+
+
+def dedup_apply_sql() -> str:
+    """Keep-first dedup oracle: corpus minus every doc appearing as the
+    larger member of an exact-Jaccard duplicate pair."""
+    return f"""WITH {DUP_CORPUS_CTE},
+dropset AS (SELECT DISTINCT j FROM ({jaccard_dupes_sql()}))
+SELECT c.doc_id FROM corpus c
+WHERE c.doc_id NOT IN (SELECT j FROM dropset)"""

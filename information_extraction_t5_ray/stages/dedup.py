@@ -28,6 +28,16 @@ mitigation are the design):
                            ride along with the band rows — no broadcast,
                            no second join).
 
+* apply_dedup            — pairs -> kept corpus (keep-first) via a
+                           distributed LEFT ANTI hash join.
+
+Cap sensitivity (measured): on a duplicate-heavy corpus the fixed
+``max_df`` stop-shingle cap is the exact path's failure mode — at 16x
+corpus duplication EVERY shingle's df exceeds 64 and jaccard_pairs
+returns zero pairs, while minhash_lsh_pairs (band df cap 256, collision
+counting) recovers every group.  Exact Jaccard is the verification tool
+for moderate-duplication corpora; MinHash is the web-scale default.
+
 Semantics model the reference's dedup moves (first-occurrence keep:
 ``/root/reference/information_extraction_t5/features/postprocess.py:277-284``
 grouped head(1); key-set dedup ``:196-199``) lifted to corpus scale.
@@ -534,3 +544,38 @@ def simhash_pairs(
         batch_format="pandas",
     )
     return cand.groupby("pbucket").map_groups(dedup_pairs, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level dedup consumer (pairs -> kept corpus)
+# ---------------------------------------------------------------------------
+
+
+def apply_dedup(docs_ds, pairs_ds, num_partitions: int = 64, id_col: str = "doc_id"):
+    """Keep-first corpus dedup: drop every doc that appears as the
+    LARGER member ``j`` of any duplicate pair (i < j).
+
+    The min-id representative of each duplicate group survives.  Exact
+    connected components when every group member collides pairwise
+    (always true for exact copies; true for LSH/banded detectors at
+    high similarity), conservative otherwise — a doc drops only if some
+    pair ties it to a smaller id.
+
+    Scale shape: a distributed LEFT ANTI hash join (Ray's hash-shuffle
+    join operator) — the drop set is NEVER broadcast, both sides
+    co-hash on ``id_col`` across ``num_partitions``.  Pair lists grow
+    quadratically in group size (a 10^6-copy boilerplate page is 5*10^11
+    pairs), so at web scale feed this from a detector with a group-size
+    cap (minhash ``max_band_df`` / jaccard ``max_df``) or from
+    ``exact_dedup`` group representatives rather than raw pairs.
+    """
+
+    def drop_ids(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[["j"]].rename(columns={"j": id_col}).drop_duplicates()
+        )
+
+    drops = pairs_ds.map_batches(drop_ids, batch_format="pandas")
+    return docs_ds.join(
+        drops, "left_anti", num_partitions=num_partitions, on=(id_col,)
+    )
