@@ -33,6 +33,9 @@ import pandas as pd
 import pyarrow as pa
 
 
+_RP_PLANES_CACHE: dict = {}
+
+
 def _mat(batch_col) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix.
 
@@ -308,6 +311,16 @@ def rp_lsh_dup_pairs(
     path.  Recall is probabilistic (tested, not oracle-matched); the
     cosine verify inside the bucket group is exact."""
 
+    def _planes(d: int) -> np.ndarray:
+        """Per-worker-process cache of the hyperplane tensor — cheap to
+        rebuild (seeded randn), so stateless tasks beat an actor pool
+        that would pay pool spin-up on every pipeline execution."""
+        key = (num_tables, bits, seed, d)
+        if key not in _RP_PLANES_CACHE:
+            rng = np.random.RandomState(seed)
+            _RP_PLANES_CACHE[key] = rng.randn(num_tables, bits, d)
+        return _RP_PLANES_CACHE[key]
+
     class Hasher:
         def __init__(self):
             self.G = None  # built lazily from the first batch's dim
@@ -315,9 +328,7 @@ def rp_lsh_dup_pairs(
         def __call__(self, batch: pa.Table) -> pa.Table:
             m = _mat(batch["embedding"])
             if self.G is None:
-                d = dim or m.shape[1]
-                rng = np.random.RandomState(seed)
-                self.G = rng.randn(num_tables, bits, d)
+                self.G = _planes(dim or m.shape[1])
             ids = batch["vec_id"].to_numpy()
             vn = _normalize(m)
             keys, out_ids, vecs = [], [], []
@@ -359,8 +370,9 @@ def rp_lsh_dup_pairs(
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["i", "j"])[["i", "j"]]
 
+    hasher = Hasher()  # stateless tasks; planes rebuilt from cache per worker
     h = embeddings_ds.map_batches(
-        Hasher, batch_format="pyarrow", batch_size=batch_size, concurrency=(1, 4)
+        lambda b: hasher(b), batch_format="pyarrow", batch_size=batch_size
     )
     h = h.map_batches(
         lambda df: df.assign(bucket=(df["bkey"] % num_buckets).astype(np.int32)),
