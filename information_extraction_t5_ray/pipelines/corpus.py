@@ -208,6 +208,90 @@ def q_embedding_dupes_lsh(sf_dir: str):
 # --- relational operator demos over the TPC-H-ish tables -------------------
 
 
+def q_orders_by_nation(sf_dir: str):
+    """Broadcast-join demo: orders (big, streamed) x customer (small,
+    ray.put once) -> per-nation order/customer counts.  The big side
+    never shuffles; only pair-level partials exchange."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.joins import broadcast_hash_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    joined = broadcast_hash_join(
+        orders, cust.rename_columns(["o_custkey", "nationkey"]), on="o_custkey"
+    )
+    num_buckets = 16
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["nationkey", "o_custkey"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["bucket"] = (g["nationkey"] % num_buckets).astype(np.int32)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        # pair partials from different batches first fold to one row per
+        # (nation, customer), then the nation rollup counts customers
+        pairs = (
+            df.groupby(["nationkey", "o_custkey"], sort=False)["n"].sum().reset_index()
+        )
+        g = (
+            pairs.groupby("nationkey", sort=False)
+            .agg(n_orders=("n", "sum"), n_customers=("o_custkey", "size"))
+            .reset_index()
+        )
+        return g.astype({"nationkey": np.int64, "n_orders": np.int64, "n_customers": np.int64})
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
+def q_lineitem_order_join(sf_dir: str):
+    """Large-large hash-join demo: lineitem x orders on orderkey (both
+    sides exchange), then per-priority integral aggregates."""
+    import ray.data as rd
+
+    from ..stages.joins import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                       num_partitions=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(n_items=("l_quantity", "size"), sum_qty=("l_quantity", "sum"))
+            .reset_index()
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("o_orderpriority", sort=False)
+            .agg(n_items=("n_items", "sum"), sum_qty=("sum_qty", "sum"))
+            .reset_index()
+            .rename(columns={"o_orderpriority": "priority"})
+        )
+        g["sum_qty"] = g["sum_qty"].astype(np.int64)
+        g["n_items"] = g["n_items"].astype(np.int64)
+        return g
+
+    partials = joined.map_batches(partial, batch_format="pandas")
+    # priorities are a handful of values — single final fold
+    return partials.repartition(1).map_batches(final, batch_format="pandas")
+
+
 def q_grouped_argmax(sf_dir: str):
     """Per-order argmax lineitem (max l_extendedprice, tie -> lowest
     l_linenumber) — the best-window argmax pattern on a relational

@@ -231,3 +231,19 @@ def dedup_apply_sql() -> str:
 dropset AS (SELECT DISTINCT j FROM ({jaccard_dupes_sql()}))
 SELECT c.doc_id FROM corpus c
 WHERE c.doc_id NOT IN (SELECT j FROM dropset)"""
+
+
+def orders_by_nation_sql() -> str:
+    return """SELECT c.c_nationkey AS nationkey,
+  count(*) AS n_orders,
+  count(DISTINCT o.o_custkey) AS n_customers
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1"""
+
+
+def lineitem_order_join_sql() -> str:
+    return """SELECT o.o_orderpriority AS priority,
+  count(*) AS n_items,
+  CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1"""
