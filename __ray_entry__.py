@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": c.q_media_features,  # rows-only (binary payloads)
         # relational operator demos (reference postprocess/balance/split
         # semantics over the TPC-H-ish tables)
+        "purchase_asof_signup": c.q_purchase_asof_signup,  # as-of join
         "orders_by_nation": c.q_orders_by_nation,  # broadcast hash join
         "lineitem_order_join": c.q_lineitem_order_join,  # large-large hash join
         "grouped_argmax": c.q_grouped_argmax,
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oc.doc_stats_sql(),
         "lang_id": oc.lang_id_sql(),
         "fingerprint": oc.fingerprint_sql(),
+        "purchase_asof_signup": oc.purchase_asof_signup_sql(),
         "orders_by_nation": oc.orders_by_nation_sql(),
         "lineitem_order_join": oc.lineitem_order_join_sql(),
         "grouped_argmax": oc.grouped_argmax_sql(),

@@ -292,6 +292,30 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_purchase_asof_signup(sf_dir: str):
+    """As-of join demo: every purchase event matched to the same user's
+    most recent preceding signup event (DuckDB ASOF JOIN oracle)."""
+    import ray.data as rd
+
+    from ..stages.joins import asof_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").drop_columns(["event_type"])
+    signups = ev.filter(expr="event_type == 'signup'").drop_columns(["event_type"])
+    joined = asof_join(purchases, signups, on="user_id", ts_col="ts", how="inner")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "event_id_r"]].rename(
+            columns={"event_id_r": "signup_event_id"}
+        )
+        return out.astype(np.int64)
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def q_grouped_argmax(sf_dir: str):
     """Per-order argmax lineitem (max l_extendedprice, tie -> lowest
     l_linenumber) — the best-window argmax pattern on a relational

@@ -247,3 +247,10 @@ def lineitem_order_join_sql() -> str:
   CAST(sum(l.l_quantity) AS BIGINT) AS sum_qty
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1"""
+
+
+def purchase_asof_signup_sql() -> str:
+    return """SELECT l.event_id, l.user_id, r.event_id AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""

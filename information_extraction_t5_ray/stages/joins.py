@@ -92,3 +92,104 @@ def hash_join(
         right_on=rkeys,
         right_suffix="_r",
     )
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    on: str,
+    ts_col: str,
+    direction: str = "backward",
+    how: str = "inner",
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """Distributed as-of join: each left row matches the right row with
+    the greatest ``ts_col`` <= its own (direction='backward'; 'forward'
+    = smallest >=) within the same ``on`` key — DuckDB ``ASOF JOIN``
+    semantics (ties on exact-equal right timestamps are resolved to the
+    last row in sorted order; deterministic when (key, ts) is unique on
+    the right, which callers should ensure).
+
+    Ray Data has no native as-of join; the composition is the
+    partitioning insight: both sides co-hash on the KEY (bucketed
+    union), so every key's full left+right history lands in one
+    ``map_groups`` call, where a vectorized ``pandas.merge_asof``
+    (sorted by ts, ``by=key``) does the actual matching.  One exchange
+    of each side, no broadcast, skew-bounded by the hottest single key.
+
+    ``how``: 'inner' drops unmatched left rows; 'left' keeps them with
+    null right columns.  Key and ts must be non-null on both sides.
+    """
+    import zlib
+
+    import numpy as np
+
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, not {direction!r}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, not {how!r}")
+
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    rename = {
+        c: (c + suffix if (c in left_cols and c not in (on, ts_col)) else c)
+        for c in right_schema.names
+        if c not in (on, ts_col)
+    }
+    right_value_cols = [rename[c] for c in rename]
+    all_cols = left_cols + right_value_cols
+
+    def _bucket_of(keys: np.ndarray) -> np.ndarray:
+        if np.issubdtype(keys.dtype, np.integer):
+            return (keys % num_buckets).astype(np.int32)
+        return np.fromiter(
+            (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
+            np.int32,
+            count=len(keys),
+        )
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in right_value_cols:
+            out[c] = None
+        out["_side"] = np.int8(0)
+        out["_bucket"] = _bucket_of(df[on].to_numpy())
+        return out[all_cols + ["_side", "_bucket"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns=rename).copy()
+        for c in left_cols:
+            if c not in out.columns:
+                out[c] = None
+        out["_side"] = np.int8(1)
+        out["_bucket"] = _bucket_of(out[on].to_numpy())
+        return out[all_cols + ["_side", "_bucket"]]
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
+        right_ds.map_batches(tag_right, batch_format="pandas")
+    ).repartition(num_buckets)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        lf = group[group["_side"] == 0][left_cols]
+        rf = group[group["_side"] == 1][[on, ts_col] + right_value_cols]
+        if len(lf) == 0:
+            return pd.DataFrame(columns=all_cols)
+        lf = lf.sort_values(ts_col, kind="stable")
+        if len(rf) == 0:
+            if how == "inner":
+                return pd.DataFrame(columns=all_cols)
+            out = lf.copy()
+            for c in right_value_cols:
+                out[c] = None
+            return out[all_cols]
+        rf = rf.sort_values(ts_col, kind="stable").assign(__matched=True)
+        merged = pd.merge_asof(
+            lf, rf, on=ts_col, by=on, direction=direction
+        )
+        if how == "inner":
+            merged = merged[merged["__matched"].notna()]
+        return merged.drop(columns=["__matched"])[all_cols]
+
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")

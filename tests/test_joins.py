@@ -55,3 +55,57 @@ def test_hash_join_inner_and_anti(ray_session):
     assert (inner["w"] == -inner["k"]).all()
     anti = hash_join(left, right, on="k", how="left_anti", num_partitions=4).to_pandas()
     assert sorted(anti["k"]) == [1, 3, 5, 7, 9]
+
+
+def test_asof_join_backward_inner_and_left(ray_session):
+    import ray.data as rd
+    import datetime as dt
+
+    from information_extraction_t5_ray.stages.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    left = rd.from_items(
+        [
+            {"k": 1, "ts": ts(10), "lv": "a"},
+            {"k": 1, "ts": ts(30), "lv": "b"},
+            {"k": 2, "ts": ts(5), "lv": "c"},   # before any right row
+            {"k": 3, "ts": ts(50), "lv": "d"},  # key with no right rows
+        ]
+    )
+    right = rd.from_items(
+        [
+            {"k": 1, "ts": ts(8), "rv": 100},
+            {"k": 1, "ts": ts(25), "rv": 200},
+            {"k": 2, "ts": ts(40), "rv": 300},
+        ]
+    )
+    inner = asof_join(left, right, on="k", ts_col="ts").to_pandas()
+    got = {(r.k, r.lv): r.rv for r in inner.itertuples()}
+    assert got == {(1, "a"): 100, (1, "b"): 200}
+
+    left_j = asof_join(left, right, on="k", ts_col="ts", how="left").to_pandas()
+    assert len(left_j) == 4
+    unmatched = left_j[left_j["lv"].isin(["c", "d"])]
+    assert unmatched["rv"].isna().all()
+
+
+def test_asof_join_forward(ray_session):
+    import ray.data as rd
+    import datetime as dt
+
+    from information_extraction_t5_ray.stages.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = rd.from_items([{"k": 1, "ts": t0, "lv": 1}])
+    right = rd.from_items(
+        [
+            {"k": 1, "ts": t0 + dt.timedelta(minutes=m), "rv": m}
+            for m in (5, 9)
+        ]
+    )
+    fwd = asof_join(left, right, on="k", ts_col="ts", direction="forward").to_pandas()
+    assert list(fwd["rv"]) == [5]  # smallest right ts >= left ts
