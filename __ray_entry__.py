@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational operator demos (reference postprocess/balance/split
         # semantics over the TPC-H-ish tables)
         "purchase_asof_signup": c.q_purchase_asof_signup,  # as-of join
+        "sessionize": c.q_sessionize,  # gap-based sessionization
         "orders_by_nation": c.q_orders_by_nation,  # broadcast hash join
         "lineitem_order_join": c.q_lineitem_order_join,  # large-large hash join
         "grouped_argmax": c.q_grouped_argmax,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oc.lang_id_sql(),
         "fingerprint": oc.fingerprint_sql(),
         "purchase_asof_signup": oc.purchase_asof_signup_sql(),
+        "sessionize": oc.sessionize_sql(),
         "orders_by_nation": oc.orders_by_nation_sql(),
         "lineitem_order_join": oc.lineitem_order_join_sql(),
         "grouped_argmax": oc.grouped_argmax_sql(),

@@ -292,6 +292,29 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization of the event stream (30-minute gap);
+    output (event_id, user_id, session_id) — oracle via DuckDB window
+    functions."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from ..stages.temporal import sessionize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    out = sessionize(
+        ev, key="user_id", ts_col="ts", gap=dt.timedelta(minutes=30),
+        id_col="event_id",
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "session_id"]].astype(np.int64),
+        batch_format="pandas",
+    )
+
+
 def q_purchase_asof_signup(sf_dir: str):
     """As-of join demo: every purchase event matched to the same user's
     most recent preceding signup event (DuckDB ASOF JOIN oracle)."""

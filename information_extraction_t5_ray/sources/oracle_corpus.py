@@ -254,3 +254,16 @@ def purchase_asof_signup_sql() -> str:
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def sessionize_sql() -> str:
+    return """WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g"""

@@ -1,0 +1,80 @@
+"""Temporal / event-stream operators.
+
+``sessionize`` — gap-based sessionization: events of one key sorted by
+time split into sessions wherever the gap to the previous event exceeds
+``gap``.  The classic clickstream primitive (and the reference's
+window-grouping move — group rows of one document, order, then segment
+— ``features/postprocess.py:249-288`` — generalized to time).
+
+Scale shape: ONE exchange — events co-hash on the key (bucketed
+groupby), each group sorts its own key's history and assigns session
+ids with a vectorized diff/cumsum.  Session ids are deterministic under
+any partitioning: ``(key, session_seq)`` with session_seq numbered in
+(ts, id_col) order within the key.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+
+def sessionize(
+    events_ds,
+    key: str,
+    ts_col: str,
+    gap: _dt.timedelta,
+    id_col: Optional[str] = None,
+    out_col: str = "session_id",
+    num_buckets: int = 64,
+):
+    """Assign ``out_col`` = 0-based session index per ``key``, ordered
+    by (``ts_col``, ``id_col``); a new session starts when the time
+    since the previous event of the same key exceeds ``gap``.
+
+    ``id_col`` breaks timestamp ties deterministically (required when
+    timestamps can repeat within a key).
+    """
+    order_cols = [ts_col] + ([id_col] if id_col else [])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df[key].to_numpy()
+        if np.issubdtype(keys.dtype, np.integer):
+            b = (keys % num_buckets).astype(np.int32)
+        else:
+            import zlib
+
+            b = np.fromiter(
+                (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
+                np.int32,
+                count=len(keys),
+            )
+        return df.assign(_bucket=b)
+
+    gap_ns = np.timedelta64(int(gap.total_seconds() * 1e9), "ns")
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key] + order_cols, kind="stable")
+        ts = g[ts_col].to_numpy(dtype="datetime64[ns]")
+        k = g[key].to_numpy()
+        new_key = np.empty(len(g), dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = k[1:] != k[:-1]
+        brk = np.empty(len(g), dtype=np.int64)
+        brk[0:1] = 0
+        brk[1:] = ((ts[1:] - ts[:-1]) > gap_ns).astype(np.int64)
+        brk[new_key] = 0
+        # cumulative breaks within each key: global cumsum minus the
+        # key's starting offset (vectorized segment reset)
+        c = np.cumsum(brk)
+        starts = np.where(new_key)[0]
+        offset = np.repeat(c[starts], np.diff(np.append(starts, len(g))))
+        out = g.drop(columns=["_bucket"]).copy()
+        out[out_col] = c - offset
+        return out
+
+    tagged = events_ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(assign, batch_format="pandas")

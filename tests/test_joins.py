@@ -109,3 +109,33 @@ def test_asof_join_forward(ray_session):
     )
     fwd = asof_join(left, right, on="k", ts_col="ts", direction="forward").to_pandas()
     assert list(fwd["rv"]) == [5]  # smallest right ts >= left ts
+
+
+def test_sessionize_segments_and_resets(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.temporal import sessionize
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # user 1: 3 sessions (gaps 40, 61); user 65: cumsum reset check —
+    # same bucket as user 1 under num_buckets=64
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": ts(0)},
+        {"event_id": 2, "user_id": 1, "ts": ts(10)},
+        {"event_id": 3, "user_id": 1, "ts": ts(50)},
+        {"event_id": 4, "user_id": 1, "ts": ts(111)},
+        {"event_id": 5, "user_id": 65, "ts": ts(0)},
+        {"event_id": 6, "user_id": 65, "ts": ts(200)},
+    ]
+    out = sessionize(
+        rd.from_items(rows), key="user_id", ts_col="ts",
+        gap=dt.timedelta(minutes=30), id_col="event_id",
+    ).to_pandas()
+    sess = dict(zip(out["event_id"], out["session_id"]))
+    assert sess == {1: 0, 2: 0, 3: 1, 4: 2, 5: 0, 6: 1}
