@@ -292,6 +292,32 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_acctbal_range_join(sf_dir: str):
+    """Range-join demo: customers whose balance falls in a +-50 band
+    around any supplier's balance (value-space binned interval join)."""
+    import ray.data as rd
+
+    from ..stages.joins import range_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda df: df.assign(lo=df["s_acctbal"] - 50.0, hi=df["s_acctbal"] + 50.0),
+        batch_format="pandas",
+    )
+    joined = range_join(
+        cust, supp, left_col="c_acctbal", right_lo="lo", right_hi="hi",
+        bin_width=100.0,
+    )
+    return joined.map_batches(
+        lambda df: df[["c_custkey", "s_suppkey"]].astype(np.int64),
+        batch_format="pandas",
+    )
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization of the event stream (30-minute gap);
     output (event_id, user_id, session_id) — oracle via DuckDB window

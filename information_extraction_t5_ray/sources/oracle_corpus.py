@@ -267,3 +267,9 @@ SELECT event_id, user_id,
   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS UNBOUNDED PRECEDING) AS session_id
 FROM g"""
+
+
+def acctbal_range_join_sql() -> str:
+    return """SELECT c.c_custkey, s.s_suppkey
+FROM customer c JOIN supplier s
+  ON c.c_acctbal BETWEEN s.s_acctbal - 50.0 AND s.s_acctbal + 50.0"""

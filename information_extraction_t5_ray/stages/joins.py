@@ -193,3 +193,99 @@ def asof_join(
         return merged.drop(columns=["__matched"])[all_cols]
 
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+
+
+def range_join(
+    left_ds,
+    right_ds,
+    left_col: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: float,
+    suffix: str = "_r",
+    num_buckets: int = 64,
+):
+    """Distributed interval join: left rows match right rows with
+    ``right_lo <= left_col <= right_hi`` (inner).
+
+    Without an equality key an interval join is a cross product unless
+    the VALUE SPACE is partitioned: the number line splits into bins of
+    ``bin_width``; each right interval replicates to every bin it
+    overlaps, each left row lands in exactly ONE bin (its value's), and
+    the predicate is evaluated inside the bin's group.  Because a match
+    is only detected in the left value's bin, every (left, right) match
+    is emitted exactly once — no dedup pass.  Cost: right replication
+    factor = mean interval span / bin_width (pick bin_width near the
+    typical span); skew guard is the per-bin group size.
+    """
+    import numpy as np
+
+    left_cols = list(left_ds.schema().names)
+    r_names = list(right_ds.schema().names)
+    rename = {c: (c + suffix if c in left_cols else c) for c in r_names}
+    right_cols = [rename[c] for c in r_names]
+    lo_c, hi_c = rename[right_lo], rename[right_hi]
+    all_cols = left_cols + right_cols
+
+    def to_bin(v: np.ndarray) -> np.ndarray:
+        return np.floor(v / bin_width).astype(np.int64)
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in right_cols:
+            out[c] = None
+        b = to_bin(df[left_col].to_numpy(np.float64))
+        out["_bin"] = b
+        out["_side"] = np.int8(0)
+        out["_bucket"] = (b % num_buckets).astype(np.int32)
+        return out[all_cols + ["_bin", "_side", "_bucket"]]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns=rename)
+        lo = to_bin(df[lo_c].to_numpy(np.float64))
+        hi = to_bin(df[hi_c].to_numpy(np.float64))
+        spans = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), spans)
+        bins = np.concatenate(
+            [np.arange(a, b + 1) for a, b in zip(lo, hi)]
+        ) if len(df) else np.empty(0, np.int64)
+        out = df.iloc[idx].copy()
+        for c in left_cols:
+            out[c] = None
+        out["_bin"] = bins
+        out["_side"] = np.int8(1)
+        out["_bucket"] = (bins % num_buckets).astype(np.int32)
+        return out[all_cols + ["_bin", "_side", "_bucket"]]
+
+    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
+        right_ds.map_batches(tag_right, batch_format="pandas")
+    ).repartition(num_buckets)
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in group.groupby("_bin", sort=False):
+            lf = g[g["_side"] == 0]
+            rf = g[g["_side"] == 1]
+            if len(lf) == 0 or len(rf) == 0:
+                continue
+            v = lf[left_col].to_numpy(np.float64)
+            lo = rf[lo_c].to_numpy(np.float64)
+            hi = rf[hi_c].to_numpy(np.float64)
+            li, ri = np.nonzero(
+                (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :])
+            )
+            if len(li) == 0:
+                continue
+            merged = pd.concat(
+                [
+                    lf.iloc[li][left_cols].reset_index(drop=True),
+                    rf.iloc[ri][right_cols].reset_index(drop=True),
+                ],
+                axis=1,
+            )
+            out.append(merged)
+        if not out:
+            return pd.DataFrame(columns=all_cols)
+        return pd.concat(out, ignore_index=True)[all_cols]
+
+    return tagged.groupby("_bucket").map_groups(match, batch_format="pandas")

@@ -139,3 +139,28 @@ def test_sessionize_segments_and_resets(ray_session):
     ).to_pandas()
     sess = dict(zip(out["event_id"], out["session_id"]))
     assert sess == {1: 0, 2: 0, 3: 1, 4: 2, 5: 0, 6: 1}
+
+
+def test_range_join_boundaries_and_replication(ray_session):
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.joins import range_join
+
+    left = rd.from_items(
+        [{"id": i, "v": float(x)} for i, x in enumerate([0.0, 9.9, 10.0, 25.0, 99.0])]
+    )
+    # interval spanning multiple bins + boundary-inclusive endpoints
+    right = rd.from_items(
+        [
+            {"rid": 1, "lo": 0.0, "hi": 10.0},   # spans bins 0-1 (width 7)
+            {"rid": 2, "lo": 25.0, "hi": 25.0},  # degenerate point interval
+            {"rid": 3, "lo": 90.0, "hi": 95.0},  # matches nothing
+        ]
+    )
+    out = range_join(
+        left, right, left_col="v", right_lo="lo", right_hi="hi", bin_width=7.0
+    ).to_pandas()
+    pairs = sorted(zip(out["id"].astype(int), out["rid"].astype(int)))
+    # v=0, 9.9, 10.0 all inside [0,10] inclusive; v=25 matches the point;
+    # each match exactly once despite rid=1 replicating across bins
+    assert pairs == [(0, 1), (1, 1), (2, 1), (3, 2)]
