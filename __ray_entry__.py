@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": c.q_lang_id,
         "fingerprint": c.q_fingerprint,
         "winnow_sketch": c.q_winnow,  # rows-only (list column)
+        "top_bigrams": c.q_top_bigrams,  # vocabulary building
         "media_features": c.q_media_features,  # rows-only (binary payloads)
         # relational operator demos (reference postprocess/balance/split
         # semantics over the TPC-H-ish tables)
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oc.doc_stats_sql(),
         "lang_id": oc.lang_id_sql(),
         "fingerprint": oc.fingerprint_sql(),
+        "top_bigrams": oc.top_bigrams_sql(),
         "purchase_asof_signup": oc.purchase_asof_signup_sql(),
         "sessionize": oc.sessionize_sql(),
         "acctbal_range_join": oc.acctbal_range_join_sql(),

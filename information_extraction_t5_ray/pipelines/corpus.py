@@ -151,6 +151,12 @@ def q_winnow(sf_dir: str):
     return textstats.winnow_stage(_read_docs(sf_dir))
 
 
+def q_top_bigrams(sf_dir: str):
+    """Global top-100 word bigrams (vocabulary building), deterministic
+    tie-break (count desc, ngram asc)."""
+    return textstats.top_ngrams(_read_docs(sf_dir), n=2, k=100)
+
+
 def _query_vectors(sf_dir: str):
     """Driver-side load of the (tiny) query side — the broadcast small
     side of the ANN 'join'."""

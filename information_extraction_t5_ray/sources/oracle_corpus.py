@@ -273,3 +273,18 @@ def acctbal_range_join_sql() -> str:
     return """SELECT c.c_custkey, s.s_suppkey
 FROM customer c JOIN supplier s
   ON c.c_acctbal BETWEEN s.s_acctbal - 50.0 AND s.s_acctbal + 50.0"""
+
+
+def top_bigrams_sql() -> str:
+    return """WITH toks AS (
+  SELECT regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+ng AS (
+  SELECT unnest(list_transform(
+    range(1, greatest(len(w), 1)),
+    i -> w[i] || ' ' || w[i+1]
+  )) AS ngram
+  FROM toks WHERE len(w) >= 2
+)
+SELECT ngram, count(*) AS cnt FROM ng
+GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100"""

@@ -27,6 +27,7 @@ import hashlib
 from typing import List
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -192,3 +193,66 @@ def winnow_stage(docs_ds, k: int = 5, window: int = 8, batch_size: int = 2048):
         batch_format="pyarrow",
         batch_size=batch_size,
     )
+
+
+def top_ngrams(
+    docs_ds,
+    n: int = 2,
+    k: int = 100,
+    num_buckets: int = 64,
+    batch_size: int = 2048,
+):
+    """Global top-k word n-grams by document-stream frequency
+    (vocabulary building — the corpus-statistics primitive behind BPE /
+    stopword / boilerplate analysis).
+
+    Three stages, all narrow until the final k rows:
+    1. per-batch Counter fold -> one (ngram, cnt) row per distinct
+       ngram per batch (the combiner: the shuffle moves vocabulary,
+       not tokens);
+    2. bucketed groupby on hash(ngram) -> exact global counts, each
+       bucket emits only its local top-k (safe: the global top-k is a
+       subset of the union of per-bucket top-ks since each ngram lives
+       in exactly one bucket);
+    3. tiny final fold -> top-k with deterministic ordering
+       (cnt desc, ngram asc — byte-stable under any partitioning).
+    """
+    import zlib
+
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            w = t.split()
+            c.update(
+                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
+            )
+        if not c:
+            return pd.DataFrame({"ngram": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype=np.int64),
+                                 "bucket": pd.Series(dtype=np.int32)})
+        df = pd.DataFrame({"ngram": list(c.keys()), "cnt": list(c.values())})
+        df["bucket"] = df["ngram"].map(
+            lambda s: zlib.crc32(s.encode()) % num_buckets
+        ).astype(np.int32)
+        return df
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
+        g = g.sort_values(["cnt", "ngram"], ascending=[False, True], kind="stable")
+        return g.head(k)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(["cnt", "ngram"], ascending=[False, True], kind="stable")
+        out = g.head(k).reset_index(drop=True)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out[["ngram", "cnt"]]
+
+    partials = docs_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    per_bucket = partials.groupby("bucket").map_groups(
+        bucket_topk, batch_format="pandas"
+    )
+    return per_bucket.repartition(1).map_batches(final_topk, batch_format="pandas")
