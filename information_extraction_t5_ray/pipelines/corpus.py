@@ -628,4 +628,7 @@ def bench_queries(sf_dir: str):
         "ann_topk": lambda: q_ann_topk(sf_dir).count(),
         "ann_topk_ivf": lambda: q_ann_topk_ivf(sf_dir).count(),
         "embedding_dupes": lambda: q_embedding_dupes(sf_dir).count(),
+        "top_bigrams": lambda: q_top_bigrams(sf_dir).count(),
+        "sessionize": lambda: q_sessionize(sf_dir).count(),
+        "asof_join": lambda: q_purchase_asof_signup(sf_dir).count(),
     }
