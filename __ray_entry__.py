@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_asof_signup": c.q_purchase_asof_signup,  # as-of join
         "sessionize": c.q_sessionize,  # gap-based sessionization
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
+        "events_pivot": c.q_events_pivot,  # distributed pivot
         "orders_by_nation": c.q_orders_by_nation,  # broadcast hash join
         "lineitem_order_join": c.q_lineitem_order_join,  # large-large hash join
         "grouped_argmax": c.q_grouped_argmax,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_asof_signup": oc.purchase_asof_signup_sql(),
         "sessionize": oc.sessionize_sql(),
         "acctbal_range_join": oc.acctbal_range_join_sql(),
+        "events_pivot": oc.events_pivot_sql(),
         "orders_by_nation": oc.orders_by_nation_sql(),
         "lineitem_order_join": oc.lineitem_order_join_sql(),
         "grouped_argmax": oc.grouped_argmax_sql(),

@@ -298,6 +298,22 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_events_pivot(sf_dir: str):
+    """Distributed pivot: per-user event-type counts as a wide table
+    (closed category set = the synthesizer's five event types)."""
+    import ray.data as rd
+
+    from ..stages.temporal import pivot_counts
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(
+        ev, key="user_id", pivot_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def q_acctbal_range_join(sf_dir: str):
     """Range-join demo: customers whose balance falls in a +-50 band
     around any supplier's balance (value-space binned interval join)."""

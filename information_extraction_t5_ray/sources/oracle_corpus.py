@@ -288,3 +288,13 @@ ng AS (
 )
 SELECT ngram, count(*) AS cnt FROM ng
 GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100"""
+
+
+def events_pivot_sql() -> str:
+    return """SELECT user_id,
+  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+FROM events GROUP BY user_id"""

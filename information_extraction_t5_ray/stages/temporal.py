@@ -78,3 +78,49 @@ def sessionize(
 
     tagged = events_ds.map_batches(tag, batch_format="pandas")
     return tagged.groupby("_bucket").map_groups(assign, batch_format="pandas")
+
+
+def pivot_counts(
+    ds,
+    key: str,
+    pivot_col: str,
+    categories: list,
+    num_buckets: int = 64,
+):
+    """Distributed pivot: one row per ``key``, one count column per
+    category of ``pivot_col`` (the reference's per-document-class sheet
+    pivot — ``models/qa_model.py:388-436`` — as a streaming two-phase
+    aggregate instead of a driver-side pandas pivot).
+
+    ``categories`` must be the closed category set (column layout is
+    schema, so it cannot depend on the data); unknown values count into
+    none of the columns.  Shuffle moves one partial row per
+    (batch, key) — the combiner pattern.
+    """
+    cols = [str(c) for c in categories]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = pd.get_dummies(
+            df[pivot_col].astype(str), dtype=np.int64
+        ).reindex(columns=cols, fill_value=0)
+        d[key] = df[key].to_numpy()
+        g = d.groupby(key, sort=False).sum().reset_index()
+        if np.issubdtype(g[key].dtype, np.integer):
+            g["_bucket"] = g[key].to_numpy(np.int64) % num_buckets
+        else:
+            import zlib
+
+            # crc32, NOT hash(): Python hash is salted per process, and
+            # workers are different processes — a key must bucket
+            # identically everywhere or the final fold splits it
+            g["_bucket"] = g[key].map(
+                lambda s: zlib.crc32(str(s).encode()) % num_buckets
+            )
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(key, sort=False)[cols].sum().reset_index()
+        return out.astype({c: np.int64 for c in cols})
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
