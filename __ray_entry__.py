@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": c.q_sessionize,  # gap-based sessionization
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
         "events_pivot": c.q_events_pivot,  # distributed pivot
+        "distinct_user_events": c.q_distinct_user_events,  # generic distinct
         "orders_by_nation": c.q_orders_by_nation,  # broadcast hash join
         "lineitem_order_join": c.q_lineitem_order_join,  # large-large hash join
         "grouped_argmax": c.q_grouped_argmax,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oc.sessionize_sql(),
         "acctbal_range_join": oc.acctbal_range_join_sql(),
         "events_pivot": oc.events_pivot_sql(),
+        "distinct_user_events": oc.distinct_user_events_sql(),
         "orders_by_nation": oc.orders_by_nation_sql(),
         "lineitem_order_join": oc.lineitem_order_join_sql(),
         "grouped_argmax": oc.grouped_argmax_sql(),

@@ -298,6 +298,17 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_distinct_user_events(sf_dir: str):
+    """Generic distinct over (user_id, event_type) — two-phase
+    drop-duplicates, shuffle carries per-batch distinct sets only."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return dedup_ops.distinct_rows(ev, cols=["user_id", "event_type"])
+
+
 def q_events_pivot(sf_dir: str):
     """Distributed pivot: per-user event-type counts as a wide table
     (closed category set = the synthesizer's five event types)."""

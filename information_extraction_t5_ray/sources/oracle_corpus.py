@@ -298,3 +298,7 @@ def events_pivot_sql() -> str:
   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
 FROM events GROUP BY user_id"""
+
+
+def distinct_user_events_sql() -> str:
+    return "SELECT DISTINCT user_id, event_type FROM events"

@@ -579,3 +579,30 @@ def apply_dedup(docs_ds, pairs_ds, num_partitions: int = 64, id_col: str = "doc_
     return docs_ds.join(
         drops, "left_anti", num_partitions=num_partitions, on=(id_col,)
     )
+
+
+def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int = 64):
+    """Generic distinct over ``cols`` (default: all columns) — the
+    two-phase shape: per-batch drop_duplicates folds each batch to its
+    distinct rows (the combiner), then a bucketed groupby on the row
+    hash dedups across batches.  Shuffle volume is the per-batch
+    distinct set, not the input."""
+    import zlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        use = cols or list(df.columns)
+        out = df[use].drop_duplicates()
+        key = out[use].astype(str).agg("|".join, axis=1)
+        out = out.assign(
+            _bucket=key.map(lambda s: zlib.crc32(s.encode()) % num_buckets).astype(
+                np.int32
+            )
+        )
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        use = cols or [c for c in df.columns if c != "_bucket"]
+        return df[use].drop_duplicates()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
