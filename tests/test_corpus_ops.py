@@ -162,3 +162,44 @@ def test_kmeans_lite_deterministic_and_covering():
     assert c1.shape == (8, 16)
     norms = np.linalg.norm(c1, axis=1)
     assert np.allclose(norms, 1.0), "spherical k-means centroids are unit-norm"
+
+
+def test_group_pair_indices_property():
+    """Randomized check of the shared pair-emission helper against a
+    brute-force per-group reference (it backs jaccard, minhash, simhash
+    and rp-lsh verification)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from information_extraction_t5_ray.stages.dedup import _group_pair_indices
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        keys=st.lists(st.integers(min_value=-5, max_value=5), max_size=40),
+        max_df=st.integers(min_value=2, max_value=8),
+    )
+    def check(keys, max_df):
+        arr = np.array(keys, dtype=np.int64)
+        order, li, ri = _group_pair_indices(arr, max_df)
+        got = set()
+        for a, b in zip(li, ri):
+            # emitted indices point into the sorted order; map back to
+            # original row ids and normalize the unordered pair
+            x, y = int(order[a]), int(order[b])
+            assert arr[x] == arr[y], "pair must share a key"
+            got.add((min(x, y), max(x, y)))
+        # brute force: all within-key pairs for keys with 2..max_df rows
+        want = set()
+        from collections import defaultdict
+
+        rows = defaultdict(list)
+        for i, k in enumerate(keys):
+            rows[k].append(i)
+        for k, idxs in rows.items():
+            if 2 <= len(idxs) <= max_df:
+                for i in range(len(idxs)):
+                    for j in range(i + 1, len(idxs)):
+                        want.add((idxs[i], idxs[j]))
+        assert got == want
+
+    check()
