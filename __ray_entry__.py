@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": c.q_events_window,
         "events_top100": c.q_events_top100,
         "hash_split": c.q_hash_split,
+        "stratified_sample": c.q_stratified_sample,
     }
 
 
@@ -177,4 +178,5 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oc.events_window_sql(),
         "events_top100": oc.events_top100_sql(),
         "hash_split": oc.hash_split_sql(),
+        "stratified_sample": oc.stratified_sample_sql(),
     }

@@ -298,6 +298,30 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_stratified_sample(sf_dir: str):
+    """Language-rebalancing sample: keep all Portuguese-ish strata, half
+    the English, a tenth of the rest — membership is a pure LCG of
+    doc_id, so the result is partitioning-stable and SQL-checkable."""
+    from ..stages.sampling import stratified_sample
+
+    docs = _read_docs_with_lang(sf_dir)
+    return stratified_sample(
+        docs,
+        strata_col="lang",
+        fractions={"es": 1.0, "en": 0.5},
+        key_col="doc_id",
+        default_fraction=0.1,
+    ).select_columns(["doc_id", "lang"])
+
+
+def _read_docs_with_lang(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+
 def q_distinct_user_events(sf_dir: str):
     """Generic distinct over (user_id, event_type) — two-phase
     drop-duplicates, shuffle carries per-batch distinct sets only."""

@@ -302,3 +302,9 @@ FROM events GROUP BY user_id"""
 
 def distinct_user_events_sql() -> str:
     return "SELECT DISTINCT user_id, event_type FROM events"
+
+
+def stratified_sample_sql() -> str:
+    return """SELECT doc_id, lang FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 10000 <
+  CASE lang WHEN 'es' THEN 10000 WHEN 'en' THEN 5000 ELSE 1000 END"""

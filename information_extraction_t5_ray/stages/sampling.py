@@ -1,0 +1,67 @@
+"""Deterministic sampling operators.
+
+``stratified_sample`` — per-stratum sampling fractions via a pure key
+hash (the LCG used by ``hash_split``), so the sample is (a) exactly
+reproducible under any partitioning or re-run, (b) a superset/subset
+across fraction changes (raising a stratum's fraction only ADDS rows),
+and (c) expressible in SQL for oracle checks.  The training-data move
+behind language/source rebalancing of a crawl: no shuffle, no
+coordination — membership is a pure function of the row key.
+
+The reference's sampling (``train_test_split(random_state=42)``,
+per-key negative resampling ``utils/balance_data.py:74-80``) relies on
+a global seed; a key-hash rule is the partitioning-stable equivalent
+(SURVEY.md §7.4 "per-row randomness under parallelism").
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Union
+
+import numpy as np
+import pyarrow as pa
+
+# hash_split's LCG (glibc constants) — keep in sync with the SQL oracle
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483648
+_DENOM = 10000
+
+
+def lcg_bucket(keys: np.ndarray, denom: int = _DENOM) -> np.ndarray:
+    return ((keys.astype(np.int64) * _LCG_A + _LCG_C) % _LCG_M) % denom
+
+
+def stratified_sample(
+    ds,
+    strata_col: str,
+    fractions: Union[Dict[str, float], float],
+    key_col: str,
+    default_fraction: float = 0.0,
+):
+    """Keep each row iff ``lcg(key) % 10000 < fraction(stratum) * 10000``.
+
+    ``fractions``: per-stratum keep fraction (or one float for all);
+    strata absent from the dict fall back to ``default_fraction``.
+    Fractions are quantized to 1/10000.
+    """
+    if isinstance(fractions, (int, float)):
+        table = {}
+        default_fraction = float(fractions)
+    else:
+        table = {k: float(v) for k, v in fractions.items()}
+    thresholds = {k: int(round(v * _DENOM)) for k, v in table.items()}
+    default_thr = int(round(default_fraction * _DENOM))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy()
+        b = lcg_bucket(keys)
+        strata = batch[strata_col].to_pylist()
+        thr = np.fromiter(
+            (thresholds.get(s, default_thr) for s in strata),
+            np.int64,
+            count=len(strata),
+        )
+        return batch.filter(pa.array(b < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
