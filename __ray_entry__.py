@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top100": c.q_events_top100,
         "hash_split": c.q_hash_split,
         "stratified_sample": c.q_stratified_sample,
+        "median_qty": c.q_median_qty,  # exact counting-sort median
     }
 
 
@@ -179,4 +180,5 @@ def oracle_sql() -> dict[str, str]:
         "events_top100": oc.events_top100_sql(),
         "hash_split": oc.hash_split_sql(),
         "stratified_sample": oc.stratified_sample_sql(),
+        "median_qty": oc.median_qty_sql(),
     }

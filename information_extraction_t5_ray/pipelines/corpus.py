@@ -298,6 +298,25 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_median_qty(sf_dir: str):
+    """Exact per-returnflag median quantity via counting-sort partials
+    (lower-median definition; integral, interpolation-free)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import grouped_median_counting
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    med = grouped_median_counting(
+        li, group_col="l_returnflag", val_col="l_quantity", out_col="median_qty"
+    )
+    return med.map_batches(
+        lambda df: df.assign(median_qty=df["median_qty"].astype(np.int64)),
+        batch_format="pandas",
+    )
+
+
 def q_stratified_sample(sf_dir: str):
     """Language-rebalancing sample: keep all Portuguese-ish strata, half
     the English, a tenth of the rest — membership is a pure LCG of

@@ -308,3 +308,14 @@ def stratified_sample_sql() -> str:
     return """SELECT doc_id, lang FROM documents
 WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % 10000 <
   CASE lang WHEN 'es' THEN 10000 WHEN 'en' THEN 5000 ELSE 1000 END"""
+
+
+def median_qty_sql() -> str:
+    return """WITH ranked AS (
+  SELECT l_returnflag, l_quantity,
+    row_number() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rn,
+    count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS median_qty
+FROM ranked WHERE rn = (n + 1) // 2"""
