@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": c.q_hash_split,
         "stratified_sample": c.q_stratified_sample,
         "median_qty": c.q_median_qty,  # exact counting-sort median
+        "approx_distinct_users": c.q_approx_distinct_users,  # HLL sketch
+        "sample_per_lang": c.q_sample_per_lang,  # deterministic k-per-group
     }
 
 
@@ -181,4 +183,5 @@ def oracle_sql() -> dict[str, str]:
         "hash_split": oc.hash_split_sql(),
         "stratified_sample": oc.stratified_sample_sql(),
         "median_qty": oc.median_qty_sql(),
+        "sample_per_lang": oc.sample_per_lang_sql(),
     }

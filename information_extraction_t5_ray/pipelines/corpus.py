@@ -298,6 +298,30 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_sample_per_lang(sf_dir: str):
+    """Deterministic 20-docs-per-language sample (hash-ranked, stable
+    under any partitioning); oracle = row_number over the same rank."""
+    from ..stages.sampling import grouped_sample_k
+
+    docs = _read_docs_with_lang(sf_dir)
+    out = grouped_sample_k(docs, group_col="lang", key_col="doc_id", k=20)
+    return out.map_batches(
+        lambda df: df[["doc_id", "lang"]], batch_format="pandas"
+    )
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL cardinality of event users (approximate -> rows-only check;
+    accuracy vs exact COUNT(DISTINCT) is asserted in tests)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import approx_distinct
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ev, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+
+
 def q_median_qty(sf_dir: str):
     """Exact per-returnflag median quantity via counting-sort partials
     (lower-median definition; integral, interpolation-free)."""

@@ -319,3 +319,15 @@ def median_qty_sql() -> str:
 )
 SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS median_qty
 FROM ranked WHERE rn = (n + 1) // 2"""
+
+
+def sample_per_lang_sql() -> str:
+    return """WITH ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (
+      PARTITION BY lang
+      ORDER BY ((doc_id * 1103515245 + 12345) % 2147483648), doc_id
+    ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20"""

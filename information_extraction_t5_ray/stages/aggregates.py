@@ -55,3 +55,70 @@ def grouped_median_counting(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approximate distinct count
+# ---------------------------------------------------------------------------
+
+_HLL_P = 12  # 4096 registers -> ~1.6% standard error
+_HLL_M = 1 << _HLL_P
+
+
+def _hll_mix(x: np.ndarray) -> np.ndarray:
+    """64-bit avalanche (splitmix64 finalizer) over int64/uint64 keys."""
+    z = x.astype(np.uint64)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+def hll_register_batch(keys: np.ndarray) -> np.ndarray:
+    """Batch of keys -> dense register array (length 4096, uint8)."""
+    h = _hll_mix(keys)
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h << np.uint64(_HLL_P)) | np.uint64((1 << _HLL_P) - 1)
+    # rank = leading zeros of the remaining bits + 1, via float64 log2
+    # of the top-bit position (low bits are floored by the OR mask)
+    bits = np.full(len(h), 64 - _HLL_P, dtype=np.int64)
+    nz = rest != 0
+    bits[nz] = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
+    rank = (bits + 1).clip(1, 64 - _HLL_P + 1).astype(np.uint8)
+    regs = np.zeros(_HLL_M, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Flajolet et al. '07 estimator with small-range correction."""
+    m = float(_HLL_M)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct(ds, key_col: str, batch_size: int = 8192) -> float:
+    """Approximate COUNT(DISTINCT key) with one tiny exchange: each
+    batch folds to a 4 KiB register array; register arrays merge by
+    elementwise max on the driver (they are order- and
+    partition-insensitive).  ~1.6% standard error at p=12.
+
+    At cluster scale the merge is a tree reduce of 4 KiB payloads —
+    constant shuffle volume regardless of input size, the reason HLL
+    (not exact distinct) is the 100 TB cardinality tool.
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        keys = batch[key_col].to_numpy()
+        regs = hll_register_batch(keys)
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()  # one 4 KiB row per batch — bounded, driver-side merge
+    merged = np.zeros(_HLL_M, dtype=np.uint8)
+    for row in parts:
+        merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
+    return hll_estimate(merged)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Dict, Union
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 # hash_split's LCG (glibc constants) — keep in sync with the SQL oracle
@@ -65,3 +66,42 @@ def stratified_sample(
         return batch.filter(pa.array(b < thr))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_sample_k(
+    ds,
+    group_col: str,
+    key_col: str,
+    k: int,
+    num_buckets: int = 64,
+):
+    """Deterministic k-per-group sample: each group keeps the k rows
+    with the smallest (lcg(key), key) rank — a seeded shuffle expressed
+    as a pure hash so the sample is identical under any partitioning
+    and re-run (the reference's seeded per-key resampling,
+    ``utils/balance_data.py:74-80``, without global-seed fragility).
+
+    Two-phase top-k: each batch keeps at most k rows per group before
+    the shuffle, so the exchange carries O(groups x k x batches) rows.
+    """
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        out = df.assign(_rank=lcg_bucket(df[key_col].to_numpy(), denom=_LCG_M))
+        out = out.sort_values(["_rank", key_col], kind="stable")
+        out = out.groupby(group_col, sort=False).head(k)
+        gk = out[group_col]
+        if np.issubdtype(gk.dtype, np.integer):
+            b = gk.to_numpy(np.int64) % num_buckets
+        else:
+            b = gk.map(lambda s: zlib.crc32(str(s).encode()) % num_buckets)
+        return out.assign(_bucket=np.asarray(b, dtype=np.int32))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["_rank", key_col], kind="stable")
+        out = out.groupby(group_col, sort=False).head(k)
+        return out.drop(columns=["_rank", "_bucket"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")

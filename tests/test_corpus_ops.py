@@ -203,3 +203,30 @@ def test_group_pair_indices_property():
         assert got == want
 
     check()
+
+
+def test_hll_accuracy_and_merge_invariance(ray_session):
+    """HLL estimate within 3 sigma of exact (sigma ~ 1.04/sqrt(4096));
+    register merge must be partition-insensitive (max is commutative)."""
+    import duckdb
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.aggregates import (
+        approx_distinct,
+        hll_estimate,
+        hll_register_batch,
+    )
+
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+    ).fetchone()[0]
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ev, "user_id")
+    assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(4096), (est, exact)
+
+    # split-merge == whole
+    keys = np.arange(10_000, dtype=np.int64)
+    whole = hll_register_batch(keys)
+    merged = np.maximum(hll_register_batch(keys[:3000]), hll_register_batch(keys[3000:]))
+    assert np.array_equal(whole, merged)
+    assert abs(hll_estimate(whole) - 10_000) / 10_000 < 0.05
