@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_qty": c.q_median_qty,  # exact counting-sort median
         "approx_distinct_users": c.q_approx_distinct_users,  # HLL sketch
         "sample_per_lang": c.q_sample_per_lang,  # deterministic k-per-group
+        "events_of_purchasers": c.q_events_of_purchasers,  # bloom semi-join
     }
 
 
@@ -184,4 +185,5 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": oc.stratified_sample_sql(),
         "median_qty": oc.median_qty_sql(),
         "sample_per_lang": oc.sample_per_lang_sql(),
+        "events_of_purchasers": oc.events_of_purchasers_sql(),
     }

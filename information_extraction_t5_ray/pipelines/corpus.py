@@ -298,6 +298,27 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_events_of_purchasers(sf_dir: str):
+    """Exact semi-join with Bloom prefilter: all events of users who
+    ever purchased — the broadcast filter drops most non-matching rows
+    before the exchange; the hash semi-join keeps the result exact."""
+    import ray.data as rd
+
+    from ..stages.joins import bloom_semi_join
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
+    )
+    purchasers = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id"]
+    )
+    out = bloom_semi_join(ev, purchasers, on="user_id", num_partitions=16)
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id"]].astype(np.int64),
+        batch_format="pandas",
+    )
+
+
 def q_sample_per_lang(sf_dir: str):
     """Deterministic 20-docs-per-language sample (hash-ranked, stable
     under any partitioning); oracle = row_number over the same rank."""

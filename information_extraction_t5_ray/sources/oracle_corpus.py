@@ -331,3 +331,9 @@ def sample_per_lang_sql() -> str:
   FROM documents
 )
 SELECT doc_id, lang FROM ranked WHERE rn <= 20"""
+
+
+def events_of_purchasers_sql() -> str:
+    return """SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')"""

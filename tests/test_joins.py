@@ -164,3 +164,18 @@ def test_range_join_boundaries_and_replication(ray_session):
     # v=0, 9.9, 10.0 all inside [0,10] inclusive; v=25 matches the point;
     # each match exactly once despite rid=1 replicating across bins
     assert pairs == [(0, 1), (1, 1), (2, 1), (3, 2)]
+
+
+def test_bloom_filter_contract():
+    import numpy as np
+
+    from information_extraction_t5_ray.stages.joins import bloom_contains, build_bloom
+
+    members = np.arange(0, 100_000, 7, dtype=np.int64)
+    bits = build_bloom(members)
+    # no false negatives, ever
+    assert bloom_contains(bits, members).all()
+    # false-positive rate on non-members stays small (1 MiB, 5 hashes)
+    non = np.arange(1, 100_000, 7, dtype=np.int64)
+    fp = bloom_contains(bits, non).mean()
+    assert fp < 0.02, fp
