@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": c.q_approx_distinct_users,  # HLL sketch
         "sample_per_lang": c.q_sample_per_lang,  # deterministic k-per-group
         "events_of_purchasers": c.q_events_of_purchasers,  # bloom semi-join
+        "rolling_value_sum": c.q_rolling_value_sum,  # ROWS 2 PRECEDING window
     }
 
 
@@ -186,4 +187,5 @@ def oracle_sql() -> dict[str, str]:
         "median_qty": oc.median_qty_sql(),
         "sample_per_lang": oc.sample_per_lang_sql(),
         "events_of_purchasers": oc.events_of_purchasers_sql(),
+        "rolling_value_sum": oc.rolling_value_sum_sql(),
     }

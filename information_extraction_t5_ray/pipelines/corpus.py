@@ -298,6 +298,29 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_rolling_value_sum(sf_dir: str):
+    """Per-user rolling 3-event sum of event value (in exact integer
+    cents) — the ROWS 2 PRECEDING window function, distributed."""
+    import ray.data as rd
+
+    from ..stages.temporal import rolling_window_sum
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    ).map_batches(
+        lambda df: df.assign(cents=np.round(df["value"] * 100).astype(np.int64)),
+        batch_format="pandas",
+    )
+    out = rolling_window_sum(
+        ev, key="user_id", ts_col="ts", val_col="cents", window=3,
+        id_col="event_id", out_col="rolling_cents",
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "rolling_cents"]].astype(np.int64),
+        batch_format="pandas",
+    )
+
+
 def q_events_of_purchasers(sf_dir: str):
     """Exact semi-join with Bloom prefilter: all events of users who
     ever purchased — the broadcast filter drops most non-matching rows

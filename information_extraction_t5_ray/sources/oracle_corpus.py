@@ -337,3 +337,11 @@ def events_of_purchasers_sql() -> str:
     return """SELECT event_id, user_id FROM events
 WHERE user_id IN (SELECT DISTINCT user_id FROM events
                   WHERE event_type = 'purchase')"""
+
+
+def rolling_value_sum_sql() -> str:
+    return """SELECT event_id, user_id,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS 2 PRECEDING) AS BIGINT) AS rolling_cents
+FROM events"""

@@ -124,3 +124,55 @@ def pivot_counts(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
+def rolling_window_sum(
+    ds,
+    key: str,
+    ts_col: str,
+    val_col: str,
+    window: int,
+    id_col: Optional[str] = None,
+    out_col: str = "rolling_sum",
+    num_buckets: int = 64,
+):
+    """Per-key ordered rolling sum over the last ``window`` rows
+    (inclusive) — the ROWS (window-1) PRECEDING window function.  Same
+    partitioning shape as ``sessionize``: co-hash on key, sort the
+    group, vectorized cumsum-difference per key segment.
+    """
+    order_cols = [ts_col] + ([id_col] if id_col else [])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+
+        keys = df[key].to_numpy()
+        if np.issubdtype(keys.dtype, np.integer):
+            b = (keys % num_buckets).astype(np.int32)
+        else:
+            b = np.fromiter(
+                (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
+                np.int32,
+                count=len(keys),
+            )
+        return df.assign(_bucket=b)
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key] + order_cols, kind="stable")
+        v = g[val_col].to_numpy(np.int64)
+        k = g[key].to_numpy()
+        c = np.concatenate(([0], np.cumsum(v)))
+        n = len(g)
+        idx = np.arange(n)
+        # per-key segment starts
+        new_key = np.empty(n, dtype=bool)
+        new_key[0:1] = True
+        new_key[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        lo = np.maximum(idx - window + 1, seg_start)
+        out = g.drop(columns=["_bucket"]).copy()
+        out[out_col] = c[idx + 1] - c[lo]
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(assign, batch_format="pandas")
