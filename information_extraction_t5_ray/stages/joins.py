@@ -130,16 +130,55 @@ def asof_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner/left, not {how!r}")
 
+    # .schema() on a transformed Dataset executes a limit-1 probe —
+    # one per side, paid once per join build (pass pre-read datasets
+    # with parquet sources to make it metadata-only)
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
+    left_dtypes = dict(zip(left_schema.names, left_schema.types))
     rename = {
         c: (c + suffix if (c in left_cols and c not in (on, ts_col)) else c)
         for c in right_schema.names
         if c not in (on, ts_col)
     }
+    right_dtypes = {
+        rename[c]: t
+        for c, t in zip(right_schema.names, right_schema.types)
+        if c in rename
+    }
     right_value_cols = [rename[c] for c in rename]
     all_cols = left_cols + right_value_cols
+
+    def _nullable_dtype(arrow_type) -> str:
+        """pandas dtype that holds this arrow type WITH nulls.  The
+        one-sided columns must use it on BOTH sides — None-filled object
+        columns (or int64 on one side, Int64 on the other) make shuffled
+        blocks dtype-mismatched and pickled instead of columnar."""
+        try:
+            if pa.types.is_integer(arrow_type):
+                return "Int64"
+            if pa.types.is_floating(arrow_type):
+                return "float64"
+            if pa.types.is_timestamp(arrow_type):
+                return "datetime64[ns]"
+            if pa.types.is_boolean(arrow_type):
+                return "boolean"
+        except (TypeError, AttributeError):
+            pass
+        return "object"
+
+    # every column present on only one side gets a fixed nullable dtype
+    dtype_plan = {
+        c: _nullable_dtype(right_dtypes.get(c)) for c in right_value_cols
+    }
+    dtype_plan.update(
+        {
+            c: _nullable_dtype(left_dtypes.get(c))
+            for c in left_cols
+            if c not in (on, ts_col)
+        }
+    )
 
     def _bucket_of(keys: np.ndarray) -> np.ndarray:
         if np.issubdtype(keys.dtype, np.integer):
@@ -150,19 +189,29 @@ def asof_join(
             count=len(keys),
         )
 
+    def _apply_plan(out: pd.DataFrame, n: int) -> pd.DataFrame:
+        for c, dt in dtype_plan.items():
+            if c not in out.columns:
+                if dt == "float64":
+                    out[c] = np.full(n, np.nan)
+                elif dt == "datetime64[ns]":
+                    out[c] = np.full(n, np.datetime64("NaT", "ns"))
+                elif dt == "object":
+                    out[c] = pd.Series([None] * n, dtype=object)
+                else:  # Int64 / boolean extension dtypes
+                    out[c] = pd.Series([pd.NA] * n, dtype=dt)
+            else:
+                out[c] = out[c].astype(dt, copy=False)
+        return out
+
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        for c in right_value_cols:
-            out[c] = None
+        out = _apply_plan(df.copy(), len(df))
         out["_side"] = np.int8(0)
         out["_bucket"] = _bucket_of(df[on].to_numpy())
         return out[all_cols + ["_side", "_bucket"]]
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.rename(columns=rename).copy()
-        for c in left_cols:
-            if c not in out.columns:
-                out[c] = None
+        out = _apply_plan(df.rename(columns=rename).copy(), len(df))
         out["_side"] = np.int8(1)
         out["_bucket"] = _bucket_of(out[on].to_numpy())
         return out[all_cols + ["_side", "_bucket"]]
