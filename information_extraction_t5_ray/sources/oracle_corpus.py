@@ -85,11 +85,16 @@ WHERE 3 * inter >= si.sz + sj.sz"""
 
 
 def doc_stats_sql() -> str:
+    # BPE pattern must stay byte-identical to textstats.BPE_RE (both
+    # engines are RE2, so match sets coincide)
     return """SELECT doc_id,
   length(text) AS n_chars,
   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
   length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
-  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+  len(regexp_extract_all(text,
+    '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+  )) AS n_bpe_tokens
 FROM documents"""
 
 

@@ -35,6 +35,10 @@ import pyarrow.compute as pc
 
 PUNCT_RE = r"[.,;:!?]"
 TOKEN_RE = r"\S+"
+# GPT-2-style pre-tokenizer, lookahead-free so the SAME pattern runs on
+# RE2 (Arrow kernels) and DuckDB: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs, then whitespace runs.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 
 
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
@@ -45,6 +49,7 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
     n_tokens = pc.count_substring_regex(text, TOKEN_RE)
     n_lines = pc.add(pc.count_substring(text, "\n"), 1)
     n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    n_bpe = pc.count_substring_regex(text, BPE_RE)
     return pa.table(
         {
             "doc_id": batch["doc_id"],
@@ -52,6 +57,7 @@ def doc_stats_batch(batch: pa.Table) -> pa.Table:
             "n_tokens": pc.cast(n_tokens, pa.int64()),
             "n_lines": pc.cast(n_lines, pa.int64()),
             "n_punct": pc.cast(n_punct, pa.int64()),
+            "n_bpe_tokens": pc.cast(n_bpe, pa.int64()),
         }
     )
 
