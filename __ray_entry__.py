@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang": c.q_sample_per_lang,  # deterministic k-per-group
         "events_of_purchasers": c.q_events_of_purchasers,  # bloom semi-join
         "rolling_value_sum": c.q_rolling_value_sum,  # ROWS 2 PRECEDING window
+        "top3_events_per_user": c.q_top3_events_per_user,  # grouped top-k
+        "session_stats": c.q_session_stats,  # sessionize -> per-session agg
     }
 
 
@@ -188,4 +190,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_lang": oc.sample_per_lang_sql(),
         "events_of_purchasers": oc.events_of_purchasers_sql(),
         "rolling_value_sum": oc.rolling_value_sum_sql(),
+        "top3_events_per_user": oc.top3_events_per_user_sql(),
+        "session_stats": oc.session_stats_sql(),
     }

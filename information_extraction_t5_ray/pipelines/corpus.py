@@ -298,6 +298,72 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_top3_events_per_user(sf_dir: str):
+    """Grouped top-k: each user's 3 highest-value events (ties by
+    ascending event_id) — the argmax pattern generalized to k rows."""
+    import ray.data as rd
+
+    from ..stages.aggregates import grouped_topk
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    ).map_batches(
+        lambda df: df.assign(cents=np.round(df["value"] * 100).astype(np.int64)),
+        batch_format="pandas",
+    )
+    out = grouped_topk(
+        ev, group_col="user_id", order_col="cents", k=3, tie_col="event_id"
+    )
+    return out.map_batches(
+        lambda df: df[["event_id", "user_id", "cents"]].astype(np.int64),
+        batch_format="pandas",
+    )
+
+
+def q_session_stats(sf_dir: str):
+    """Composition: sessionize -> per-(user, session) integral stats
+    (event count + duration in microseconds)."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from ..stages.temporal import sessionize
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    sess = sessionize(
+        ev, key="user_id", ts_col="ts", gap=dt.timedelta(minutes=30),
+        id_col="event_id",
+    )
+    num_buckets = 16
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "session_id"], sort=False)
+            .agg(n_events=("event_id", "size"),
+                 t_min=("ts", "min"), t_max=("ts", "max"))
+            .reset_index()
+        )
+        g["_bucket"] = (g["user_id"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "session_id"], sort=False)
+            .agg(n_events=("n_events", "sum"),
+                 t_min=("t_min", "min"), t_max=("t_max", "max"))
+            .reset_index()
+        )
+        dur = (g["t_max"] - g["t_min"]).dt.total_seconds() * 1_000_000
+        out = g[["user_id", "session_id", "n_events"]].copy()
+        out["duration_us"] = np.round(dur).astype(np.int64)
+        return out.astype(np.int64)
+
+    partials = sess.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
 def q_rolling_value_sum(sf_dir: str):
     """Per-user rolling 3-event sum of event value (in exact integer
     cents) — the ROWS 2 PRECEDING window function, distributed."""

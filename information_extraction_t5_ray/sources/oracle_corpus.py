@@ -350,3 +350,32 @@ def rolling_value_sum_sql() -> str:
     PARTITION BY user_id ORDER BY ts, event_id
     ROWS 2 PRECEDING) AS BIGINT) AS rolling_cents
 FROM events"""
+
+
+def top3_events_per_user_sql() -> str:
+    return """WITH ranked AS (
+  SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+    row_number() OVER (
+      PARTITION BY user_id
+      ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id
+    ) AS rn
+  FROM events
+)
+SELECT event_id, user_id, cents FROM ranked WHERE rn <= 3"""
+
+
+def session_stats_sql() -> str:
+    return """WITH g AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT event_id, user_id, ts,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+  CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
+FROM s GROUP BY 1, 2"""

@@ -122,3 +122,45 @@ def approx_distinct(ds, key_col: str, batch_size: int = 8192) -> float:
     for row in parts:
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate(merged)
+
+
+def grouped_topk(
+    ds,
+    group_col: str,
+    order_col: str,
+    k: int,
+    tie_col: str,
+    ascending: bool = False,
+    num_buckets: int = 64,
+):
+    """Top-k rows per group by ``order_col`` (ties broken by ascending
+    ``tie_col`` — deterministic under any partitioning).  Two-phase: each
+    batch keeps at most k rows per group before the shuffle, the bucketed
+    final fold re-selects — the grouped generalization of the
+    highest-probability-window argmax (k=1), reference
+    ``features/postprocess.py:249-288``.
+    """
+    import zlib
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            [group_col, order_col, tie_col],
+            ascending=[True, ascending, True],
+            kind="stable",
+        )
+        return out.groupby(group_col, sort=False).head(k)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = select(df)
+        gk = out[group_col]
+        if np.issubdtype(gk.dtype, np.integer):
+            b = gk.to_numpy(np.int64) % num_buckets
+        else:
+            b = gk.map(lambda s: zlib.crc32(str(s).encode()) % num_buckets)
+        return out.assign(_bucket=np.asarray(b, dtype=np.int32))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return select(df).drop(columns=["_bucket"])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
