@@ -136,6 +136,11 @@ def asof_join(
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
+    reserved = {"_side", "_bucket", "__matched"} & set(
+        left_cols + list(right_schema.names)
+    )
+    if reserved:
+        raise ValueError(f"asof_join reserves column names {sorted(reserved)}")
     left_dtypes = dict(zip(left_schema.names, left_schema.types))
     rename = {
         c: (c + suffix if (c in left_cols and c not in (on, ts_col)) else c)
@@ -271,6 +276,9 @@ def range_join(
 
     left_cols = list(left_ds.schema().names)
     r_names = list(right_ds.schema().names)
+    reserved = {"_bin", "_side", "_bucket"} & set(left_cols + r_names)
+    if reserved:
+        raise ValueError(f"range_join reserves column names {sorted(reserved)}")
     rename = {c: (c + suffix if c in left_cols else c) for c in r_names}
     right_cols = [rename[c] for c in r_names]
     lo_c, hi_c = rename[right_lo], rename[right_hi]

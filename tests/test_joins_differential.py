@@ -129,3 +129,69 @@ FROM g"""
     g = _sorted(got[cols].astype(np.int64), cols)
     w = _sorted(want, cols).astype(np.int64)
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_sessionize_string_keys_matches_duckdb(ray_session):
+    """String keys exercise the crc32 bucket path (int keys take the
+    modulo path); result must be identical to DuckDB regardless."""
+    rng = np.random.RandomState(7)
+    t0 = dt.datetime(2024, 1, 1)
+    n = 300
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n),
+            "user": [f"user-{u}" for u in rng.randint(0, 15, n)],
+            "ts": [t0 + dt.timedelta(seconds=int(s)) for s in
+                   rng.choice(300_000, n, replace=False)],
+        }
+    )
+    got = sessionize(
+        _rd(ev), key="user", ts_col="ts", gap=dt.timedelta(minutes=20),
+        id_col="event_id",
+    ).to_pandas()
+    con = duckdb.connect()
+    con.register("ev", ev)
+    want = con.execute(
+        """WITH g AS (
+  SELECT event_id, "user", ts,
+    CASE WHEN ts - lag(ts) OVER w > INTERVAL 20 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY "user" ORDER BY ts, event_id)
+)
+SELECT event_id, "user",
+  sum(brk) OVER (PARTITION BY "user" ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+FROM g"""
+    ).df()
+    cols = ["event_id", "user", "session_id"]
+    g = _sorted(got[cols], cols)
+    g["session_id"] = g["session_id"].astype(np.int64)
+    w = _sorted(want, cols)
+    w["session_id"] = w["session_id"].astype(np.int64)
+    pd.testing.assert_frame_equal(g, w)
+
+
+def test_pivot_string_keys(ray_session):
+    from information_extraction_t5_ray.stages.temporal import pivot_counts
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "site": [f"s{u}.example" for u in rng.randint(0, 9, 400)],
+            "kind": rng.choice(["a", "b", "c"], 400),
+        }
+    )
+    got = pivot_counts(
+        _rd(df), key="site", pivot_col="kind", categories=["a", "b", "c"]
+    ).to_pandas()
+    want = (
+        pd.get_dummies(df["kind"], dtype=np.int64)
+        .assign(site=df["site"])
+        .groupby("site")
+        .sum()
+        .reset_index()
+    )
+    cols = ["site", "a", "b", "c"]
+    pd.testing.assert_frame_equal(
+        _sorted(got[cols], ["site"]), _sorted(want[cols], ["site"]),
+        check_dtype=False,
+    )
