@@ -94,6 +94,46 @@ def hash_join(
     )
 
 
+def _nullable_dtype(arrow_type) -> str:
+    """pandas dtype that holds this arrow type WITH nulls.  One-sided
+    columns in a tagged union must use it on BOTH sides — None-filled
+    object columns (or int64 on one side, Int64 on the other) make
+    shuffled blocks dtype-mismatched and pickled instead of columnar."""
+    import numpy as np  # noqa: F401
+
+    try:
+        if pa.types.is_integer(arrow_type):
+            return "Int64"
+        if pa.types.is_floating(arrow_type):
+            return "float64"
+        if pa.types.is_timestamp(arrow_type):
+            return "datetime64[ns]"
+        if pa.types.is_boolean(arrow_type):
+            return "boolean"
+    except (TypeError, AttributeError):
+        pass
+    return "object"
+
+
+def _apply_dtype_plan(out: pd.DataFrame, plan: dict, n: int) -> pd.DataFrame:
+    """Add missing plan columns as typed nulls; cast present ones."""
+    import numpy as np
+
+    for c, dt in plan.items():
+        if c not in out.columns:
+            if dt == "float64":
+                out[c] = np.full(n, np.nan)
+            elif dt == "datetime64[ns]":
+                out[c] = np.full(n, np.datetime64("NaT", "ns"))
+            elif dt == "object":
+                out[c] = pd.Series([None] * n, dtype=object)
+            else:  # Int64 / boolean extension dtypes
+                out[c] = pd.Series([pd.NA] * n, dtype=dt)
+        else:
+            out[c] = out[c].astype(dt, copy=False)
+    return out
+
+
 def asof_join(
     left_ds,
     right_ds,
@@ -155,24 +195,6 @@ def asof_join(
     right_value_cols = [rename[c] for c in rename]
     all_cols = left_cols + right_value_cols
 
-    def _nullable_dtype(arrow_type) -> str:
-        """pandas dtype that holds this arrow type WITH nulls.  The
-        one-sided columns must use it on BOTH sides — None-filled object
-        columns (or int64 on one side, Int64 on the other) make shuffled
-        blocks dtype-mismatched and pickled instead of columnar."""
-        try:
-            if pa.types.is_integer(arrow_type):
-                return "Int64"
-            if pa.types.is_floating(arrow_type):
-                return "float64"
-            if pa.types.is_timestamp(arrow_type):
-                return "datetime64[ns]"
-            if pa.types.is_boolean(arrow_type):
-                return "boolean"
-        except (TypeError, AttributeError):
-            pass
-        return "object"
-
     # every column present on only one side gets a fixed nullable dtype
     dtype_plan = {
         c: _nullable_dtype(right_dtypes.get(c)) for c in right_value_cols
@@ -194,29 +216,14 @@ def asof_join(
             count=len(keys),
         )
 
-    def _apply_plan(out: pd.DataFrame, n: int) -> pd.DataFrame:
-        for c, dt in dtype_plan.items():
-            if c not in out.columns:
-                if dt == "float64":
-                    out[c] = np.full(n, np.nan)
-                elif dt == "datetime64[ns]":
-                    out[c] = np.full(n, np.datetime64("NaT", "ns"))
-                elif dt == "object":
-                    out[c] = pd.Series([None] * n, dtype=object)
-                else:  # Int64 / boolean extension dtypes
-                    out[c] = pd.Series([pd.NA] * n, dtype=dt)
-            else:
-                out[c] = out[c].astype(dt, copy=False)
-        return out
-
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = _apply_plan(df.copy(), len(df))
+        out = _apply_dtype_plan(df.copy(), dtype_plan, len(df))
         out["_side"] = np.int8(0)
         out["_bucket"] = _bucket_of(df[on].to_numpy())
         return out[all_cols + ["_side", "_bucket"]]
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = _apply_plan(df.rename(columns=rename).copy(), len(df))
+        out = _apply_dtype_plan(df.rename(columns=rename).copy(), dtype_plan, len(df))
         out["_side"] = np.int8(1)
         out["_bucket"] = _bucket_of(out[on].to_numpy())
         return out[all_cols + ["_side", "_bucket"]]
@@ -274,8 +281,10 @@ def range_join(
     """
     import numpy as np
 
-    left_cols = list(left_ds.schema().names)
-    r_names = list(right_ds.schema().names)
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    r_names = list(right_schema.names)
     reserved = {"_bin", "_side", "_bucket"} & set(left_cols + r_names)
     if reserved:
         raise ValueError(f"range_join reserves column names {sorted(reserved)}")
@@ -284,13 +293,20 @@ def range_join(
     lo_c, hi_c = rename[right_lo], rename[right_hi]
     all_cols = left_cols + right_cols
 
+    # every column is one-sided in this union — fix nullable dtypes on
+    # both sides so shuffled blocks stay columnar (see _nullable_dtype)
+    dtype_plan = dict(
+        zip(left_cols, (_nullable_dtype(t) for t in left_schema.types))
+    )
+    dtype_plan.update(
+        {rename[c]: _nullable_dtype(t) for c, t in zip(r_names, right_schema.types)}
+    )
+
     def to_bin(v: np.ndarray) -> np.ndarray:
         return np.floor(v / bin_width).astype(np.int64)
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        for c in right_cols:
-            out[c] = None
+        out = _apply_dtype_plan(df.copy(), dtype_plan, len(df))
         b = to_bin(df[left_col].to_numpy(np.float64))
         out["_bin"] = b
         out["_side"] = np.int8(0)
@@ -306,9 +322,7 @@ def range_join(
         bins = np.concatenate(
             [np.arange(a, b + 1) for a, b in zip(lo, hi)]
         ) if len(df) else np.empty(0, np.int64)
-        out = df.iloc[idx].copy()
-        for c in left_cols:
-            out[c] = None
+        out = _apply_dtype_plan(df.iloc[idx].copy(), dtype_plan, len(idx))
         out["_bin"] = bins
         out["_side"] = np.int8(1)
         out["_bucket"] = (bins % num_buckets).astype(np.int32)
@@ -342,7 +356,7 @@ def range_join(
             )
             out.append(merged)
         if not out:
-            return pd.DataFrame(columns=all_cols)
+            return _apply_dtype_plan(pd.DataFrame(), dtype_plan, 0)[all_cols]
         return pd.concat(out, ignore_index=True)[all_cols]
 
     return tagged.groupby("_bucket").map_groups(match, batch_format="pandas")
