@@ -171,9 +171,20 @@ def write_triples(
     triples_ds,
     out_dir: str,
     sort: bool = True,
+    min_rows_per_file: int = 100_000,
 ):
     """Sorted, partitioned Parquet materialize (north rule) + lineage
-    manifest per partition."""
+    manifest per partition.
+
+    ``min_rows_per_file`` coalesces output files — without it each sort
+    output block becomes its own file (measured: 320k docs -> 4096 x
+    ~30 KiB files), and small-file explosion is the classic sink failure
+    at crawl scale (object-store listing and read-amplification costs).
+    """
     ds = triples_ds.sort(["subj", "pred"]) if sort else triples_ds
-    ds.write_parquet(out_dir, partition_cols=["partition_id"])
+    ds.write_parquet(
+        out_dir,
+        partition_cols=["partition_id"],
+        min_rows_per_file=min_rows_per_file,
+    )
     return out_dir
