@@ -150,7 +150,7 @@ def run_predict(
             )
         # the reference's prediction cache (predict.py:26-27): raw
         # predictions persist before any post-processing
-        preds.write_parquet(pred_dir)
+        preds.write_parquet(pred_dir, min_rows_per_file=100_000)
         preds = rd.read_parquet(pred_dir)
 
     labels = squad_label_map(squad_path)

@@ -144,10 +144,14 @@ def checkpointed(
 
     t0 = time.perf_counter()
     ds = ds_factory()
+    # per-file row floor: without it every block x partition-value pair
+    # becomes its own file — small-file explosion at checkpoint scale
     if partition_col is not None:
-        ds.write_parquet(str(out), partition_cols=[partition_col])
+        ds.write_parquet(
+            str(out), partition_cols=[partition_col], min_rows_per_file=100_000
+        )
     else:
-        ds.write_parquet(str(out))
+        ds.write_parquet(str(out), min_rows_per_file=100_000)
     wall = time.perf_counter() - t0
     schema_str = ""
     try:
