@@ -106,6 +106,57 @@ def cmd_kg(args) -> int:
         ray.shutdown()
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline/operator query over an sf-style
+    directory; write Parquet or print rows."""
+    import importlib.util
+    import sys as _sys
+    from pathlib import Path
+
+    # __ray_entry__ lives at the repo root, not inside the package
+    root = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "__ray_entry__", root / "__ray_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    queries = entry.queries()
+    if args.list:
+        oracles = entry.oracle_sql()
+        for name in sorted(queries):
+            mark = "oracle" if name in oracles else "rows-only"
+            print(f"{name}\t{mark}")
+        return 0
+    if args.name not in queries:
+        print(f"unknown query {args.name!r}; use --list", file=sys.stderr)
+        return 2
+    ray = _ray_session(args.num_cpus)
+    try:
+        res = queries[args.name](args.sf_dir)
+        if hasattr(res, "write_parquet"):
+            if args.output:
+                res.write_parquet(args.output, min_rows_per_file=100_000)
+                print(json.dumps({"query": args.name, "output": args.output}))
+            else:
+                df = res.to_pandas()
+                print(df.head(args.head).to_string())
+                print(f"... {len(df)} rows")
+        else:
+            import pandas as pd
+
+            df = res if hasattr(res, "to_string") else pd.DataFrame(res)
+            if args.output:
+                df.to_parquet(f"{args.output}.parquet")
+                print(json.dumps({"query": args.name, "output": f"{args.output}.parquet"}))
+            else:
+                print(df.head(args.head).to_string())
+                print(f"... {len(df)} rows")
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_train(args) -> int:
     # Training parity is the torch-gated path: the reference fine-tunes
     # with pytorch-lightning (train.py:20-155); this engine produces the
@@ -159,6 +210,14 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--ckpt-dir", default=None, help="enable sharded checkpointed resume")
     k.add_argument("--shards", type=int, default=8)
     k.set_defaults(fn=cmd_kg)
+
+    q = sub.add_parser("query", help="run any registered operator query over parquet tables")
+    q.add_argument("--name", default=None, help="query name (see --list)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--output", default=None, help="Parquet output dir (prints head if omitted)")
+    q.add_argument("--head", type=int, default=10)
+    q.add_argument("--list", action="store_true", help="list available queries")
+    q.set_defaults(fn=cmd_query)
 
     t = sub.add_parser("train", help="torch-gated; see convert + T5Scorer")
     t.add_argument("-c", "--config", default=None)

@@ -91,3 +91,28 @@ def test_train_gated_without_torch(capsys):
     rc = cmd_train(build_parser().parse_args(["train"]))
     assert rc == 2
     assert "torch" in capsys.readouterr().err
+
+
+def test_cli_query_parser_and_unknown():
+    from information_extraction_t5_ray.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["query", "--list"])
+    assert a.cmd == "query" and a.list
+    a = p.parse_args(["query", "--name", "exact_dedup", "--sf-dir", "/x",
+                      "--output", "/tmp/o"])
+    assert a.name == "exact_dedup" and a.output == "/tmp/o"
+
+
+def test_cli_query_list_covers_registry(capsys):
+    from information_extraction_t5_ray.cli import build_parser, cmd_query
+
+    rc = cmd_query(build_parser().parse_args(["query", "--list"]))
+    assert rc == 0
+    out = capsys.readouterr().out
+    # every registered query appears with its oracle marker
+    import __ray_entry__ as entry
+
+    for name in entry.queries():
+        assert name in out
+    assert "oracle" in out and "rows-only" in out
