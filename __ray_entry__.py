@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_of_purchasers": c.q_events_of_purchasers,  # bloom semi-join
         "rolling_value_sum": c.q_rolling_value_sum,  # ROWS 2 PRECEDING window
         "top3_events_per_user": c.q_top3_events_per_user,  # grouped top-k
+        "props_extract": c.q_props_extract,  # JSON field extraction
         "session_stats": c.q_session_stats,  # sessionize -> per-session agg
     }
 
@@ -191,5 +192,6 @@ def oracle_sql() -> dict[str, str]:
         "events_of_purchasers": oc.events_of_purchasers_sql(),
         "rolling_value_sum": oc.rolling_value_sum_sql(),
         "top3_events_per_user": oc.top3_events_per_user_sql(),
+        "props_extract": oc.props_extract_sql(),
         "session_stats": oc.session_stats_sql(),
     }

@@ -298,6 +298,34 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_props_extract(sf_dir: str):
+    """Semi-structured extraction: pull the integer field k out of the
+    events' JSON props column (vectorized orjson-less parse via pandas
+    str extraction on the known shape, falling back to json.loads)."""
+    import json as _json
+
+    import ray.data as rd
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        # fast path: regex capture on the flat {"k": N} shape; rows that
+        # don't match (nested/extra fields) fall back to a real parse
+        k = df["props"].str.extract(r'^\{"k":\s*(-?\d+)\}$', expand=False)
+        miss = k.isna()
+        if miss.any():
+            k.loc[miss] = df.loc[miss, "props"].map(
+                lambda s: _json.loads(s).get("k")
+            )
+        return pd.DataFrame(
+            {"event_id": df["event_id"], "k": k.astype(np.int64)}
+        )
+
+    return ev.map_batches(extract, batch_format="pandas")
+
+
 def q_top3_events_per_user(sf_dir: str):
     """Grouped top-k: each user's 3 highest-value events (ties by
     ascending event_id) — the argmax pattern generalized to k rows."""

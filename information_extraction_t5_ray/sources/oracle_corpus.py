@@ -379,3 +379,9 @@ def session_stats_sql() -> str:
 SELECT user_id, session_id, count(*) AS n_events,
   CAST(date_diff('microsecond', min(ts), max(ts)) AS BIGINT) AS duration_us
 FROM s GROUP BY 1, 2"""
+
+
+def props_extract_sql() -> str:
+    return """SELECT event_id,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events"""
