@@ -101,13 +101,20 @@ def _nullable_dtype(arrow_type) -> str:
     shuffled blocks dtype-mismatched and pickled instead of columnar."""
     import numpy as np  # noqa: F401
 
+    if arrow_type is None:
+        # Ray's pandas-block schema reports None for dtypes it can't map
+        # to Arrow (e.g. tz-aware datetime64) — leave such columns alone
+        return None
     try:
         if pa.types.is_integer(arrow_type):
             return "Int64"
         if pa.types.is_floating(arrow_type):
             return "float64"
         if pa.types.is_timestamp(arrow_type):
-            return "datetime64[ns]"
+            # preserve the zone — astype tz-aware -> naive raises in
+            # pandas 2.x, so the plan must carry it
+            tz = getattr(arrow_type, "tz", None)
+            return f"datetime64[ns, {tz}]" if tz else "datetime64[ns]"
         if pa.types.is_boolean(arrow_type):
             return "boolean"
     except (TypeError, AttributeError):
@@ -120,15 +127,24 @@ def _apply_dtype_plan(out: pd.DataFrame, plan: dict, n: int) -> pd.DataFrame:
     import numpy as np
 
     for c, dt in plan.items():
+        if dt is None:
+            # un-introspectable dtype: fill missing with object nulls,
+            # never cast an existing column
+            if c not in out.columns:
+                out[c] = np.full(n, None, dtype=object)
+            continue
         if c not in out.columns:
             if dt == "float64":
                 out[c] = np.full(n, np.nan)
-            elif dt == "datetime64[ns]":
-                out[c] = np.full(n, np.datetime64("NaT", "ns"))
+            elif dt.startswith("datetime64"):
+                # pd.array, not Series: a Series would align on index
+                out[c] = pd.array([pd.NaT] * n, dtype=dt)
             elif dt == "object":
-                out[c] = pd.Series([None] * n, dtype=object)
+                out[c] = np.full(n, None, dtype=object)
             else:  # Int64 / boolean extension dtypes
-                out[c] = pd.Series([pd.NA] * n, dtype=dt)
+                # pd.array, not Series: Series assignment aligns on the
+                # target index (duplicated after iloc[idx] replication)
+                out[c] = pd.array([pd.NA] * n, dtype=dt)
         else:
             out[c] = out[c].astype(dt, copy=False)
     return out
@@ -228,23 +244,30 @@ def asof_join(
         out["_bucket"] = _bucket_of(out[on].to_numpy())
         return out[all_cols + ["_side", "_bucket"]]
 
+    # no repartition before the groupby: the union already carries the
+    # read's block fan-out, and groupby shuffles on _bucket itself — an
+    # extra repartition would double the exchange volume
     tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
         right_ds.map_batches(tag_right, batch_format="pandas")
-    ).repartition(num_buckets)
+    )
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
+        # degenerate branches slice the GROUP for their frames so every
+        # output block (empty, unmatched-left, merged) carries identical
+        # dtypes — an object-dtype empty would break the cross-block
+        # schema invariant the tag stages establish
         lf = group[group["_side"] == 0][left_cols]
         rf = group[group["_side"] == 1][[on, ts_col] + right_value_cols]
         if len(lf) == 0:
-            return pd.DataFrame(columns=all_cols)
+            return group.iloc[0:0][all_cols]
         lf = lf.sort_values(ts_col, kind="stable")
         if len(rf) == 0:
             if how == "inner":
-                return pd.DataFrame(columns=all_cols)
-            out = lf.copy()
-            for c in right_value_cols:
-                out[c] = None
-            return out[all_cols]
+                return group.iloc[0:0][all_cols]
+            # left rows already carry plan-typed null right columns
+            return group[group["_side"] == 0].sort_values(
+                ts_col, kind="stable"
+            )[all_cols]
         rf = rf.sort_values(ts_col, kind="stable").assign(__matched=True)
         merged = pd.merge_asof(
             lf, rf, on=ts_col, by=on, direction=direction
@@ -328,9 +351,11 @@ def range_join(
         out["_bucket"] = (bins % num_buckets).astype(np.int32)
         return out[all_cols + ["_bin", "_side", "_bucket"]]
 
+    # no repartition before the groupby — it would add a second
+    # all-to-all exchange on top of the groupby's own shuffle
     tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
         right_ds.map_batches(tag_right, batch_format="pandas")
-    ).repartition(num_buckets)
+    )
 
     def match(group: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -367,12 +392,28 @@ def range_join(
 # ---------------------------------------------------------------------------
 
 
-def build_bloom(keys, n_bits: int = 1 << 20, n_hashes: int = 5):
-    """Bit-array Bloom filter from an int key array (double hashing:
-    h_i = h1 + i*h2, Kirsch-Mitzenmacher)."""
+def _bloom_keys_u64(keys) -> "np.ndarray":
+    """Keys -> uint64 for hashing: integers pass through; anything else
+    hashes crc32(str) (32 bits is plenty of entropy for a Bloom mix)."""
+    import zlib
+
     import numpy as np
 
-    keys = np.asarray(keys, dtype=np.uint64)
+    arr = np.asarray(keys)
+    if np.issubdtype(arr.dtype, np.integer):
+        return arr.astype(np.uint64)
+    return np.fromiter(
+        (zlib.crc32(str(k).encode()) for k in arr), np.uint64, count=len(arr)
+    )
+
+
+def build_bloom(keys, n_bits: int = 1 << 20, n_hashes: int = 5):
+    """Bit-array Bloom filter from a key array (double hashing:
+    h_i = h1 + i*h2, Kirsch-Mitzenmacher); int keys hash directly,
+    other types via crc32 of their string form."""
+    import numpy as np
+
+    keys = _bloom_keys_u64(keys)
     h1 = (keys * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(16)
     h2 = (keys * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(16) | np.uint64(1)
     bits = np.zeros(n_bits // 8, dtype=np.uint8)
@@ -387,7 +428,7 @@ def bloom_contains(bits, keys, n_hashes: int = 5):
     import numpy as np
 
     n_bits = np.uint64(len(bits) * 8)
-    keys = np.asarray(keys, dtype=np.uint64)
+    keys = _bloom_keys_u64(keys)
     h1 = (keys * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(16)
     h2 = (keys * np.uint64(0xC2B2AE3D27D4EB4F)) >> np.uint64(16) | np.uint64(1)
     ok = np.ones(len(keys), dtype=bool)
@@ -415,12 +456,14 @@ def bloom_semi_join(
     ~99% of non-matching rows from it for free.  Result is EXACT — the
     Bloom stage is a transparent optimization.
     """
-    import numpy as np
-
-    key_rows = keys_ds.unique(on)
-    bits = build_bloom(np.asarray(key_rows, dtype=np.int64), n_bits=n_bits)
     import ray
 
+    # materialize once: unique() (for the filter) and the semi-join both
+    # consume the keys side — without this its upstream pipeline would
+    # execute twice
+    keys_ds = keys_ds.materialize()
+    key_rows = keys_ds.unique(on)
+    bits = build_bloom(key_rows, n_bits=n_bits)
     bits_ref = ray.put(bits)
 
     def prefilter(batch: pa.Table) -> pa.Table:

@@ -22,15 +22,26 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-# hash_split's LCG (glibc constants) — keep in sync with the SQL oracle
-_LCG_A = 1103515245
-_LCG_C = 12345
+# hash_split's LCG — glibc constants shared with stages/balance.py (one
+# source of truth; the SQL oracles hardcode the same literals)
+from .balance import LCG_INC as _LCG_C  # noqa: E402
+from .balance import LCG_MULT as _LCG_A  # noqa: E402
+
 _LCG_M = 2147483648
 _DENOM = 10000
 
 
 def lcg_bucket(keys: np.ndarray, denom: int = _DENOM) -> np.ndarray:
-    return ((keys.astype(np.int64) * _LCG_A + _LCG_C) % _LCG_M) % denom
+    # uint64 arithmetic: 2^31 divides 2^64, so the modular wrap leaves
+    # the % 2^31 residue EXACT for any key magnitude (int64 would also
+    # wrap consistently, but uint64 makes the intent explicit; note the
+    # SQL oracle's int64 multiply errors past ~8.4e9 ids — cap oracle
+    # checks to that range)
+    k = keys.astype(np.uint64)
+    return (
+        ((k * np.uint64(_LCG_A) + np.uint64(_LCG_C)) % np.uint64(_LCG_M))
+        % np.uint64(denom)
+    ).astype(np.int64)
 
 
 def stratified_sample(

@@ -54,7 +54,9 @@ def sessionize(
             )
         return df.assign(_bucket=b)
 
-    gap_ns = np.timedelta64(int(gap.total_seconds() * 1e9), "ns")
+    # integer arithmetic, not total_seconds()*1e9: the float64 product
+    # can round for day-scale gaps and flip the strictly-greater test
+    gap_ns = np.timedelta64((gap // _dt.timedelta(microseconds=1)) * 1000, "ns")
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key] + order_cols, kind="stable")
@@ -159,7 +161,11 @@ def rolling_window_sum(
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key] + order_cols, kind="stable")
-        v = g[val_col].to_numpy(np.int64)
+        # keep the value dtype: exact for integers, float64 for floats —
+        # forcing int64 would silently truncate float values
+        v = g[val_col].to_numpy()
+        if not np.issubdtype(v.dtype, np.integer):
+            v = v.astype(np.float64)
         k = g[key].to_numpy()
         c = np.concatenate(([0], np.cumsum(v)))
         n = len(g)

@@ -179,3 +179,59 @@ def test_bloom_filter_contract():
     non = np.arange(1, 100_000, 7, dtype=np.int64)
     fp = bloom_contains(bits, non).mean()
     assert fp < 0.02, fp
+
+
+def test_bloom_string_keys():
+    import numpy as np
+
+    from information_extraction_t5_ray.stages.joins import bloom_contains, build_bloom
+
+    members = np.array([f"url-{i}" for i in range(0, 5000, 3)], dtype=object)
+    bits = build_bloom(members)
+    assert bloom_contains(bits, members).all()
+    non = np.array([f"url-{i}" for i in range(1, 5000, 3)], dtype=object)
+    assert bloom_contains(bits, non).mean() < 0.02
+
+
+def test_asof_join_tz_aware(ray_session):
+    import datetime as dt
+
+    import pandas as pd
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.joins import asof_join
+
+    t0 = pd.Timestamp("2024-01-01", tz="UTC")
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": [1], "ts": [t0 + pd.Timedelta(minutes=10)],
+         "seen_at": [t0 + pd.Timedelta(minutes=11)]}  # tz-aware value col
+    ))
+    right = rd.from_pandas(pd.DataFrame(
+        {"k": [1], "ts": [t0], "rv": [7]}
+    ))
+    out = asof_join(left, right, on="k", ts_col="ts").to_pandas()
+    assert list(out["rv"]) == [7]
+    # tz-aware values survive (dtype may degrade to object through the
+    # pandas-block union — Ray can't describe tz dtypes in its schema —
+    # but must never raise or lose the zone)
+    assert out["seen_at"].iloc[0] == t0 + pd.Timedelta(minutes=11)
+
+
+def test_rolling_sum_preserves_floats(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.temporal import rolling_window_sum
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = rd.from_items(
+        [{"id": i, "k": 1, "ts": t0 + dt.timedelta(minutes=i), "v": 0.5}
+         for i in range(4)]
+    )
+    out = rolling_window_sum(
+        ev, key="k", ts_col="ts", val_col="v", window=2, id_col="id",
+        out_col="rs",
+    ).to_pandas().sort_values("id")
+    # floats are NOT truncated: windows of two 0.5s sum to 1.0
+    assert list(out["rs"]) == [0.5, 1.0, 1.0, 1.0]
