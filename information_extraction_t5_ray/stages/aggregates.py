@@ -17,6 +17,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import bucket_of
+
 
 def grouped_median_counting(
     ds,
@@ -25,8 +27,6 @@ def grouped_median_counting(
     out_col: str = "median",
     num_buckets: int = 64,
 ):
-    import zlib
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (
             df.groupby([group_col, val_col], sort=False)
@@ -34,9 +34,7 @@ def grouped_median_counting(
             .rename("cnt")
             .reset_index()
         )
-        g["_bucket"] = g[group_col].map(
-            lambda s: zlib.crc32(str(s).encode()) % num_buckets
-        ).astype(np.int32)
+        g["_bucket"] = bucket_of(g[group_col], num_buckets)
         return g
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -140,8 +138,6 @@ def grouped_topk(
     highest-probability-window argmax (k=1), reference
     ``features/postprocess.py:249-288``.
     """
-    import zlib
-
     def select(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(
             [group_col, order_col, tie_col],
@@ -152,12 +148,7 @@ def grouped_topk(
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = select(df)
-        gk = out[group_col]
-        if np.issubdtype(gk.dtype, np.integer):
-            b = gk.to_numpy(np.int64) % num_buckets
-        else:
-            b = gk.map(lambda s: zlib.crc32(str(s).encode()) % num_buckets)
-        return out.assign(_bucket=np.asarray(b, dtype=np.int32))
+        return out.assign(_bucket=bucket_of(out[group_col], num_buckets))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return select(df).drop(columns=["_bucket"])

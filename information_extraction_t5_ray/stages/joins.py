@@ -27,6 +27,8 @@ from typing import Optional, Sequence, Tuple, Union
 import pandas as pd
 import pyarrow as pa
 
+from .common import bucket_of
+
 
 def broadcast_hash_join(
     big_ds,
@@ -223,25 +225,16 @@ def asof_join(
         }
     )
 
-    def _bucket_of(keys: np.ndarray) -> np.ndarray:
-        if np.issubdtype(keys.dtype, np.integer):
-            return (keys % num_buckets).astype(np.int32)
-        return np.fromiter(
-            (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
-            np.int32,
-            count=len(keys),
-        )
-
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = _apply_dtype_plan(df.copy(), dtype_plan, len(df))
         out["_side"] = np.int8(0)
-        out["_bucket"] = _bucket_of(df[on].to_numpy())
+        out["_bucket"] = bucket_of(df[on], num_buckets)
         return out[all_cols + ["_side", "_bucket"]]
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
         out = _apply_dtype_plan(df.rename(columns=rename).copy(), dtype_plan, len(df))
         out["_side"] = np.int8(1)
-        out["_bucket"] = _bucket_of(out[on].to_numpy())
+        out["_bucket"] = bucket_of(out[on], num_buckets)
         return out[all_cols + ["_side", "_bucket"]]
 
     # no repartition before the groupby: the union already carries the

@@ -25,6 +25,7 @@ import pyarrow as pa
 # hash_split's LCG — glibc constants shared with stages/balance.py (one
 # source of truth; the SQL oracles hardcode the same literals)
 from .balance import LCG_INC as _LCG_C  # noqa: E402
+from .common import bucket_of  # noqa: E402
 from .balance import LCG_MULT as _LCG_A  # noqa: E402
 
 _LCG_M = 2147483648
@@ -97,17 +98,10 @@ def grouped_sample_k(
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
         out = df.assign(_rank=lcg_bucket(df[key_col].to_numpy(), denom=_LCG_M))
         out = out.sort_values(["_rank", key_col], kind="stable")
         out = out.groupby(group_col, sort=False).head(k)
-        gk = out[group_col]
-        if np.issubdtype(gk.dtype, np.integer):
-            b = gk.to_numpy(np.int64) % num_buckets
-        else:
-            b = gk.map(lambda s: zlib.crc32(str(s).encode()) % num_buckets)
-        return out.assign(_bucket=np.asarray(b, dtype=np.int32))
+        return out.assign(_bucket=bucket_of(out[group_col], num_buckets))
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(["_rank", key_col], kind="stable")

@@ -21,6 +21,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
+from .common import bucket_of
+
 
 def sessionize(
     events_ds,
@@ -41,18 +43,7 @@ def sessionize(
     order_cols = [ts_col] + ([id_col] if id_col else [])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        keys = df[key].to_numpy()
-        if np.issubdtype(keys.dtype, np.integer):
-            b = (keys % num_buckets).astype(np.int32)
-        else:
-            import zlib
-
-            b = np.fromiter(
-                (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
-                np.int32,
-                count=len(keys),
-            )
-        return df.assign(_bucket=b)
+        return df.assign(_bucket=bucket_of(df[key], num_buckets))
 
     # integer arithmetic, not total_seconds()*1e9: the float64 product
     # can round for day-scale gaps and flip the strictly-greater test
@@ -107,17 +98,7 @@ def pivot_counts(
         ).reindex(columns=cols, fill_value=0)
         d[key] = df[key].to_numpy()
         g = d.groupby(key, sort=False).sum().reset_index()
-        if np.issubdtype(g[key].dtype, np.integer):
-            g["_bucket"] = g[key].to_numpy(np.int64) % num_buckets
-        else:
-            import zlib
-
-            # crc32, NOT hash(): Python hash is salted per process, and
-            # workers are different processes — a key must bucket
-            # identically everywhere or the final fold splits it
-            g["_bucket"] = g[key].map(
-                lambda s: zlib.crc32(str(s).encode()) % num_buckets
-            )
+        g["_bucket"] = bucket_of(g[key], num_buckets)
         return g
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -146,18 +127,7 @@ def rolling_window_sum(
     order_cols = [ts_col] + ([id_col] if id_col else [])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-
-        keys = df[key].to_numpy()
-        if np.issubdtype(keys.dtype, np.integer):
-            b = (keys % num_buckets).astype(np.int32)
-        else:
-            b = np.fromiter(
-                (zlib.crc32(str(k).encode()) % num_buckets for k in keys),
-                np.int32,
-                count=len(keys),
-            )
-        return df.assign(_bucket=b)
+        return df.assign(_bucket=bucket_of(df[key], num_buckets))
 
     def assign(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key] + order_cols, kind="stable")
