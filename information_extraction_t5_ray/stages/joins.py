@@ -438,26 +438,52 @@ def bloom_semi_join(
     on: str,
     num_partitions: int = 64,
     n_bits: int = 1 << 20,
+    exact: str = "broadcast",
 ):
-    """Exact semi-join with a Bloom prefilter: the small side's keys
-    build a broadcast Bloom filter that drops most non-matching big-side
-    rows BEFORE the exchange (false positives pass through), then Ray's
-    hash-shuffle LEFT SEMI join does the exact membership test.
+    """Exact semi-join against a small key side, Bloom-accelerated: the
+    key set builds a broadcast bit-array filter whose O(1)-per-row probe
+    rejects most non-matching big-side rows, then an exact membership
+    test removes the Bloom's false positives.
 
-    The scale pattern: at 10^12 rows the semi-join exchange is the cost,
-    and a 128 KiB broadcast filter with ~1% false-positive rate removes
-    ~99% of non-matching rows from it for free.  Result is EXACT — the
-    Bloom stage is a transparent optimization.
+    ``exact='broadcast'`` (default): the distinct key array itself is
+    broadcast and checked with a vectorized ``np.isin`` after the Bloom
+    probe — zero exchange of the big side, right whenever the DISTINCT
+    keys fit in worker memory (the same regime where the small side of a
+    broadcast join fits).  ``exact='join'``: Ray's hash-shuffle LEFT
+    SEMI join does the final test — needed only when the distinct key
+    set itself is too large to broadcast; note Ray 2.49's hash-shuffle
+    join raises ArrowInvalid when a left hash partition receives no rows
+    (keys sparser than num_partitions), so size num_partitions below the
+    expected distinct-key count on that path.
+
+    The scale pattern either way: at 10^12 big-side rows, the per-row
+    cost is the Bloom probe; the 128 KiB filter rejects ~99% of
+    non-members before any exact work.
     """
+    import numpy as np
     import ray
 
-    # materialize once: unique() (for the filter) and the semi-join both
-    # consume the keys side — without this its upstream pipeline would
-    # execute twice
+    # materialize once: unique() (for the filter) and the exact test
+    # both consume the keys side — without this its upstream pipeline
+    # would execute twice
     keys_ds = keys_ds.materialize()
-    key_rows = keys_ds.unique(on)
+    key_rows = np.asarray(keys_ds.unique(on))
     bits = build_bloom(key_rows, n_bits=n_bits)
     bits_ref = ray.put(bits)
+    keys_ref = ray.put(key_rows)
+
+    if exact == "broadcast":
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            b = ray.get(bits_ref)
+            vals = batch[on].to_numpy()
+            mask = bloom_contains(b, vals)
+            if mask.any():
+                # exact membership only on the Bloom survivors
+                mask[mask] = np.isin(vals[mask], ray.get(keys_ref))
+            return batch.filter(pa.array(mask))
+
+        return big_ds.map_batches(prefilter, batch_format="pyarrow")
 
     def prefilter(batch: pa.Table) -> pa.Table:
         b = ray.get(bits_ref)

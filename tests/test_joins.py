@@ -235,3 +235,19 @@ def test_rolling_sum_preserves_floats(ray_session):
     ).to_pandas().sort_values("id")
     # floats are NOT truncated: windows of two 0.5s sum to 1.0
     assert list(out["rs"]) == [0.5, 1.0, 1.0, 1.0]
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.joins import bloom_semi_join
+
+    big = rd.from_items(
+        [{"url": f"https://site-{i % 7}.example/p{i}", "host": f"site-{i % 7}", "n": i}
+         for i in range(50)]
+    )
+    keys = rd.from_items([{"host": "site-2"}, {"host": "site-5"}])
+    out = bloom_semi_join(big, keys, on="host", num_partitions=4).to_pandas()
+    assert len(out) > 0
+    assert set(out["host"]) == {"site-2", "site-5"}
+    assert len(out) == sum(1 for i in range(50) if i % 7 in (2, 5))
