@@ -81,6 +81,12 @@ def hash_join(
     right_outer / full_outer / left_semi / right_semi / left_anti /
     right_anti.  ``num_partitions`` is the exchange width — size it to
     cluster cores, and salt skewed keys upstream (module docstring).
+
+    Known Ray 2.49 issue: a LEFT hash partition that receives zero rows
+    makes the aggregator raise ArrowInvalid ("No match ... for key field
+    reference") — keep ``num_partitions`` below the expected
+    distinct-key count of the left side (or use bloom_semi_join's
+    broadcast-exact path for semi-joins against small key sets).
     """
     keys: Tuple[str, ...] = (on,) if isinstance(on, str) else tuple(on)
     rkeys = None
