@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value_sum": c.q_rolling_value_sum,  # ROWS 2 PRECEDING window
         "top3_events_per_user": c.q_top3_events_per_user,  # grouped top-k
         "props_extract": c.q_props_extract,  # JSON field extraction
+        "shuffle_shards": c.q_shuffle_shards,  # deterministic export shuffle
         "session_stats": c.q_session_stats,  # sessionize -> per-session agg
     }
 
@@ -193,5 +194,6 @@ def oracle_sql() -> dict[str, str]:
         "rolling_value_sum": oc.rolling_value_sum_sql(),
         "top3_events_per_user": oc.top3_events_per_user_sql(),
         "props_extract": oc.props_extract_sql(),
+        "shuffle_shards": oc.shuffle_shards_sql(),
         "session_stats": oc.session_stats_sql(),
     }

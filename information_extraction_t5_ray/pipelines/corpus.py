@@ -298,6 +298,28 @@ def q_lineitem_order_join(sf_dir: str):
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic training-data shuffle: per-shard doc counts under
+    the LCG shard assignment (the export layout's manifest view)."""
+    from ..stages.sampling import assign_shuffle_shards
+
+    docs = _read_docs_with_lang(sf_dir)
+    tagged = assign_shuffle_shards(docs, key_col="doc_id", num_shards=16)
+    num_buckets = 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("shard", sort=False).size().rename("n_docs").reset_index()
+        g["_bucket"] = (g["shard"] % num_buckets).astype(np.int32)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("shard", sort=False)["n_docs"].sum().reset_index()
+        return out.astype(np.int64)
+
+    parts = tagged.map_batches(partial, batch_format="pandas")
+    return parts.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
 def q_props_extract(sf_dir: str):
     """Semi-structured extraction: pull the integer field k out of the
     events' JSON props column (vectorized orjson-less parse via pandas

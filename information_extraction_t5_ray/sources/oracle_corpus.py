@@ -385,3 +385,10 @@ def props_extract_sql() -> str:
     return """SELECT event_id,
   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events"""
+
+
+def shuffle_shards_sql() -> str:
+    return """SELECT
+  CAST(((doc_id * 1103515245 + 12345) % 2147483648) % 16 AS BIGINT) AS shard,
+  count(*) AS n_docs
+FROM documents GROUP BY 1"""

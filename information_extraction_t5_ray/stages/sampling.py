@@ -110,3 +110,51 @@ def grouped_sample_k(
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
+def assign_shuffle_shards(
+    ds,
+    key_col: str,
+    num_shards: int = 16,
+    shard_col: str = "shard",
+):
+    """Deterministic global shuffle for training-data export: shard =
+    lcg(key) % num_shards, within-shard order = (lcg(key), key).
+
+    A seeded ``random_shuffle`` is partition-dependent and needs a full
+    exchange; a key-hash shard assignment is reproducible byte-for-byte
+    under any partitioning, resumable per shard, and SQL-checkable.
+    Writing with ``partition_cols=[shard_col]`` yields the sharded
+    layout trainers consume round-robin.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy()
+        r = lcg_bucket(keys, denom=_LCG_M)
+        batch = batch.append_column(
+            "_shuffle_rank", pa.array(r, pa.int64())
+        )
+        return batch.append_column(
+            shard_col, pa.array((r % num_shards).astype(np.int32))
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def export_shuffled(
+    ds,
+    key_col: str,
+    out_dir: str,
+    num_shards: int = 16,
+    min_rows_per_file: int = 100_000,
+):
+    """Materialize a deterministically shuffled, sharded training-data
+    layout: one Parquet directory per shard, rows ordered by the
+    shuffle rank within each file."""
+    tagged = assign_shuffle_shards(ds, key_col, num_shards)
+    tagged.sort(["_shuffle_rank", key_col]).drop_columns(
+        ["_shuffle_rank"]
+    ).write_parquet(
+        out_dir, partition_cols=["shard"], min_rows_per_file=min_rows_per_file
+    )
+    return out_dir

@@ -230,3 +230,27 @@ def test_hll_accuracy_and_merge_invariance(ray_session):
     merged = np.maximum(hll_register_batch(keys[:3000]), hll_register_batch(keys[3000:]))
     assert np.array_equal(whole, merged)
     assert abs(hll_estimate(whole) - 10_000) / 10_000 < 0.05
+
+
+def test_export_shuffled_layout(ray_session, tmp_path):
+    """Shuffled export: sharded directories, deterministic within-file
+    order, exact row conservation."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.sampling import export_shuffled
+
+    docs = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(200)])
+    out = export_shuffled(docs, "doc_id", str(tmp_path / "shards"), num_shards=4)
+    data = pds.dataset(out, partitioning="hive")
+    t = data.to_table()
+    assert t.num_rows == 200
+    assert sorted(t["doc_id"].to_pylist()) == list(range(200))
+    assert set(t["shard"].to_pylist()) <= set(range(4))
+    # determinism: a second export produces byte-identical shard contents
+    out2 = export_shuffled(docs, "doc_id", str(tmp_path / "shards2"), num_shards=4)
+    t2 = pds.dataset(out2, partitioning="hive").to_table()
+    a = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = t2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
