@@ -108,6 +108,22 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _resolve_parallelism(parallelism) -> int:
+    """Shuffle width for the bucketed groupbys: explicit value wins;
+    None sizes to 2x cluster CPUs (capped at 64) — a fixed wide fan-out
+    over-partitions small clusters into scheduling overhead, a narrow
+    one starves big ones (the map_groups task count follows it)."""
+    if parallelism is not None:
+        return parallelism
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, min(64, cpus * 2))
+
+
 def exact_dedup(docs_ds, num_buckets: int = 64, batch_size: int = 4096):
     """(doc_id, text) -> (doc_id=min per content group, n_dups).
 
@@ -212,7 +228,7 @@ def jaccard_pairs(
     max_df: int = 64,
     num_buckets: int = 64,
     batch_size: int = 2048,
-    parallelism: int = 64,
+    parallelism=None,
 ):
     """Pairs (i < j) with word-k-gram Jaccard >= num/den, exact.
 
@@ -239,7 +255,7 @@ def jaccard_pairs(
         lambda b: _shingle_rows(b, k, num_buckets),
         batch_format="pyarrow",
         batch_size=batch_size,
-    ).repartition(parallelism)
+    ).repartition(_resolve_parallelism(parallelism))
     candidates = shingles.groupby("bucket").map_groups(
         lambda df: _emit_pairs(df, max_df, num_buckets), batch_format="pandas"
     )
@@ -375,7 +391,7 @@ def minhash_lsh_pairs(
     batch_size: int = 1024,
     num_buckets: int = 64,
     max_band_df: int = 256,
-    parallelism: int = 64,
+    parallelism=None,
 ):
     """Near-duplicate pairs via MinHash banding with band-collision-count
     verification.
@@ -443,7 +459,7 @@ def minhash_lsh_pairs(
     band_rows = band_rows.map_batches(
         lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    ).repartition(parallelism)
+    ).repartition(_resolve_parallelism(parallelism))
     cand = band_rows.groupby("bucket").map_groups(candidates, batch_format="pandas")
     return cand.groupby("pbucket").map_groups(verify, batch_format="pandas")
 
@@ -478,7 +494,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     batch_size: int = 2048,
     num_buckets: int = 64,
-    parallelism: int = 64,
+    parallelism=None,
 ):
     """Pairs (i < j) with SimHash hamming distance <= max_hamming.
 
@@ -533,7 +549,7 @@ def simhash_pairs(
     bands = bands.map_batches(
         lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    ).repartition(parallelism)
+    ).repartition(_resolve_parallelism(parallelism))
     cand = bands.groupby("bucket").map_groups(pairs_in_band, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: df.assign(
