@@ -177,8 +177,8 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 def balance_counts_sql() -> str:
     return """SELECT l_orderkey,
-  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS n_pos,
-  sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS n_neg
+  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
 FROM lineitem GROUP BY l_orderkey
 HAVING n_pos > 0 AND n_neg > 0"""
 
@@ -269,8 +269,8 @@ def sessionize_sql() -> str:
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, user_id,
-  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS session_id
+  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
 FROM g"""
 
 
@@ -297,11 +297,11 @@ GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100"""
 
 def events_pivot_sql() -> str:
     return """SELECT user_id,
-  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
 FROM events GROUP BY user_id"""
 
 
@@ -372,8 +372,8 @@ def session_stats_sql() -> str:
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT event_id, user_id, ts,
-    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -47,6 +47,18 @@ def _compare(got: pd.DataFrame, want: pd.DataFrame, name: str):
     g = got[cols].sort_values(cols).reset_index(drop=True)
     w = want[cols].sort_values(cols).reset_index(drop=True)
     assert len(g) == len(w), f"{name}: {len(g)} vs {len(w)} rows"
+    # The driver hashes VALUES (column-sorted), so 0 (int) vs 0.0 (float)
+    # mismatch even when numerically equal.  check_dtype=False alone masked
+    # exactly that in round 1 (DuckDB HUGEINT window sums -> float64).
+    # Require the dtype KIND to agree (ints of any width together, floats
+    # together, strings together) so the in-repo check is byte-compatible
+    # with the driver's value hash.
+    kind = lambda d: {"u": "i"}.get(d.kind, d.kind)
+    for c in cols:
+        assert kind(g[c].dtype) == kind(w[c].dtype), (
+            f"{name}.{c}: dtype kind {g[c].dtype} vs oracle {w[c].dtype} — "
+            "driver value-hash would mismatch"
+        )
     pd.testing.assert_frame_equal(g, w, check_dtype=False, obj=name)
 
 
