@@ -97,12 +97,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_entities": _q_kg_entities,
         # E1 training-data production + balancing + eval harness
-        "t5_examples": _q_t5_examples,  # rows-only (windowed seq2seq text)
-        "balanced_examples": _q_balanced_examples,  # rows-only
+        "t5_examples": _q_t5_examples,
+        "balanced_examples": _q_balanced_examples,
         "balanced_sample": c.q_balanced_sample,
         "eval_by_qaid": _q_eval_by_qaid,
-        "eval_by_typename": _q_eval_by_typename,  # rows-only (variant groups)
-        "eval_by_document": _q_eval_by_document,  # rows-only
+        "eval_by_typename": _q_eval_by_typename,
+        "eval_by_document": _q_eval_by_document,
         "squad_sample": _q_squad_sample,  # rows-only (golden-corpus E1)
         # dedup family
         "exact_dedup": c.q_exact_dedup,
@@ -152,11 +152,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from information_extraction_t5_ray.sources import oracle_corpus as oc
+    from information_extraction_t5_ray.sources import oracle_t5 as ot5
     from information_extraction_t5_ray.sources.oracle import oracle_triples_sql
 
     from information_extraction_t5_ray.sources.oracle import (
         oracle_entities_sql,
+        oracle_eval_by_document_sql,
         oracle_eval_by_qaid_sql,
+        oracle_eval_by_typename_sql,
     )
 
     return {
@@ -164,6 +167,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities": oracle_entities_sql(),
         "balanced_sample": oc.balanced_sample_sql(),
         "eval_by_qaid": oracle_eval_by_qaid_sql(),
+        "eval_by_typename": oracle_eval_by_typename_sql(),
+        "eval_by_document": oracle_eval_by_document_sql(),
+        "t5_examples": ot5.t5_examples_sql(),
+        "balanced_examples": ot5.balanced_examples_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_dupes": oc.jaccard_dupes_sql(),
         "dedup_apply": oc.dedup_apply_sql(),

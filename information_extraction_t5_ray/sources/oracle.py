@@ -129,6 +129,71 @@ def oracle_eval_by_qaid_sql() -> str:
     return selects[0] + " " + " UNION ALL ".join(rows)
 
 
+def _split_group_universe():
+    """Group keys of the split-stage variant rows (stages/postprocess.py
+    compound explosion, reference features/postprocess.py:73-246) as seen
+    by evalqa.groups_of_id: per simple field the original and ``*``-clean
+    variants; the compound original; per compound member the ``~member``
+    and ``~member*`` variants.  Returns (typename_groups, rows_per_doc,
+    project_rows_per_doc)."""
+    from ..registry import QuestionRegistry
+    from ..stages.score import _QAPlan
+
+    plan = _QAPlan(QuestionRegistry.default(), None, None, "first")
+    groups = []
+    n_rows = 0  # split rows per document
+    n_form = 0  # rows contributing to the project rollup (no '~')
+    for qa_id in plan.type_names:
+        is_compound, _qs, leaf_or_sig = plan.plan[qa_id]
+        if is_compound:
+            groups.append(qa_id)  # original compound row
+            n_rows += 1
+            n_form += 1
+            for member in leaf_or_sig:
+                groups.append(f"{qa_id}~{member}")
+                groups.append(f"{qa_id}~{member}*")
+                n_rows += 2
+        else:
+            groups.append(qa_id)
+            groups.append(f"{qa_id}*")
+            n_rows += 2
+            n_form += 2
+    return groups, n_rows, n_form
+
+
+def oracle_eval_by_typename_sql() -> str:
+    """Expected metrics for granularity='typename' (split variant rows,
+    reference metrics_by_typenames.json): perfect EM/F1, so every group
+    scores (count, count*1e6, count) where count derives from the
+    variant-row algebra of the compound explosion."""
+    groups, n_rows, n_form = _split_group_universe()
+    rows = [
+        "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)"
+    ]
+    body = [
+        f"SELECT 'all' AS grp, c * {n_rows} AS n_exact, "
+        f"c * {n_rows} * 1000000 AS f1_sum_x1e6, c * {n_rows} AS total FROM n",
+        f"SELECT 'form', c * {n_form}, c * {n_form} * 1000000, c * {n_form} FROM n",
+    ]
+    for g in groups:
+        body.append(f"SELECT '{g}', c, c * 1000000, c FROM n")
+    return rows[0] + " " + " UNION ALL ".join(body)
+
+
+def oracle_eval_by_document_sql() -> str:
+    """Expected metrics for granularity='document' (reference
+    metrics_by_documents.json): one group per url scoring perfect EM/F1
+    over its split variant rows, plus the 'all' rollup."""
+    _groups, n_rows, _n_form = _split_group_universe()
+    return f"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+SELECT 'all' AS grp, c * {n_rows} AS n_exact,
+       c * {n_rows} * 1000000 AS f1_sum_x1e6, c * {n_rows} AS total FROM n
+UNION ALL
+SELECT {URL_SQL}, CAST({n_rows} AS BIGINT),
+       CAST({n_rows} AS BIGINT) * 1000000, CAST({n_rows} AS BIGINT)
+FROM documents"""
+
+
 def oracle_triples_sql() -> str:
     """Expected (subj, pred, obj) set as one UNION ALL over documents."""
     selects = []
