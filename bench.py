@@ -76,12 +76,15 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
     queries = _bench_queries(sf_dir)
     if only:
         queries = {k: v for k, v in queries.items() if k in only}
-    # one tiny warmup run so the measurements reflect steady-state
+    # one warmup run so the measurements reflect steady-state
     # throughput, not first-query session costs (actor-pool spin-up,
-    # shuffle service init) that a long-running job pays once
+    # shuffle service init) that a long-running job pays once.  Warm on
+    # a small fixture when one is present next to sf_dir, else on
+    # sf_dir itself (each query is additionally timed twice below).
     from information_extraction_t5_ray.pipelines.kg import run_kg
 
-    run_kg("/root/testdata/sf0.001").count()
+    warm_dir = Path(sf_dir).parent / "sf0.001"
+    run_kg(str(warm_dir) if warm_dir.is_dir() else sf_dir).count()
     times: dict = {}
     cold: dict = {}
     rows: dict = {}
@@ -176,18 +179,7 @@ def run_scaling_child(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, low: int = 2, high: int = 8, repeat: int = 16) -> dict:
-    """Same job + same input at two parallelism levels (N and 4N), fresh
-    processes.  efficiency = (thr_high / thr_low) / (high / low).
-
-    ``repeat`` deterministically replicates the fixture so the work
-    dominates fixed per-run costs (read barrier + planning, ~2-3s) -
-    without it the sf0.1 fixture is a ~5s job and the measurement is
-    all overhead.  2 vs 8 stays clear of this single box's all-core
-    turbo/bandwidth cliff, which a real N-vs-4N NODE comparison (the
-    north rule's setting, each node bringing its own memory system)
-    would not have.
-    """
+def _scaling_pair(sf_dir: str, low: int, high: int, repeat: int) -> dict:
     r_low = _run_child(sf_dir, low, repeat)
     r_high = _run_child(sf_dir, high, repeat)
     eff = (
@@ -196,13 +188,38 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8, repeat: int = 16) -> d
         else 0.0
     )
     return {
+        "efficiency": round(eff, 3),
+        "low": r_low,
+        "high": r_high,
+    }
+
+
+def run_scaling(sf_dir: str, repeat: int = 16) -> dict:
+    """Same job + same input at two parallelism levels (N and 4N), fresh
+    processes.  efficiency = (thr_high / thr_low) / (high / low).
+
+    Two pairs are measured: 8 vs 32 CPUs (the driver-shaped N-vs-4N
+    stand-in) and 2 vs 8 (which stays clear of this single box's
+    all-core turbo/bandwidth cliff — separate nodes in the north rule's
+    real setting each bring their own memory system and would not share
+    it).  The headline value is the 8v32 pair; BASELINE.md records both
+    plus the hardware caveat.
+
+    ``repeat`` deterministically replicates the fixture so the work
+    dominates fixed per-run costs (read barrier + planning, ~2-3s) -
+    without it the sf0.1 fixture is a ~5s job and the measurement is
+    all overhead.
+    """
+    pair_8v32 = _scaling_pair(sf_dir, 8, 32, repeat)
+    pair_2v8 = _scaling_pair(sf_dir, 2, 8, repeat)
+    return {
         "metric": "kg_scaling_efficiency",
-        "value": round(eff, 3),
+        "value": pair_8v32["efficiency"],
         "unit": "ratio",
         "sf": _sf_of(sf_dir),
         "repeat": repeat,
-        "low": r_low,
-        "high": r_high,
+        "pair_8v32": pair_8v32,
+        "pair_2v8": pair_2v8,
     }
 
 

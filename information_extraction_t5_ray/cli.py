@@ -115,11 +115,19 @@ def cmd_query(args) -> int:
 
     # __ray_entry__ lives at the repo root, not inside the package
     root = Path(__file__).resolve().parents[1]
-    spec = importlib.util.spec_from_file_location(
-        "__ray_entry__", root / "__ray_entry__.py"
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
+    entry_path = root / "__ray_entry__.py"
+    try:
+        spec = importlib.util.spec_from_file_location("__ray_entry__", entry_path)
+        entry = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry)
+    except (FileNotFoundError, ImportError, AttributeError) as e:
+        print(
+            f"error: query registry not found at {entry_path} — "
+            "'query' requires running from the repo checkout "
+            f"(the registry lives next to the package, not inside it): {e}",
+            file=_sys.stderr,
+        )
+        return 2
 
     queries = entry.queries()
     if args.list:

@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..stages.common import resolve_parallelism
 from ..stages import dedup as dedup_ops
 from ..stages import similarity as sim_ops
 from ..stages import textstats
@@ -635,7 +636,7 @@ def q_grouped_argmax(sf_dir: str):
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"],
     )
-    num_buckets = 64
+    num_buckets = resolve_parallelism(None)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -700,7 +701,7 @@ def q_balance_counts(sf_dir: str):
     ds = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
-    num_buckets = 64
+    num_buckets = resolve_parallelism(None)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df["pos"] = (df["l_returnflag"] == "R").astype(np.int64)

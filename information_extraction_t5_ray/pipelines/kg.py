@@ -38,7 +38,7 @@ class KGConfig:
     use_compound: Optional[List[str]] = None
     use_fewer_na: bool = True  # postprocess.py:274-280 path
     label_mode: str = "na"  # 'na' (inference) | 'synth' (eval labels)
-    num_buckets: int = 64
+    num_buckets: Optional[int] = None  # None -> sized to cluster CPUs
     num_partitions: int = 64
     # autoscaling (min, max): a fixed pool equal to the CPU count can
     # starve the read stage in small local sessions; at cluster scale
@@ -185,10 +185,15 @@ def kg_eval_metrics(
                               grouping incl. ~member/* collapsing;
                  'document' -> split rows grouped per url.
     """
+    import dataclasses
+
     from ..stages.evalqa import eval_stage
 
-    cfg = cfg or KGConfig(label_mode="synth")
-    cfg.label_mode = "synth"
+    # don't mutate the caller's config — the same cfg object may drive a
+    # subsequent run_kg/run_predict expecting its original label_mode
+    cfg = dataclasses.replace(cfg, label_mode="synth") if cfg else KGConfig(
+        label_mode="synth"
+    )
     pages = synth.read_pages(sf_dir)
     if granularity == "qa_id":
         best = attach_synth_labels(kg_best(pages, cfg), cfg.registry())

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from typing import Dict, Optional, Tuple
 
 import pyarrow as pa
@@ -150,6 +151,12 @@ def run_predict(
             )
         # the reference's prediction cache (predict.py:26-27): raw
         # predictions persist before any post-processing
+        # recomputing: clear any stale cache first — Ray's default
+        # write_parquet APPENDs into an existing dir, and a union of
+        # stale + fresh predictions lets a stale row win the per-(url,
+        # qa_id) argmax downstream
+        if os.path.isdir(pred_dir):
+            shutil.rmtree(pred_dir)
         preds.write_parquet(pred_dir, min_rows_per_file=100_000)
         preds = rd.read_parquet(pred_dir)
 

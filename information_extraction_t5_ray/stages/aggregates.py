@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import bucket_of
+from .common import bucket_of, resolve_parallelism
 
 
 def grouped_median_counting(
@@ -25,8 +25,9 @@ def grouped_median_counting(
     group_col: str,
     val_col: str,
     out_col: str = "median",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
+    num_buckets = resolve_parallelism(num_buckets)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (
             df.groupby([group_col, val_col], sort=False)
@@ -129,7 +130,7 @@ def grouped_topk(
     k: int,
     tie_col: str,
     ascending: bool = False,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Top-k rows per group by ``order_col`` (ties broken by ascending
     ``tie_col`` — deterministic under any partitioning).  Two-phase: each
@@ -138,6 +139,7 @@ def grouped_topk(
     highest-probability-window argmax (k=1), reference
     ``features/postprocess.py:249-288``.
     """
+    num_buckets = resolve_parallelism(num_buckets)
     def select(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(
             [group_col, order_col, tie_col],

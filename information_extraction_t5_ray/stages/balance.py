@@ -26,6 +26,7 @@ from typing import List, Optional
 
 import numpy as np
 import pandas as pd
+from .common import resolve_parallelism
 
 LCG_MULT = 1103515245
 LCG_INC = 12345
@@ -45,7 +46,7 @@ def balance_stage(
     neg_col: str = "is_negative",
     order_cols: Optional[List[str]] = None,
     negative_ratio: int = 1,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     key_hash_col: Optional[str] = None,
 ):
     """Dataset -> balanced Dataset (all positives + per-key resampled
@@ -56,6 +57,7 @@ def balance_stage(
     ``order_cols``: stable within-key ordering of negatives before
     indexing (required for determinism).
     """
+    num_buckets = resolve_parallelism(num_buckets)
     order_cols = order_cols or []
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -114,10 +116,11 @@ def balance_stage(
 
 
 def count_pos_neg_stage(ds, key_cols: List[str], neg_col: str = "is_negative",
-                        num_buckets: int = 64):
+                        num_buckets: int | None = None):
     """Per-key (n_pos, n_neg) counts (reference count_pos_neg,
     balance_data.py:8-27) as a two-phase partial aggregate."""
 
+    num_buckets = resolve_parallelism(num_buckets)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.assign(_neg=df[neg_col].astype(np.int64))
         g = (

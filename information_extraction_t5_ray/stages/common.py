@@ -7,6 +7,31 @@ import zlib
 import numpy as np
 
 
+def resolve_parallelism(
+    parallelism: int | None = None,
+    per_cpu: int = 2,
+    floor: int = 8,
+    cap: int = 1024,
+) -> int:
+    """Shuffle/reduce width for the bucketed groupbys: explicit value
+    wins; ``None`` sizes to ``per_cpu x`` cluster CPUs.  A fixed wide
+    fan-out over-partitions small clusters into scheduling overhead, a
+    fixed narrow one starves big ones — the ``map_groups`` task count
+    follows this number, so a 64-bucket literal caps a 256-core cluster
+    at a quarter of its reduce width.  The cap bounds tiny-group
+    overhead on very large clusters; pass an explicit value to exceed
+    it."""
+    if parallelism is not None:
+        return parallelism
+    try:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # pragma: no cover - no cluster
+        cpus = 8
+    return max(floor, min(cap, cpus * per_cpu))
+
+
 def bucket_of(keys, num_buckets: int) -> np.ndarray:
     """Deterministic bucket id per key, identical in every worker
     process: integer keys take the modulo path, anything else hashes

@@ -53,6 +53,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import resolve_parallelism
 from .textstats import shingle_hashes
 
 # ---------------------------------------------------------------------------
@@ -108,29 +109,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _resolve_parallelism(parallelism) -> int:
-    """Shuffle width for the bucketed groupbys: explicit value wins;
-    None sizes to 2x cluster CPUs (capped at 64) — a fixed wide fan-out
-    over-partitions small clusters into scheduling overhead, a narrow
-    one starves big ones (the map_groups task count follows it)."""
-    if parallelism is not None:
-        return parallelism
-    try:
-        import ray
-
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(8, min(64, cpus * 2))
 
 
-def exact_dedup(docs_ds, num_buckets: int = 64, batch_size: int = 4096):
+def exact_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 4096):
     """(doc_id, text) -> (doc_id=min per content group, n_dups).
 
     Phase 1 folds each batch to one row per content key; phase 2
     shuffles only those partials, bucketed by key hash.
     """
 
+    num_buckets = resolve_parallelism(num_buckets)
     def partial(batch: pa.Table) -> pd.DataFrame:
         keys = [
             hashlib.md5(t.encode("utf-8")).hexdigest()
@@ -226,7 +214,7 @@ def jaccard_pairs(
     threshold_num: int = 1,
     threshold_den: int = 2,
     max_df: int = 64,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 2048,
     parallelism=None,
 ):
@@ -242,6 +230,7 @@ def jaccard_pairs(
     runs 3-5 wide on a 32-core node.
     """
 
+    num_buckets = resolve_parallelism(num_buckets)
     nd = threshold_num + threshold_den
 
     def final_pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:
@@ -255,7 +244,7 @@ def jaccard_pairs(
         lambda b: _shingle_rows(b, k, num_buckets),
         batch_format="pyarrow",
         batch_size=batch_size,
-    ).repartition(_resolve_parallelism(parallelism))
+    ).repartition(resolve_parallelism(parallelism))
     candidates = shingles.groupby("bucket").map_groups(
         lambda df: _emit_pairs(df, max_df, num_buckets), batch_format="pandas"
     )
@@ -387,9 +376,8 @@ def minhash_lsh_pairs(
     k: int = 3,
     bands: int = 32,
     threshold: float = 0.5,
-    concurrency=(1, 8),
     batch_size: int = 1024,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     max_band_df: int = 256,
     parallelism=None,
 ):
@@ -406,6 +394,7 @@ def minhash_lsh_pairs(
     this stage's shuffle volume).  ``max_band_df`` caps C(df,2) pair
     blowup on degenerate band groups (near-empty docs all sharing one
     signature), the same stop-key skew guard as jaccard_pairs."""
+    num_buckets = resolve_parallelism(num_buckets)
     rows = num_perm // bands
     min_bands = max(1, int(np.ceil(bands * threshold**rows)))
 
@@ -459,7 +448,7 @@ def minhash_lsh_pairs(
     band_rows = band_rows.map_batches(
         lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    ).repartition(_resolve_parallelism(parallelism))
+    ).repartition(resolve_parallelism(parallelism))
     cand = band_rows.groupby("bucket").map_groups(candidates, batch_format="pandas")
     return cand.groupby("pbucket").map_groups(verify, batch_format="pandas")
 
@@ -493,7 +482,7 @@ def simhash_pairs(
     docs_ds,
     max_hamming: int = 3,
     batch_size: int = 2048,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     parallelism=None,
 ):
     """Pairs (i < j) with SimHash hamming distance <= max_hamming.
@@ -503,6 +492,7 @@ def simhash_pairs(
     value) finds all of them; the exact popcount check runs inside the
     group (fingerprints ride with the rows)."""
 
+    num_buckets = resolve_parallelism(num_buckets)
     def to_bands(batch: pa.Table) -> pa.Table:
         doc_ids = batch["doc_id"].to_pylist()
         texts = batch["text"].to_pylist()
@@ -549,7 +539,7 @@ def simhash_pairs(
     bands = bands.map_batches(
         lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
         batch_format="pandas",
-    ).repartition(_resolve_parallelism(parallelism))
+    ).repartition(resolve_parallelism(parallelism))
     cand = bands.groupby("bucket").map_groups(pairs_in_band, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: df.assign(
@@ -567,7 +557,7 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def apply_dedup(docs_ds, pairs_ds, num_partitions: int = 64, id_col: str = "doc_id"):
+def apply_dedup(docs_ds, pairs_ds, num_partitions: int | None = None, id_col: str = "doc_id"):
     """Keep-first corpus dedup: drop every doc that appears as the
     LARGER member ``j`` of any duplicate pair (i < j).
 
@@ -586,6 +576,7 @@ def apply_dedup(docs_ds, pairs_ds, num_partitions: int = 64, id_col: str = "doc_
     ``exact_dedup`` group representatives rather than raw pairs.
     """
 
+    num_partitions = resolve_parallelism(num_partitions)
     def drop_ids(df: pd.DataFrame) -> pd.DataFrame:
         return (
             df[["j"]].rename(columns={"j": id_col}).drop_duplicates()
@@ -597,12 +588,13 @@ def apply_dedup(docs_ds, pairs_ds, num_partitions: int = 64, id_col: str = "doc_
     )
 
 
-def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int = 64):
+def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int | None = None):
     """Generic distinct over ``cols`` (default: all columns) — the
     two-phase shape: per-batch drop_duplicates folds each batch to its
     distinct rows (the combiner), then a bucketed groupby on the row
     hash dedups across batches.  Shuffle volume is the per-batch
     distinct set, not the input."""
+    num_buckets = resolve_parallelism(num_buckets)
     import zlib
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 
 from ..functions.metrics import compute_exact, compute_f1
+from .common import resolve_parallelism
 
 
 def groups_of_id(the_id: str, by_typenames: bool = True) -> List[str]:
@@ -59,12 +60,13 @@ def eval_stage(
     id_col: str = "example_id",
     by: str = "typenames",
     overall_key: str = "all",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int | None = None,
 ):
     """answers Dataset -> per-group metrics Dataset
     ``(grp, n_exact, f1_sum_x1e6, total)`` (ints — exact under any
     summation order; render means with :func:`finalize_eval`)."""
+    num_buckets = resolve_parallelism(num_buckets)
     by_typenames = by == "typenames"
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

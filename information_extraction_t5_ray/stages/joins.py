@@ -27,7 +27,7 @@ from typing import Optional, Sequence, Tuple, Union
 import pandas as pd
 import pyarrow as pa
 
-from .common import bucket_of
+from .common import bucket_of, resolve_parallelism
 
 
 def broadcast_hash_join(
@@ -71,7 +71,7 @@ def hash_join(
     right_ds,
     on: Union[str, Sequence[str]],
     how: str = "inner",
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     right_on: Optional[Union[str, Sequence[str]]] = None,
 ):
     """Large-large join: both sides hash-partition on the key.
@@ -88,6 +88,7 @@ def hash_join(
     distinct-key count of the left side (or use bloom_semi_join's
     broadcast-exact path for semi-joins against small key sets).
     """
+    num_partitions = resolve_parallelism(num_partitions)
     keys: Tuple[str, ...] = (on,) if isinstance(on, str) else tuple(on)
     rkeys = None
     if right_on is not None:
@@ -166,7 +167,7 @@ def asof_join(
     direction: str = "backward",
     how: str = "inner",
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Distributed as-of join: each left row matches the right row with
     the greatest ``ts_col`` <= its own (direction='backward'; 'forward'
@@ -185,6 +186,7 @@ def asof_join(
     ``how``: 'inner' drops unmatched left rows; 'left' keeps them with
     null right columns.  Key and ts must be non-null on both sides.
     """
+    num_buckets = resolve_parallelism(num_buckets)
     import zlib
 
     import numpy as np
@@ -286,7 +288,7 @@ def range_join(
     right_hi: str,
     bin_width: float,
     suffix: str = "_r",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Distributed interval join: left rows match right rows with
     ``right_lo <= left_col <= right_hi`` (inner).
@@ -301,6 +303,7 @@ def range_join(
     factor = mean interval span / bin_width (pick bin_width near the
     typical span); skew guard is the per-bin group size.
     """
+    num_buckets = resolve_parallelism(num_buckets)
     import numpy as np
 
     left_schema = left_ds.schema()
@@ -442,7 +445,7 @@ def bloom_semi_join(
     big_ds,
     keys_ds,
     on: str,
-    num_partitions: int = 64,
+    num_partitions: int | None = None,
     n_bits: int = 1 << 20,
     exact: str = "broadcast",
 ):
@@ -466,6 +469,7 @@ def bloom_semi_join(
     cost is the Bloom probe; the 128 KiB filter rejects ~99% of
     non-members before any exact work.
     """
+    num_partitions = resolve_parallelism(num_partitions)
     import numpy as np
     import ray
 

@@ -31,6 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .common import resolve_parallelism
 from ..functions.grammar import (
     deconstruct_answer,
     find_ids_of_sent_tokens,
@@ -60,13 +61,14 @@ def _reduce_best(df: pd.DataFrame, use_fewer_na: bool) -> pd.DataFrame:
 def best_window_stage(
     predictions_ds,
     use_fewer_na: bool = True,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int | None = None,  # None = whole blocks: an explicit
     # batch_size on a stage fused behind row-expanding maps is counted
     # in INPUT rows by the bundler and collapses task parallelism
 ):
     """predictions -> one best row per (url, qa_id)."""
 
+    num_buckets = resolve_parallelism(num_buckets)
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(na=batch["prediction"].str.count("N/A"))
         out = _reduce_best(batch, use_fewer_na)

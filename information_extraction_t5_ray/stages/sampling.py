@@ -25,7 +25,7 @@ import pyarrow as pa
 # hash_split's LCG — glibc constants shared with stages/balance.py (one
 # source of truth; the SQL oracles hardcode the same literals)
 from .balance import LCG_INC as _LCG_C  # noqa: E402
-from .common import bucket_of  # noqa: E402
+from .common import bucket_of, resolve_parallelism  # noqa: E402
 from .balance import LCG_MULT as _LCG_A  # noqa: E402
 
 _LCG_M = 2147483648
@@ -85,7 +85,7 @@ def grouped_sample_k(
     group_col: str,
     key_col: str,
     k: int,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Deterministic k-per-group sample: each group keeps the k rows
     with the smallest (lcg(key), key) rank — a seeded shuffle expressed
@@ -97,6 +97,7 @@ def grouped_sample_k(
     the shuffle, so the exchange carries O(groups x k x batches) rows.
     """
 
+    num_buckets = resolve_parallelism(num_buckets)
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         out = df.assign(_rank=lcg_bucket(df[key_col].to_numpy(), denom=_LCG_M))
         out = out.sort_values(["_rank", key_col], kind="stable")

@@ -31,6 +31,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .common import resolve_parallelism
 
 
 _RP_PLANES_CACHE: dict = {}
@@ -73,7 +74,7 @@ def ann_topk(
     query_ids: np.ndarray,
     query_matrix: np.ndarray,
     k: int = 5,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int = 4096,
 ):
     """Top-k cosine neighbors of each query among the dataset's vectors.
@@ -81,6 +82,7 @@ def ann_topk(
     Returns (query_id, rank, neighbor_id); rank 1-based, ties broken by
     ascending neighbor_id (deterministic under any partitioning).
     """
+    num_buckets = resolve_parallelism(num_buckets)
     import ray
 
     qn_ref = ray.put(_normalize(query_matrix))
@@ -166,7 +168,7 @@ def ann_topk_ivf(
     n_clusters: int = 16,
     nprobe: int = 4,
     train_sample: int = 20000,
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
     batch_size: int = 4096,
     seed: int = 42,
 ):
@@ -185,6 +187,7 @@ def ann_topk_ivf(
     Same output contract as ``ann_topk``: (query_id, rank, neighbor_id),
     rank 1-based, ties by ascending neighbor_id.
     """
+    num_buckets = resolve_parallelism(num_buckets)
     import ray
 
     sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
@@ -303,7 +306,7 @@ def rp_lsh_dup_pairs(
     num_tables: int = 8,
     bits: int = 12,
     seed: int = 42,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 4096,
     dim: Optional[int] = None,
 ):
@@ -311,6 +314,7 @@ def rp_lsh_dup_pairs(
     path.  Recall is probabilistic (tested, not oracle-matched); the
     cosine verify inside the bucket group is exact."""
 
+    num_buckets = resolve_parallelism(num_buckets)
     def _planes(d: int) -> np.ndarray:
         """Per-worker-process cache of the hyperplane tensor — cheap to
         rebuild (seeded randn), so stateless tasks beat an actor pool

@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from .common import bucket_of
+from .common import bucket_of, resolve_parallelism
 
 
 def sessionize(
@@ -31,7 +31,7 @@ def sessionize(
     gap: _dt.timedelta,
     id_col: Optional[str] = None,
     out_col: str = "session_id",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Assign ``out_col`` = 0-based session index per ``key``, ordered
     by (``ts_col``, ``id_col``); a new session starts when the time
@@ -40,6 +40,7 @@ def sessionize(
     ``id_col`` breaks timestamp ties deterministically (required when
     timestamps can repeat within a key).
     """
+    num_buckets = resolve_parallelism(num_buckets)
     order_cols = [ts_col] + ([id_col] if id_col else [])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -78,7 +79,7 @@ def pivot_counts(
     key: str,
     pivot_col: str,
     categories: list,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Distributed pivot: one row per ``key``, one count column per
     category of ``pivot_col`` (the reference's per-document-class sheet
@@ -90,6 +91,7 @@ def pivot_counts(
     none of the columns.  Shuffle moves one partial row per
     (batch, key) — the combiner pattern.
     """
+    num_buckets = resolve_parallelism(num_buckets)
     cols = [str(c) for c in categories]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -117,13 +119,14 @@ def rolling_window_sum(
     window: int,
     id_col: Optional[str] = None,
     out_col: str = "rolling_sum",
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ):
     """Per-key ordered rolling sum over the last ``window`` rows
     (inclusive) — the ROWS (window-1) PRECEDING window function.  Same
     partitioning shape as ``sessionize``: co-hash on key, sort the
     group, vectorized cumsum-difference per key segment.
     """
+    num_buckets = resolve_parallelism(num_buckets)
     order_cols = [ts_col] + ([id_col] if id_col else [])
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:

@@ -30,6 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from .common import resolve_parallelism
 
 # --- doc_stats -------------------------------------------------------------
 
@@ -205,7 +206,7 @@ def top_ngrams(
     docs_ds,
     n: int = 2,
     k: int = 100,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     batch_size: int = 2048,
 ):
     """Global top-k word n-grams by document-stream frequency
@@ -223,6 +224,7 @@ def top_ngrams(
     3. tiny final fold -> top-k with deterministic ordering
        (cnt desc, ngram asc — byte-stable under any partitioning).
     """
+    num_buckets = resolve_parallelism(num_buckets)
     import zlib
 
     from collections import Counter

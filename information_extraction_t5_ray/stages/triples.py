@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -40,48 +41,86 @@ TRIPLES_SCHEMA = pa.schema(
 )
 
 
+def _first_list_elements(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """``lst[0] if lst else 0`` per row, via the list array's raw offsets
+    (no per-row Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.asarray(col.offsets)
+    values = np.asarray(col.values) if len(col.values) else np.zeros(1, np.int64)
+    starts = offsets[:-1]
+    nonempty = offsets[1:] > starts
+    safe = np.minimum(starts, len(values) - 1)
+    return np.where(nonempty, values[safe], 0)
+
+
 def project_triples_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table:
-    """answers -> raw triples (obj not yet linked/canonicalized)."""
+    """answers -> raw triples (obj not yet linked/canonicalized).
+
+    Fully vectorized — this map runs on the full answers stream (the
+    flagship's hottest stage).  The object value is the LAST sub-answer
+    of the prediction grammar (``find_sub_answers(...)[-1]``); for the
+    clean/member-clean variants that is the text after the final ``]``,
+    extracted with one RE2 kernel.  Rows where that tail is blank but
+    earlier grammar runs exist (can't happen for well-formed variants,
+    but the scalar spec handles it) fall back to ``find_sub_answers``.
+    """
     mask = pc.is_in(batch["variant"], value_set=pa.array(["clean", "member_clean"]))
     rows = batch.filter(mask)
-    subjs, preds, objs, probs, wids, parts = [], [], [], [], [], []
-    memo_vals: dict = {}  # answer strings repeat heavily (N/A, small vocabularies)
-    memo_rel: dict = {}
-    for url, ex_id, pred_sa, prob, window_ids in zip(
-        rows["url"].to_pylist(),
-        rows["example_id"].to_pylist(),
-        rows["prediction"].to_pylist(),
-        rows["prob"].to_pylist(),
-        rows["window_ids"].to_pylist(),
-    ):
-        value = memo_vals.get(pred_sa)
-        if value is None:
-            vs = find_sub_answers(pred_sa) if pred_sa else []
-            value = vs[-1] if vs else ""
-            memo_vals[pred_sa] = value
-        if not value or value == "N/A":
-            continue
-        # 'form.cpf*' -> 'form.cpf'; 'form.endereco~cidade*' -> 'form.endereco.cidade'
-        rel = memo_rel.get(ex_id)
-        if rel is None:
-            rel = ex_id.rstrip("*").replace("~", ".")
-            memo_rel[ex_id] = rel
-        subjs.append(url)
-        preds.append(rel)
-        objs.append(value)
-        probs.append(prob)
-        wids.append(window_ids[0] if window_ids else 0)
-        parts.append(zlib.crc32(url.encode()) % num_partitions)
-    return pa.table(
+
+    preds_col = rows["prediction"]
+    # tail after the last ']' (greedy .* eats to the final bracket); a
+    # bracketless string passes through whole — same run the scalar
+    # regex yields last
+    tail = pc.replace_substring_regex(preds_col, r"^.*\]", "")
+    value = pc.utf8_trim_whitespace(pc.replace_substring(tail, ":", ""))
+    # fallback rows: blank tail but non-blank prediction with earlier runs
+    blank = pc.equal(value, "")
+    nonblank_pred = pc.invert(pc.equal(pc.utf8_trim_whitespace(preds_col), ""))
+    needs_scalar = pc.and_(blank, nonblank_pred)
+    if pc.any(needs_scalar).as_py():
+        vals = value.to_pylist()
+        flags = needs_scalar.to_pylist()
+        for i, (p, f) in enumerate(zip(preds_col.to_pylist(), flags)):
+            if f:
+                vs = find_sub_answers(p) if p else []
+                vals[i] = vs[-1] if vs else ""
+        value = pa.array(vals, pa.string())
+
+    # 'form.cpf*' -> 'form.cpf'; 'form.endereco~cidade*' -> 'form.endereco.cidade'
+    rel = pc.replace_substring(
+        pc.replace_substring_regex(rows["example_id"], r"\*+$", ""), "~", "."
+    )
+
+    # crc32 over the (few) distinct urls of the batch, scattered back
+    urls = rows["url"]
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    enc = urls.dictionary_encode()
+    dict_parts = np.fromiter(
+        (zlib.crc32(u.encode()) % num_partitions for u in enc.dictionary.to_pylist()),
+        np.int32,
+        count=len(enc.dictionary),
+    )
+    parts = dict_parts[np.asarray(enc.indices)]
+
+    wids = _first_list_elements(rows["window_ids"]).astype(np.int32)
+
+    out = pa.table(
         {
-            "subj": subjs,
-            "pred": preds,
-            "obj_surface": objs,
-            "prob": probs,
+            "subj": rows["url"],
+            "pred": rel,
+            "obj_surface": value,
+            "prob": rows["prob"],
             "window_id": pa.array(wids, pa.int32()),
             "partition_id": pa.array(parts, pa.int32()),
         }
     )
+    keep = pc.and_(
+        pc.invert(pc.equal(out["obj_surface"], "")),
+        pc.invert(pc.equal(out["obj_surface"], "N/A")),
+    )
+    return out.filter(keep)
 
 
 def project_stage(answers_ds, num_partitions: int = 64, batch_size: int | None = None):
@@ -135,14 +174,21 @@ def entities_stage(
     """
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(
-            salt=df["subj"].map(lambda u: zlib.crc32(u.encode()) % num_salts)
+        # crc32 over the distinct subjects only (urls repeat ~#qa_ids
+        # times per batch), scattered back through factorize codes
+        codes, uniques = pd.factorize(df["subj"], sort=False)
+        salts = np.fromiter(
+            (zlib.crc32(u.encode()) % num_salts for u in uniques),
+            np.int32,
+            count=len(uniques),
         )
+        df = df.assign(salt=salts[codes])
         g = (
             df.groupby(["obj", "salt"], sort=False)
             .agg(
                 n_mentions=("subj", "size"),
-                example_surface=("obj_surface", "first"),
+                # min, not first: arrival order varies across shuffles
+                example_surface=("obj_surface", "min"),
             )
             .reset_index()
         )
@@ -154,7 +200,7 @@ def entities_stage(
             bucket_df.groupby("obj", sort=False)
             .agg(
                 n_mentions=("n_mentions", "sum"),
-                example_surface=("example_surface", "first"),
+                example_surface=("example_surface", "min"),
             )
             .reset_index()
             .rename(columns={"obj": "entity_id"})
