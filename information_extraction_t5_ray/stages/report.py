@@ -2,27 +2,37 @@
 ``_save_outputs`` / ``_save_sheets`` + the metrics JSON writers
 ``:305-319``).
 
-Scale posture: the FILTER (mispredictions only) and the metric
-computation run distributed; only the rows that survive — a report
-meant for human eyes, so inherently small — are rendered driver-side.
-The xlsx writer needs openpyxl (not in this container), so the pivot
-falls back to CSV with identical cell contents; the pivot itself is the
-reference's (labels, predictions, exact, f1, probs) x typename layout.
+Scale posture: filtering, line rendering, metric computation and the
+per-document pivot all run DISTRIBUTED; the driver only streams the
+finished rows to the output file one batch at a time
+(``iter_batches``), so driver RSS stays flat no matter how large the
+answers table is.  The reference gathers everything into driver pandas
+(qa_model.py:190-204) — that is exactly what dies at crawl scale, so
+these sinks never call ``to_pandas()`` on an unbounded dataset.
+
+The xlsx writer needs openpyxl (not in this container) and is inherently
+a single-file driver-side render, so it is only attempted for small
+result sets; everything else streams to CSV with identical cells.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Optional
+from typing import List, Optional
 
 import pandas as pd
 
 from ..functions.grammar import get_clean_answer_from_subanswer
 from ..functions.metrics import compute_exact, compute_f1
 from ..functions.textnorm import normalize_answer
+from .common import bucket_of, resolve_parallelism
 
 _HEADER = "{0:<50} | {1:50} | {2:30} | {3} | {4}\n"
+
+# above this many pivot rows the xlsx attempt is skipped outright: one
+# worksheet per crawl is not a human report, and to_excel is driver-bound
+_XLSX_MAX_ROWS = 50_000
 
 
 def save_outputs_report(
@@ -33,54 +43,66 @@ def save_outputs_report(
     group_col: Optional[str] = "example_id",
 ):
     """answers Dataset -> ``outputs.txt``-style grouped dump (reference
-    _save_outputs).  The misprediction filter runs as a distributed
-    ``map_batches``; rendering happens on the (small) survivor set,
-    grouped by example_id with the reference's section headers."""
+    _save_outputs).  The misprediction filter and line rendering run as
+    distributed ``map_batches``; a distributed sort puts groups
+    contiguous; the driver streams batches to the file and only tracks
+    the current group header."""
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        if not only_mispredictions:
-            return df
-        lab = df["label"].map(normalize_answer) if normalize_outputs else df["label"]
-        pred = (
-            df["prediction"].map(normalize_answer)
-            if normalize_outputs
-            else df["prediction"]
-        )
-        return df[lab.values != pred.values]
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        if only_mispredictions:
+            lab = df["label"].map(normalize_answer) if normalize_outputs else df["label"]
+            pred = (
+                df["prediction"].map(normalize_answer)
+                if normalize_outputs
+                else df["prediction"]
+            )
+            df = df[lab.values != pred.values]
+        if group_col and group_col in df.columns:
+            grp = df[group_col].astype(str)
+            df = df[~(grp.eq("ORIG") | grp.str.startswith("DISJOINT"))]
+            grp = df[group_col].astype(str)
+        else:
+            grp = pd.Series([""] * len(df), index=df.index, dtype=str)
+        lines = [
+            _HEADER.format(
+                r["label"], r["prediction"], r["url"], r["prob"],
+                r.get("window_id", ""),
+            )
+            for _, r in df.iterrows()
+        ]
+        return pd.DataFrame({"grp": grp.to_numpy(), "line": lines})
 
-    small = answers_ds.map_batches(keep, batch_format="pandas").to_pandas()
+    rendered = answers_ds.map_batches(render, batch_format="pandas").sort(
+        ["grp", "line"]
+    )
     Path(path).parent.mkdir(parents=True, exist_ok=True)
+    current = None
     with open(path, "w") as f:
         f.write(_HEADER.format("label", "prediction", "uuid", "prob", "window"))
-        if group_col and group_col in small.columns:
-            for kword, grp in small.groupby(group_col, sort=True):
-                if kword == "ORIG" or str(kword).startswith("DISJOINT"):
-                    continue
-                f.write(f"===============\n{kword}\n===============\n")
-                for _, r in grp.iterrows():
-                    f.write(
-                        _HEADER.format(
-                            r["label"], r["prediction"], r["url"],
-                            r["prob"], r.get("window_id", ""),
-                        )
-                    )
-        else:
-            for _, r in small.iterrows():
-                f.write(
-                    _HEADER.format(
-                        r["label"], r["prediction"], r["url"],
-                        r["prob"], r.get("window_id", ""),
-                    )
-                )
+        for batch in rendered.iter_batches(batch_format="pandas"):
+            for g, line in zip(batch["grp"], batch["line"]):
+                if group_col and g != current:
+                    f.write(f"===============\n{g}\n===============\n")
+                    current = g
+                f.write(line)
     return path
 
 
-def save_sheets_report(answers_ds, path: str):
-    """answers Dataset -> per-document pivot sheet (reference
-    _save_sheets): one row per url, a (labels, predictions, exact, f1,
-    probs) column block per typename.  Metric columns are computed
-    distributed; the pivot runs on the aggregated small table.  Writes
-    xlsx when openpyxl exists, else CSV (same cells)."""
+def pivoted_answers(
+    answers_ds,
+    example_ids: Optional[List[str]] = None,
+    num_buckets: int | None = None,
+):
+    """answers Dataset -> one row per url with a (label, prediction,
+    exact, f1, prob) column block per example_id (the reference
+    _save_sheets pivot, distributed).
+
+    ``example_ids``: the closed column universe (pass the registry's
+    qa_id expansion when known).  When omitted it is derived with one
+    extra distributed pass (``Dataset.unique``) — every bucket must emit
+    the same columns or the blocks disagree on schema.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -94,21 +116,56 @@ def save_sheets_report(answers_ds, path: str):
         df["prediction"] = [
             ", ".join(get_clean_answer_from_subanswer(x)) for x in df["prediction"]
         ]
-        return df[["url", "example_id", "label", "prediction", "exact", "f1", "prob"]]
+        out = df[["url", "example_id", "label", "prediction", "exact", "f1", "prob"]]
+        return out.assign(_bucket=bucket_of(out["url"], num_buckets))
 
-    small = answers_ds.map_batches(score, batch_format="pandas").to_pandas()
-    pivoted = small.pivot(
-        index=["url"],
-        columns=["example_id"],
-        values=["label", "prediction", "exact", "f1", "prob"],
-    )
-    pivoted = pivoted.swaplevel(0, 1, axis=1).sort_index(axis=1)
+    scored = answers_ds.map_batches(score, batch_format="pandas")
+    if example_ids is None:
+        example_ids = sorted(scored.unique("example_id"))
+    metrics = ["label", "prediction", "exact", "f1", "prob"]
+    # flattened reference layout: example_id-major, metric-minor
+    columns = [f"{e}.{m}" for e in sorted(example_ids) for m in metrics]
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot(index=["url"], columns=["example_id"], values=metrics)
+        p = p.swaplevel(0, 1, axis=1).sort_index(axis=1)
+        p.columns = [f"{e}.{m}" for e, m in p.columns]
+        p = p.reindex(columns=columns)
+        return p.reset_index()
+
+    return scored.groupby("_bucket").map_groups(pivot, batch_format="pandas")
+
+
+def save_sheets_report(
+    answers_ds,
+    path: str,
+    example_ids: Optional[List[str]] = None,
+):
+    """answers Dataset -> per-document pivot sheet (reference
+    _save_sheets).  The pivot runs distributed (:func:`pivoted_answers`);
+    small results try xlsx (openpyxl), everything else streams to one
+    CSV batch-by-batch — the driver never holds the full table."""
+    pivoted = pivoted_answers(answers_ds, example_ids=example_ids)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    try:  # pragma: no cover - openpyxl absent in this container
-        pivoted.to_excel(path)
-    except (ImportError, ModuleNotFoundError):
-        path = str(Path(path).with_suffix(".csv"))
-        pivoted.to_csv(path)
+
+    first = pivoted.limit(_XLSX_MAX_ROWS + 1).to_pandas()
+    if len(first) <= _XLSX_MAX_ROWS:
+        small = first.sort_values("url").set_index("url")
+        try:  # pragma: no cover - openpyxl absent in this container
+            small.to_excel(path)
+            return path
+        except (ImportError, ModuleNotFoundError):
+            path = str(Path(path).with_suffix(".csv"))
+            small.to_csv(path)
+            return path
+    # large: stream the sorted pivot to a single CSV
+    path = str(Path(path).with_suffix(".csv"))
+    ordered = pivoted.sort("url")
+    wrote_header = False
+    with open(path, "w") as f:
+        for batch in ordered.iter_batches(batch_format="pandas"):
+            batch.set_index("url").to_csv(f, header=not wrote_header)
+            wrote_header = True
     return path
 
 

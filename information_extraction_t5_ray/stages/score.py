@@ -230,9 +230,12 @@ def build_t5_inputs(
     return urls, wids, nwins, qa_ids, questions, inputs
 
 
-class T5Scorer:  # pragma: no cover - requires torch+transformers
+class T5Scorer:
     """Production scorer: same output contract as MockT5Scorer, real
-    model on a fixed-size (GPU) actor pool.
+    model on a fixed-size (GPU) actor pool.  Exercised without torch by
+    tests/test_t5_scorer_real.py against a numpy-backed fake of the
+    exact torch/transformers surface (incl. the int8 branch and the
+    batched prob arithmetic).
 
     __init__ loads weights ONCE per actor — newest ``*.ckpt`` under the
     checkpoint dir or an HF name (predict.py:33-47) — and on CPU applies
