@@ -596,10 +596,14 @@ def q_sessionize(sf_dir: str):
         ev, key="user_id", ts_col="ts", gap=dt.timedelta(minutes=30),
         id_col="event_id",
     )
-    return out.map_batches(
-        lambda df: df[["event_id", "user_id", "session_id"]].astype(np.int64),
-        batch_format="pandas",
-    )
+    def project(t):
+        import pyarrow as pa
+
+        return pa.table(
+            {c: t[c].cast(pa.int64()) for c in ("event_id", "user_id", "session_id")}
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
 
 
 def q_purchase_asof_signup(sf_dir: str):
@@ -617,13 +621,18 @@ def q_purchase_asof_signup(sf_dir: str):
     signups = ev.filter(expr="event_type == 'signup'").drop_columns(["event_type"])
     joined = asof_join(purchases, signups, on="user_id", ts_col="ts", how="inner")
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_id", "user_id", "event_id_r"]].rename(
-            columns={"event_id_r": "signup_event_id"}
-        )
-        return out.astype(np.int64)
+    def project(t):
+        import pyarrow as pa
 
-    return joined.map_batches(project, batch_format="pandas")
+        return pa.table(
+            {
+                "event_id": t["event_id"].cast(pa.int64()),
+                "user_id": t["user_id"].cast(pa.int64()),
+                "signup_event_id": t["event_id_r"].cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
 
 
 def q_grouped_argmax(sf_dir: str):

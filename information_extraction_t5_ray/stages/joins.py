@@ -103,60 +103,24 @@ def hash_join(
     )
 
 
-def _nullable_dtype(arrow_type) -> str:
-    """pandas dtype that holds this arrow type WITH nulls.  One-sided
-    columns in a tagged union must use it on BOTH sides — None-filled
-    object columns (or int64 on one side, Int64 on the other) make
-    shuffled blocks dtype-mismatched and pickled instead of columnar."""
-    import numpy as np  # noqa: F401
-
-    if arrow_type is None:
-        # Ray's pandas-block schema reports None for dtypes it can't map
-        # to Arrow (e.g. tz-aware datetime64) — leave such columns alone
-        return None
-    try:
-        if pa.types.is_integer(arrow_type):
-            return "Int64"
-        if pa.types.is_floating(arrow_type):
-            return "float64"
-        if pa.types.is_timestamp(arrow_type):
-            # preserve the zone — astype tz-aware -> naive raises in
-            # pandas 2.x, so the plan must carry it
-            tz = getattr(arrow_type, "tz", None)
-            return f"datetime64[ns, {tz}]" if tz else "datetime64[ns]"
-        if pa.types.is_boolean(arrow_type):
-            return "boolean"
-    except (TypeError, AttributeError):
-        pass
-    return "object"
+def _as_arrow(ds):
+    """Normalize a Dataset to Arrow blocks so ``.schema()`` reports real
+    Arrow types (pandas-block sources report None for dtypes Arrow can't
+    introspect lazily, e.g. tz-aware datetimes) and the tagged-union
+    exchange below ships columnar Arrow instead of pickled pandas."""
+    return ds.map_batches(lambda t: t, batch_format="pyarrow")
 
 
-def _apply_dtype_plan(out: pd.DataFrame, plan: dict, n: int) -> pd.DataFrame:
-    """Add missing plan columns as typed nulls; cast present ones."""
-    import numpy as np
-
-    for c, dt in plan.items():
-        if dt is None:
-            # un-introspectable dtype: fill missing with object nulls,
-            # never cast an existing column
-            if c not in out.columns:
-                out[c] = np.full(n, None, dtype=object)
-            continue
-        if c not in out.columns:
-            if dt == "float64":
-                out[c] = np.full(n, np.nan)
-            elif dt.startswith("datetime64"):
-                # pd.array, not Series: a Series would align on index
-                out[c] = pd.array([pd.NaT] * n, dtype=dt)
-            elif dt == "object":
-                out[c] = np.full(n, None, dtype=object)
-            else:  # Int64 / boolean extension dtypes
-                # pd.array, not Series: Series assignment aligns on the
-                # target index (duplicated after iloc[idx] replication)
-                out[c] = pd.array([pd.NA] * n, dtype=dt)
-        else:
-            out[c] = out[c].astype(dt, copy=False)
-    return out
+def _ext_mapper(t):
+    """Arrow -> pandas extension dtypes for the group merge: keeps
+    int/bool columns nullable WITHOUT falling to float64/object, so a
+    group whose one-sided columns are all-null still round-trips to the
+    fixed output schema losslessly."""
+    if pa.types.is_integer(t):
+        return pd.Int64Dtype()
+    if pa.types.is_boolean(t):
+        return pd.BooleanDtype()
+    return None
 
 
 def asof_join(
@@ -187,8 +151,6 @@ def asof_join(
     null right columns.  Key and ts must be non-null on both sides.
     """
     num_buckets = resolve_parallelism(num_buckets)
-    import zlib
-
     import numpy as np
 
     if direction not in ("backward", "forward"):
@@ -199,6 +161,7 @@ def asof_join(
     # .schema() on a transformed Dataset executes a limit-1 probe —
     # one per side, paid once per join build (pass pre-read datasets
     # with parquet sources to make it metadata-only)
+    left_ds, right_ds = _as_arrow(left_ds), _as_arrow(right_ds)
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -207,13 +170,13 @@ def asof_join(
     )
     if reserved:
         raise ValueError(f"asof_join reserves column names {sorted(reserved)}")
-    left_dtypes = dict(zip(left_schema.names, left_schema.types))
+    left_types = dict(zip(left_schema.names, left_schema.types))
     rename = {
         c: (c + suffix if (c in left_cols and c not in (on, ts_col)) else c)
         for c in right_schema.names
         if c not in (on, ts_col)
     }
-    right_dtypes = {
+    right_types = {
         rename[c]: t
         for c, t in zip(right_schema.names, right_schema.types)
         if c in rename
@@ -221,63 +184,74 @@ def asof_join(
     right_value_cols = [rename[c] for c in rename]
     all_cols = left_cols + right_value_cols
 
-    # every column present on only one side gets a fixed nullable dtype
-    dtype_plan = {
-        c: _nullable_dtype(right_dtypes.get(c)) for c in right_value_cols
-    }
-    dtype_plan.update(
-        {
-            c: _nullable_dtype(left_dtypes.get(c))
-            for c in left_cols
-            if c not in (on, ts_col)
-        }
+    # ONE fixed Arrow schema for the whole tagged union: columns present
+    # on only one side ship as typed nulls, so every block — left,
+    # right, merged, empty — is columnar Arrow with identical schema (no
+    # pickled pandas through the exchange, no cross-block drift)
+    col_types = {**left_types, **right_types}
+    union_schema = pa.schema(
+        [pa.field(c, col_types[c]) for c in all_cols]
+        + [pa.field("_side", pa.int8()), pa.field("_bucket", pa.int32())]
+    )
+    out_schema = pa.schema([pa.field(c, col_types[c]) for c in all_cols])
+
+    def _tag(t: pa.Table, side: int, colmap: dict) -> pa.Table:
+        n = t.num_rows
+        arrays = []
+        for f in union_schema:
+            if f.name == "_side":
+                arrays.append(pa.array(np.full(n, side, np.int8)))
+            elif f.name == "_bucket":
+                key = t[colmap.get(on, on)].to_numpy(zero_copy_only=False)
+                arrays.append(pa.array(bucket_of(key, num_buckets)))
+            elif f.name in colmap:
+                arrays.append(t[colmap[f.name]].cast(f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
+
+    left_map = {c: c for c in left_cols}
+    right_map = {rename[c]: c for c in rename} | {on: on, ts_col: ts_col}
+    tagged = left_ds.map_batches(
+        lambda t: _tag(t, 0, left_map), batch_format="pyarrow"
+    ).union(
+        right_ds.map_batches(lambda t: _tag(t, 1, right_map), batch_format="pyarrow")
     )
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = _apply_dtype_plan(df.copy(), dtype_plan, len(df))
-        out["_side"] = np.int8(0)
-        out["_bucket"] = bucket_of(df[on], num_buckets)
-        return out[all_cols + ["_side", "_bucket"]]
-
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        out = _apply_dtype_plan(df.rename(columns=rename).copy(), dtype_plan, len(df))
-        out["_side"] = np.int8(1)
-        out["_bucket"] = bucket_of(out[on], num_buckets)
-        return out[all_cols + ["_side", "_bucket"]]
-
-    # no repartition before the groupby: the union already carries the
-    # read's block fan-out, and groupby shuffles on _bucket itself — an
-    # extra repartition would double the exchange volume
-    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
-        right_ds.map_batches(tag_right, batch_format="pandas")
-    )
-
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        # degenerate branches slice the GROUP for their frames so every
-        # output block (empty, unmatched-left, merged) carries identical
-        # dtypes — an object-dtype empty would break the cross-block
-        # schema invariant the tag stages establish
-        lf = group[group["_side"] == 0][left_cols]
-        rf = group[group["_side"] == 1][[on, ts_col] + right_value_cols]
+    def merge(group: pa.Table) -> pa.Table:
+        # pandas only inside the group merge (merge_asof), with nullable
+        # extension dtypes so all-null one-sided columns round-trip to
+        # the fixed Arrow output schema losslessly
+        df = group.to_pandas(types_mapper=_ext_mapper)
+        # merge_asof requires plain (non-extension) on/by dtypes; only
+        # de-extension the masked int/bool dtypes _ext_mapper introduced
+        # (tz-aware datetimes are extension too but natively supported)
+        for c in (on, ts_col):
+            if isinstance(
+                df[c].dtype, (pd.Int64Dtype().__class__, pd.BooleanDtype().__class__)
+            ):
+                df[c] = df[c].astype(df[c].dtype.numpy_dtype)
+        lf = df[df["_side"] == 0][left_cols]
         if len(lf) == 0:
-            return group.iloc[0:0][all_cols]
+            return out_schema.empty_table()
+        rf = df[df["_side"] == 1][[on, ts_col] + right_value_cols]
         lf = lf.sort_values(ts_col, kind="stable")
         if len(rf) == 0:
             if how == "inner":
-                return group.iloc[0:0][all_cols]
-            # left rows already carry plan-typed null right columns
-            return group[group["_side"] == 0].sort_values(
-                ts_col, kind="stable"
-            )[all_cols]
-        rf = rf.sort_values(ts_col, kind="stable").assign(__matched=True)
-        merged = pd.merge_asof(
-            lf, rf, on=ts_col, by=on, direction=direction
+                return out_schema.empty_table()
+            # left rows with their (typed, all-null) right columns
+            merged = df[df["_side"] == 0].sort_values(ts_col, kind="stable")
+        else:
+            rf = rf.sort_values(ts_col, kind="stable").assign(__matched=True)
+            merged = pd.merge_asof(lf, rf, on=ts_col, by=on, direction=direction)
+            if how == "inner":
+                merged = merged[merged["__matched"].notna()]
+            merged = merged.drop(columns=["__matched"])
+        return pa.Table.from_pandas(
+            merged[all_cols], schema=out_schema, preserve_index=False
         )
-        if how == "inner":
-            merged = merged[merged["__matched"].notna()]
-        return merged.drop(columns=["__matched"])[all_cols]
 
-    return tagged.groupby("_bucket").map_groups(merge, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 
 
 def range_join(
@@ -306,6 +280,7 @@ def range_join(
     num_buckets = resolve_parallelism(num_buckets)
     import numpy as np
 
+    left_ds, right_ds = _as_arrow(left_ds), _as_arrow(right_ds)
     left_schema = left_ds.schema()
     right_schema = right_ds.schema()
     left_cols = list(left_schema.names)
@@ -318,75 +293,95 @@ def range_join(
     lo_c, hi_c = rename[right_lo], rename[right_hi]
     all_cols = left_cols + right_cols
 
-    # every column is one-sided in this union — fix nullable dtypes on
-    # both sides so shuffled blocks stay columnar (see _nullable_dtype)
-    dtype_plan = dict(
-        zip(left_cols, (_nullable_dtype(t) for t in left_schema.types))
+    # one fixed Arrow schema for the union (typed nulls on the absent
+    # side) and for every output block — pandas never touches this join
+    col_types = dict(zip(left_cols, left_schema.types))
+    col_types.update(
+        {rename[c]: t for c, t in zip(r_names, right_schema.types)}
     )
-    dtype_plan.update(
-        {rename[c]: _nullable_dtype(t) for c, t in zip(r_names, right_schema.types)}
+    union_schema = pa.schema(
+        [pa.field(c, col_types[c]) for c in all_cols]
+        + [
+            pa.field("_bin", pa.int64()),
+            pa.field("_side", pa.int8()),
+            pa.field("_bucket", pa.int32()),
+        ]
     )
+    out_schema = pa.schema([pa.field(c, col_types[c]) for c in all_cols])
 
     def to_bin(v: np.ndarray) -> np.ndarray:
         return np.floor(v / bin_width).astype(np.int64)
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        out = _apply_dtype_plan(df.copy(), dtype_plan, len(df))
-        b = to_bin(df[left_col].to_numpy(np.float64))
-        out["_bin"] = b
-        out["_side"] = np.int8(0)
-        out["_bucket"] = (b % num_buckets).astype(np.int32)
-        return out[all_cols + ["_bin", "_side", "_bucket"]]
+    def _assemble(t: pa.Table, names_present: dict, bins, side: int) -> pa.Table:
+        n = len(bins)
+        arrays = []
+        for f in union_schema:
+            if f.name == "_bin":
+                arrays.append(pa.array(bins))
+            elif f.name == "_side":
+                arrays.append(pa.array(np.full(n, side, np.int8)))
+            elif f.name == "_bucket":
+                arrays.append(pa.array((bins % num_buckets).astype(np.int32)))
+            elif f.name in names_present:
+                arrays.append(t[names_present[f.name]].cast(f.type))
+            else:
+                arrays.append(pa.nulls(n, f.type))
+        return pa.Table.from_arrays(arrays, schema=union_schema)
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns=rename)
-        lo = to_bin(df[lo_c].to_numpy(np.float64))
-        hi = to_bin(df[hi_c].to_numpy(np.float64))
+    def tag_left(t: pa.Table) -> pa.Table:
+        bins = to_bin(t[left_col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return _assemble(t, {c: c for c in left_cols}, bins, 0)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        lo = to_bin(t[right_lo].to_numpy(zero_copy_only=False).astype(np.float64))
+        hi = to_bin(t[right_hi].to_numpy(zero_copy_only=False).astype(np.float64))
         spans = (hi - lo + 1).astype(np.int64)
-        idx = np.repeat(np.arange(len(df)), spans)
-        bins = np.concatenate(
-            [np.arange(a, b + 1) for a, b in zip(lo, hi)]
-        ) if len(df) else np.empty(0, np.int64)
-        out = _apply_dtype_plan(df.iloc[idx].copy(), dtype_plan, len(idx))
-        out["_bin"] = bins
-        out["_side"] = np.int8(1)
-        out["_bucket"] = (bins % num_buckets).astype(np.int32)
-        return out[all_cols + ["_bin", "_side", "_bucket"]]
+        idx = np.repeat(np.arange(t.num_rows), spans)
+        bins = (
+            np.concatenate([np.arange(a, b + 1) for a, b in zip(lo, hi)])
+            if t.num_rows
+            else np.empty(0, np.int64)
+        )
+        rep = t.take(idx)  # each interval replicated to every bin it overlaps
+        return _assemble(rep, {rename[c]: c for c in r_names}, bins, 1)
 
     # no repartition before the groupby — it would add a second
     # all-to-all exchange on top of the groupby's own shuffle
-    tagged = left_ds.map_batches(tag_left, batch_format="pandas").union(
-        right_ds.map_batches(tag_right, batch_format="pandas")
+    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow")
     )
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, g in group.groupby("_bin", sort=False):
-            lf = g[g["_side"] == 0]
-            rf = g[g["_side"] == 1]
+    def match(group: pa.Table) -> pa.Table:
+        side = group["_side"].to_numpy()
+        bins = group["_bin"].to_numpy()
+        vals = group[left_col].to_numpy(zero_copy_only=False)
+        los = group[lo_c].to_numpy(zero_copy_only=False)
+        his = group[hi_c].to_numpy(zero_copy_only=False)
+        li_all, ri_all = [], []
+        for b in np.unique(bins):
+            in_bin = bins == b
+            lf = np.nonzero(in_bin & (side == 0))[0]
+            rf = np.nonzero(in_bin & (side == 1))[0]
             if len(lf) == 0 or len(rf) == 0:
                 continue
-            v = lf[left_col].to_numpy(np.float64)
-            lo = rf[lo_c].to_numpy(np.float64)
-            hi = rf[hi_c].to_numpy(np.float64)
+            v = vals[lf].astype(np.float64)
+            lo = los[rf].astype(np.float64)
+            hi = his[rf].astype(np.float64)
             li, ri = np.nonzero(
                 (v[:, None] >= lo[None, :]) & (v[:, None] <= hi[None, :])
             )
-            if len(li) == 0:
-                continue
-            merged = pd.concat(
-                [
-                    lf.iloc[li][left_cols].reset_index(drop=True),
-                    rf.iloc[ri][right_cols].reset_index(drop=True),
-                ],
-                axis=1,
-            )
-            out.append(merged)
-        if not out:
-            return _apply_dtype_plan(pd.DataFrame(), dtype_plan, 0)[all_cols]
-        return pd.concat(out, ignore_index=True)[all_cols]
+            li_all.append(lf[li])
+            ri_all.append(rf[ri])
+        if not li_all:
+            return out_schema.empty_table()
+        lrows = group.take(np.concatenate(li_all))
+        rrows = group.take(np.concatenate(ri_all))
+        return pa.Table.from_arrays(
+            [lrows[c] for c in left_cols] + [rrows[c] for c in right_cols],
+            schema=out_schema,
+        )
 
-    return tagged.groupby("_bucket").map_groups(match, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(match, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

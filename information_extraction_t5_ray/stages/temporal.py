@@ -41,23 +41,29 @@ def sessionize(
     timestamps can repeat within a key).
     """
     num_buckets = resolve_parallelism(num_buckets)
-    order_cols = [ts_col] + ([id_col] if id_col else [])
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(_bucket=bucket_of(df[key], num_buckets))
+    order_cols = [ts_col] + ([id_col] if id_col else [])
+    sort_keys = [(c, "ascending") for c in [key] + order_cols]
+
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column("_bucket", pa.array(b))
 
     # integer arithmetic, not total_seconds()*1e9: the float64 product
     # can round for day-scale gaps and flip the strictly-greater test
     gap_ns = np.timedelta64((gap // _dt.timedelta(microseconds=1)) * 1000, "ns")
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key] + order_cols, kind="stable")
-        ts = g[ts_col].to_numpy(dtype="datetime64[ns]")
-        k = g[key].to_numpy()
-        new_key = np.empty(len(g), dtype=bool)
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
+        n = g.num_rows
+        ts = g[ts_col].to_numpy().astype("datetime64[ns]")
+        k = g[key].to_numpy(zero_copy_only=False)
+        new_key = np.empty(n, dtype=bool)
         new_key[0:1] = True
         new_key[1:] = k[1:] != k[:-1]
-        brk = np.empty(len(g), dtype=np.int64)
+        brk = np.empty(n, dtype=np.int64)
         brk[0:1] = 0
         brk[1:] = ((ts[1:] - ts[:-1]) > gap_ns).astype(np.int64)
         brk[new_key] = 0
@@ -65,13 +71,15 @@ def sessionize(
         # key's starting offset (vectorized segment reset)
         c = np.cumsum(brk)
         starts = np.where(new_key)[0]
-        offset = np.repeat(c[starts], np.diff(np.append(starts, len(g))))
-        out = g.drop(columns=["_bucket"]).copy()
-        out[out_col] = c - offset
-        return out
+        offset = np.repeat(c[starts], np.diff(np.append(starts, n)))
+        return g.drop_columns(["_bucket"]).append_column(
+            out_col, pa.array(c - offset)
+        )
 
-    tagged = events_ds.map_batches(tag, batch_format="pandas")
-    return tagged.groupby("_bucket").map_groups(assign, batch_format="pandas")
+    # Arrow blocks end-to-end: the tag/exchange ships columnar, and every
+    # group output (incl. empties) carries one fixed schema
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(assign, batch_format="pyarrow")
 
 
 def pivot_counts(
@@ -92,23 +100,28 @@ def pivot_counts(
     (batch, key) — the combiner pattern.
     """
     num_buckets = resolve_parallelism(num_buckets)
+    import pyarrow as pa
+
     cols = [str(c) for c in categories]
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, pivot_col]).to_pandas()
         d = pd.get_dummies(
             df[pivot_col].astype(str), dtype=np.int64
         ).reindex(columns=cols, fill_value=0)
         d[key] = df[key].to_numpy()
         g = d.groupby(key, sort=False).sum().reset_index()
         g["_bucket"] = bucket_of(g[key], num_buckets)
-        return g
+        return pa.Table.from_pandas(g, preserve_index=False)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         out = df.groupby(key, sort=False)[cols].sum().reset_index()
-        return out.astype({c: np.int64 for c in cols})
+        out = out.astype({c: np.int64 for c in cols})
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pyarrow")
 
 
 def rolling_window_sum(
@@ -127,21 +140,26 @@ def rolling_window_sum(
     group, vectorized cumsum-difference per key segment.
     """
     num_buckets = resolve_parallelism(num_buckets)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     order_cols = [ts_col] + ([id_col] if id_col else [])
+    sort_keys = [(c, "ascending") for c in [key] + order_cols]
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        return df.assign(_bucket=bucket_of(df[key], num_buckets))
+    def tag(t: pa.Table) -> pa.Table:
+        b = bucket_of(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column("_bucket", pa.array(b))
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([key] + order_cols, kind="stable")
+    def assign(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
         # keep the value dtype: exact for integers, float64 for floats —
         # forcing int64 would silently truncate float values
         v = g[val_col].to_numpy()
         if not np.issubdtype(v.dtype, np.integer):
             v = v.astype(np.float64)
-        k = g[key].to_numpy()
+        k = g[key].to_numpy(zero_copy_only=False)
         c = np.concatenate(([0], np.cumsum(v)))
-        n = len(g)
+        n = g.num_rows
         idx = np.arange(n)
         # per-key segment starts
         new_key = np.empty(n, dtype=bool)
@@ -149,9 +167,9 @@ def rolling_window_sum(
         new_key[1:] = k[1:] != k[:-1]
         seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
         lo = np.maximum(idx - window + 1, seg_start)
-        out = g.drop(columns=["_bucket"]).copy()
-        out[out_col] = c[idx + 1] - c[lo]
-        return out
+        return g.drop_columns(["_bucket"]).append_column(
+            out_col, pa.array(c[idx + 1] - c[lo])
+        )
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
-    return tagged.groupby("_bucket").map_groups(assign, batch_format="pandas")
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    return tagged.groupby("_bucket").map_groups(assign, batch_format="pyarrow")
