@@ -53,7 +53,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import resolve_parallelism
+from .common import bucket_of, resolve_parallelism
 from .textstats import shingle_hashes
 
 # ---------------------------------------------------------------------------
@@ -128,7 +128,7 @@ def exact_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 4096)
         g = df.groupby("key", sort=False).agg(
             doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
         ).reset_index()
-        g["bucket"] = g["key"].map(lambda k: zlib.crc32(k.encode()) % num_buckets)
+        g["bucket"] = bucket_of(g["key"], num_buckets)
         return g
 
     def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
@@ -601,11 +601,7 @@ def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int | None = Non
         use = cols or list(df.columns)
         out = df[use].drop_duplicates()
         key = out[use].astype(str).agg("|".join, axis=1)
-        out = out.assign(
-            _bucket=key.map(lambda s: zlib.crc32(s.encode()) % num_buckets).astype(
-                np.int32
-            )
-        )
+        out = out.assign(_bucket=bucket_of(key, num_buckets))
         return out
 
     def final(df: pd.DataFrame) -> pd.DataFrame:

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import resolve_parallelism
+from .common import bucket_of, resolve_parallelism
 from ..functions.grammar import (
     deconstruct_answer,
     find_ids_of_sent_tokens,
@@ -72,9 +72,7 @@ def best_window_stage(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.assign(na=batch["prediction"].str.count("N/A"))
         out = _reduce_best(batch, use_fewer_na)
-        out = out.assign(
-            bucket=out["url"].map(lambda u: zlib.crc32(u.encode()) % num_buckets)
-        )
+        out = out.assign(bucket=bucket_of(out["url"], num_buckets))
         return out
 
     def final(bucket_df: pd.DataFrame) -> pd.DataFrame:

@@ -25,6 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .common import bucket_of
 from ..functions.grammar import find_sub_answers
 from ..functions.textnorm import normalize_answer
 
@@ -192,7 +193,7 @@ def entities_stage(
             )
             .reset_index()
         )
-        g["bucket"] = g["obj"].map(lambda k: zlib.crc32(k.encode()) % num_buckets)
+        g["bucket"] = bucket_of(g["obj"], num_buckets)
         return g
 
     def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
