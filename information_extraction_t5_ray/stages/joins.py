@@ -212,10 +212,16 @@ def asof_join(
 
     left_map = {c: c for c in left_cols}
     right_map = {rename[c]: c for c in rename} | {on: on, ts_col: ts_col}
+    # bounded batch size NORMALIZES block row counts into the sort-based
+    # exchange: a small input's many sliver blocks coalesce (the sort
+    # pays a fixed cost per block), a huge input's fat blocks split so
+    # reduce-side parallelism holds — either way ~16k-row sort units
     tagged = left_ds.map_batches(
-        lambda t: _tag(t, 0, left_map), batch_format="pyarrow"
+        lambda t: _tag(t, 0, left_map), batch_format="pyarrow", batch_size=16384
     ).union(
-        right_ds.map_batches(lambda t: _tag(t, 1, right_map), batch_format="pyarrow")
+        right_ds.map_batches(
+            lambda t: _tag(t, 1, right_map), batch_format="pyarrow", batch_size=16384
+        )
     )
 
     def merge(group: pa.Table) -> pa.Table:
@@ -347,9 +353,9 @@ def range_join(
 
     # no repartition before the groupby — it would add a second
     # all-to-all exchange on top of the groupby's own shuffle
-    tagged = left_ds.map_batches(tag_left, batch_format="pyarrow").union(
-        right_ds.map_batches(tag_right, batch_format="pyarrow")
-    )
+    tagged = left_ds.map_batches(
+        tag_left, batch_format="pyarrow", batch_size=16384
+    ).union(right_ds.map_batches(tag_right, batch_format="pyarrow", batch_size=16384))
 
     def match(group: pa.Table) -> pa.Table:
         side = group["_side"].to_numpy()

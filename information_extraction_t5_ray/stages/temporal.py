@@ -77,8 +77,10 @@ def sessionize(
         )
 
     # Arrow blocks end-to-end: the tag/exchange ships columnar, and every
-    # group output (incl. empties) carries one fixed schema
-    tagged = events_ds.map_batches(tag, batch_format="pyarrow")
+    # group output (incl. empties) carries one fixed schema; bounded
+    # batch size normalizes block row counts into the sort-based
+    # exchange (sliver blocks coalesce, fat blocks split)
+    tagged = events_ds.map_batches(tag, batch_format="pyarrow", batch_size=16384)
     return tagged.groupby("_bucket").map_groups(assign, batch_format="pyarrow")
 
 
@@ -171,5 +173,5 @@ def rolling_window_sum(
             out_col, pa.array(c[idx + 1] - c[lo])
         )
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=16384)
     return tagged.groupby("_bucket").map_groups(assign, batch_format="pyarrow")
