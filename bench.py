@@ -194,6 +194,44 @@ def _scaling_pair(sf_dir: str, low: int, high: int, repeat: int) -> dict:
     }
 
 
+def _hw_worker(_):
+    """Fixed per-core CPU workload for the hardware-ceiling probe."""
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    a = rng.rand(400, 400)
+    for _ in range(60):
+        a = a @ a / np.linalg.norm(a)
+    x = bytes(bytearray(2_000_000))
+    for _ in range(150):
+        zlib.crc32(x)
+    return float(a[0, 0])
+
+
+def hw_efficiency(low: int, high: int) -> float:
+    """Raw hardware scaling ceiling between ``low`` and ``high`` busy
+    cores: N independent processes each run the IDENTICAL workload (no
+    IPC, no shared state) — on perfect hardware the wall time is flat in
+    N, so ``t_low / t_high`` is the per-core throughput retention when
+    all cores are busy (all-core turbo / memory-bandwidth cliff).  No
+    software can scale better than this on one box; separate cluster
+    nodes (the north rule's real setting) do not share this ceiling."""
+    import multiprocessing as mp
+
+    times = {}
+    for n in (low, high):
+        best = float("inf")
+        for _ in range(3):
+            with mp.Pool(n) as p:
+                t0 = time.perf_counter()
+                p.map(_hw_worker, range(n))
+                best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return round(times[low] / times[high], 3)
+
+
 def run_scaling(sf_dir: str, repeat: int = 16) -> dict:
     """Same job + same input at two parallelism levels (N and 4N), fresh
     processes.  efficiency = (thr_high / thr_low) / (high / low).
@@ -212,6 +250,7 @@ def run_scaling(sf_dir: str, repeat: int = 16) -> dict:
     """
     pair_8v32 = _scaling_pair(sf_dir, 8, 32, repeat)
     pair_2v8 = _scaling_pair(sf_dir, 2, 8, repeat)
+    hw_8v32 = hw_efficiency(8, 32)
     return {
         "metric": "kg_scaling_efficiency",
         "value": pair_8v32["efficiency"],
@@ -220,6 +259,17 @@ def run_scaling(sf_dir: str, repeat: int = 16) -> dict:
         "repeat": repeat,
         "pair_8v32": pair_8v32,
         "pair_2v8": pair_2v8,
+        # this single box retains only ~this fraction of per-core
+        # throughput going 8 -> 32 busy cores on PURE compute with zero
+        # communication — the ceiling for any 8v32 software efficiency
+        # here; hw_normalized_8v32 is the pipeline's efficiency relative
+        # to what the hardware can deliver
+        "hw_ceiling_8v32": hw_8v32,
+        "hw_normalized_8v32": round(
+            min(pair_8v32["efficiency"] / hw_8v32, 1.0), 3
+        )
+        if hw_8v32
+        else None,
     }
 
 
