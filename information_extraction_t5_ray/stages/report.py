@@ -148,25 +148,28 @@ def save_sheets_report(
     pivoted = pivoted_answers(answers_ds, example_ids=example_ids)
     Path(path).parent.mkdir(parents=True, exist_ok=True)
 
-    first = pivoted.limit(_XLSX_MAX_ROWS + 1).to_pandas()
-    if len(first) <= _XLSX_MAX_ROWS:
-        small = first.sort_values("url").set_index("url")
+    # stream the sorted pivot to CSV batch-by-batch (never a full-table
+    # to_pandas); xlsx is attempted afterwards only when the streamed
+    # result turned out small (it re-reads the bounded CSV)
+    csv_path = str(Path(path).with_suffix(".csv"))
+    ordered = pivoted.sort("url")
+    wrote_header = False
+    n_rows = 0
+    with open(csv_path, "w") as f:
+        for batch in ordered.iter_batches(batch_format="pandas"):
+            n_rows += len(batch)
+            batch.set_index("url").to_csv(f, header=not wrote_header)
+            wrote_header = True
+    if n_rows <= _XLSX_MAX_ROWS and str(path) != csv_path:
         try:  # pragma: no cover - openpyxl absent in this container
+            import openpyxl  # noqa: F401 -- probe BEFORE re-reading the CSV
+
+            small = pd.read_csv(csv_path).set_index("url")
             small.to_excel(path)
             return path
         except (ImportError, ModuleNotFoundError):
-            path = str(Path(path).with_suffix(".csv"))
-            small.to_csv(path)
-            return path
-    # large: stream the sorted pivot to a single CSV
-    path = str(Path(path).with_suffix(".csv"))
-    ordered = pivoted.sort("url")
-    wrote_header = False
-    with open(path, "w") as f:
-        for batch in ordered.iter_batches(batch_format="pandas"):
-            batch.set_index("url").to_csv(f, header=not wrote_header)
-            wrote_header = True
-    return path
+            pass
+    return csv_path
 
 
 def save_metrics_json(eval_dict: dict, path: str):
