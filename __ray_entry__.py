@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": c.q_exact_dedup,
         "jaccard_dupes": c.q_jaccard_dupes,
         "dedup_apply": c.q_dedup_apply,  # anti-join keep-first consumer
+        "dedup_clusters": c.q_dedup_clusters,  # connected components
+        "dedup_apply_tc": c.q_dedup_apply_tc,  # transitive keep-first
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
         "embedding_dupes": c.q_embedding_dupes,
@@ -174,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_dupes": oc.jaccard_dupes_sql(),
         "dedup_apply": oc.dedup_apply_sql(),
+        "dedup_clusters": oc.dedup_clusters_sql(),
+        "dedup_apply_tc": oc.dedup_apply_tc_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),
         "ann_topk_ivf": oc.ann_topk_sql(),

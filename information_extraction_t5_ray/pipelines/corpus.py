@@ -128,6 +128,25 @@ def q_dedup_apply(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Transitive closure over the exact-Jaccard pairs: (doc_id,
+    cluster_id = component min) for every doc in at least one pair."""
+    pairs = dedup_ops.jaccard_pairs(
+        dup_corpus(sf_dir), k=JACCARD_K, max_df=JACCARD_MAX_DF
+    )
+    return dedup_ops.connected_components(pairs)
+
+
+def q_dedup_apply_tc(sf_dir: str):
+    """Transitive keep-first dedup: component-min survivors (closed
+    under A~B~C chains, unlike q_dedup_apply's pairwise drop)."""
+    pairs = dedup_ops.jaccard_pairs(
+        dup_corpus(sf_dir), k=JACCARD_K, max_df=JACCARD_MAX_DF
+    )
+    kept = dedup_ops.apply_dedup_clusters(dup_corpus(sf_dir), pairs, num_partitions=16)
+    return kept.select_columns(["doc_id"])
+
+
 def q_minhash_dupes(sf_dir: str):
     return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
 

@@ -55,9 +55,11 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM corpus GROUP BY md5(text)"""
 
 
-def jaccard_dupes_sql() -> str:
+def _jaccard_pair_ctes() -> str:
+    """CTE chain ``corpus .. jpairs`` — the exact capped-Jaccard pair set
+    (shared by the pair, cluster and transitive-apply oracles)."""
     k = JACCARD_K
-    return f"""WITH {DUP_CORPUS_CTE},
+    return f"""{DUP_CORPUS_CTE},
 toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
 ),
@@ -76,12 +78,48 @@ pairs AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
   FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT i, j
-FROM pairs
-JOIN sizes si ON si.doc_id = pairs.i
-JOIN sizes sj ON sj.doc_id = pairs.j
-WHERE 3 * inter >= si.sz + sj.sz"""
+),
+jpairs AS (
+  SELECT i, j
+  FROM pairs
+  JOIN sizes si ON si.doc_id = pairs.i
+  JOIN sizes sj ON sj.doc_id = pairs.j
+  WHERE 3 * inter >= si.sz + sj.sz
+)"""
+
+
+def jaccard_dupes_sql() -> str:
+    return f"WITH {_jaccard_pair_ctes()}\nSELECT i, j FROM jpairs"
+
+
+_CC_CTES = """edges AS (
+  SELECT i AS u, j AS v FROM jpairs UNION SELECT j, i FROM jpairs
+),
+cc AS (
+  SELECT u AS node, u AS label FROM edges
+  UNION
+  SELECT e.u, cc.label FROM edges e JOIN cc ON cc.node = e.v
+),
+labels AS (SELECT node, min(label) AS cluster FROM cc GROUP BY node)"""
+
+
+def dedup_clusters_sql() -> str:
+    """Min-reachable label per pair-graph node (transitive closure of
+    the exact-Jaccard pairs) — ground truth for the large-star /
+    small-star contraction in ``stages/dedup.connected_components``."""
+    return f"""WITH RECURSIVE {_jaccard_pair_ctes()},
+{_CC_CTES}
+SELECT node AS doc_id, cluster AS cluster_id FROM labels"""
+
+
+def dedup_apply_tc_sql() -> str:
+    """Transitive keep-first survivors: every corpus doc that is either
+    pairless or its component's minimum id."""
+    return f"""WITH RECURSIVE {_jaccard_pair_ctes()},
+{_CC_CTES}
+SELECT c.doc_id
+FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+WHERE l.node IS NULL OR l.cluster = c.doc_id"""
 
 
 def doc_stats_sql() -> str:

@@ -52,6 +52,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .common import bucket_of, resolve_parallelism
 from .textstats import shingle_hashes
@@ -610,3 +611,153 @@ def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int | None = Non
 
     partials = ds.map_batches(partial, batch_format="pandas")
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# connected components over the duplicate-pair graph
+# ---------------------------------------------------------------------------
+
+
+def _star_round(df: pd.DataFrame, kind: str, num_buckets: int) -> pd.DataFrame:
+    """One bucket of a large-star / small-star round, fully vectorized.
+
+    Input rows are directed edges (u, v); the bucket holds EVERY edge
+    whose grouping node u lands in it, so per-node neighborhoods are
+    complete.  Per sorted run of u: m = min(neighborhood ∪ {u});
+    large-star reattaches strictly-larger neighbors to m, small-star
+    reattaches all smaller neighbors (and u itself) to m.
+    """
+    if len(df) == 0:
+        return pd.DataFrame({
+            "u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
+            "bucket": pd.Series(dtype=np.int32),
+        })
+    u = df["u"].to_numpy(np.int64)
+    v = df["v"].to_numpy(np.int64)
+    order = np.argsort(u, kind="stable")
+    us, vs = u[order], v[order]
+    change = np.flatnonzero(us[1:] != us[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    run_min = np.minimum(np.minimum.reduceat(vs, starts), us[starts])
+    sizes = np.diff(np.concatenate((starts, [len(us)])))
+    m = np.repeat(run_min, sizes)
+    if kind == "large":
+        keep = vs > us
+        eu, ev = vs[keep], m[keep]
+    else:  # small-star: edges arrive oriented u > v, attach v's and u to m
+        keep = vs != m
+        eu = np.concatenate((vs[keep], us[starts]))
+        ev = np.concatenate((m[keep], run_min))
+        self_loop = eu != ev
+        eu, ev = eu[self_loop], ev[self_loop]
+    out = pd.DataFrame({"u": eu, "v": ev}).drop_duplicates()
+    out["bucket"] = (out["u"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+    return out
+
+
+def _orient(batch: pa.Table, kind: str, num_buckets: int) -> pd.DataFrame:
+    """Directed-edge prep for one star round: large-star groups on BOTH
+    endpoints (symmetrize), small-star groups on the larger one."""
+    i = batch["u"].to_numpy().astype(np.int64)
+    j = batch["v"].to_numpy().astype(np.int64)
+    if kind == "large":
+        u = np.concatenate((i, j))
+        v = np.concatenate((j, i))
+    else:
+        u = np.maximum(i, j)
+        v = np.minimum(i, j)
+    df = pd.DataFrame({"u": u, "v": v})
+    df = df[df["u"] != df["v"]].drop_duplicates()
+    df["bucket"] = (df["u"].to_numpy(np.int64) % num_buckets).astype(np.int32)
+    return df
+
+
+def connected_components(
+    pairs_ds,
+    num_buckets: int | None = None,
+    max_rounds: int = 32,
+):
+    """Duplicate pairs (i, j) -> (doc_id, cluster_id = component min).
+
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14): each round
+    is one bucketed groupby over the EDGE set; the graph converges to
+    stars centered on the component minimum in O(log^2 n) rounds (2-3 in
+    practice for near-dup graphs, whose components are small and dense).
+
+    Scale shape: every round shuffles only the candidate-pair edges —
+    orders of magnitude smaller than the corpus — and the edge set
+    shrinks monotonically toward one edge per non-root member.  The
+    driver holds nothing but a per-round checksum; rounds materialize
+    the contracted edge set (bounded by the pair count).  Skewed
+    components are safe: a node's neighborhood after contraction is its
+    component members, and the star ops only take a min and re-emit.
+
+    Reference parity note: lifts features/postprocess.py:277-284's
+    keep-first semantics from exact-key groups to TRANSITIVE closure
+    over near-duplicate pairs (the pair detectors are not transitive:
+    A~B and B~C does not imply the A~C row exists).
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def run_round(ds, kind):
+        oriented = ds.map_batches(
+            lambda b, k=kind: _orient(b, k, num_buckets), batch_format="pyarrow"
+        )
+        return oriented.groupby("bucket").map_groups(
+            lambda df, k=kind: _star_round(df, k, num_buckets),
+            batch_format="pandas",
+        )
+
+    def checksum(ds) -> tuple:
+        def partial(b: pa.Table) -> pd.DataFrame:
+            h = (b["u"].to_numpy().astype(np.uint64) * np.uint64(1000003)
+                 ^ b["v"].to_numpy().astype(np.uint64))
+            return pd.DataFrame({"n": [len(h)], "x": [int(h.sum(dtype=np.uint64))]})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        return int(parts["n"].sum()), int(np.uint64(parts["x"].astype(np.uint64).sum()))
+
+    edges = pairs_ds.map_batches(
+        lambda b: pa.table({"u": pc.cast(b["i"], pa.int64()),
+                            "v": pc.cast(b["j"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()
+    prev = None
+    for _ in range(max_rounds):
+        edges = run_round(edges, "large")
+        edges = run_round(edges, "small").materialize()
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # star edges (member -> root) + the roots themselves; roots repeat
+    # across batches/buckets, so close with a two-phase global distinct
+    # (post-convergence each member has exactly one root, so (doc_id,
+    # cluster_id) distinct == doc_id distinct)
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        mem = df[["u", "v"]].rename(columns={"u": "doc_id", "v": "cluster_id"})
+        roots = pd.DataFrame({"doc_id": df["v"].unique()})
+        roots["cluster_id"] = roots["doc_id"]
+        return pd.concat([mem, roots], ignore_index=True).astype(np.int64)
+
+    rows = edges.map_batches(finalize, batch_format="pandas")
+    return distinct_rows(rows, ["doc_id", "cluster_id"], num_buckets=num_buckets)
+
+
+def apply_dedup_clusters(docs_ds, pairs_ds, num_partitions: int | None = None,
+                         id_col: str = "doc_id"):
+    """Transitive keep-first dedup: survivors are the per-component
+    minimum ids of :func:`connected_components` plus every doc in no
+    pair.  LEFT ANTI join against the non-root members — same shape as
+    :func:`apply_dedup` but closed under A~B~C chains."""
+    num_partitions = resolve_parallelism(num_partitions)
+    clusters = connected_components(pairs_ds)
+
+    def non_roots(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["doc_id"] != df["cluster_id"]][["doc_id"]]
+        return out.rename(columns={"doc_id": id_col}) if id_col != "doc_id" else out
+
+    drops = clusters.map_batches(non_roots, batch_format="pandas")
+    return docs_ds.join(drops, "left_anti", num_partitions=num_partitions, on=(id_col,))

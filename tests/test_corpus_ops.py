@@ -254,3 +254,53 @@ def test_export_shuffled_layout(ray_session, tmp_path):
     a = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = t2.to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_connected_components_chain_star_and_roots(ray_session):
+    """Transitive closure the pair detectors cannot express: a chain
+    A~B~C~D must collapse to one cluster even though (A,C) (A,D) (B,D)
+    pair rows never exist; roots and multi-bucket components must emit
+    exactly once."""
+    import pandas as pd
+    import ray.data as rd
+
+    pairs = pd.DataFrame(
+        {"i": [1, 2, 3, 10, 20, 20], "j": [2, 3, 4, 11, 21, 22]}
+    )
+    out = dd.connected_components(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+    assert len(out) == len(out["doc_id"].unique())
+
+    # worst-case diameter: a 100-node path converges (O(log^2 n) rounds)
+    chain = pd.DataFrame({"i": range(99), "j": range(1, 100)})
+    out2 = dd.connected_components(rd.from_pandas(chain)).to_pandas()
+    assert set(out2["cluster_id"]) == {0} and len(out2) == 100
+
+
+def test_apply_dedup_clusters_transitive_keep_first(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    pairs = rd.from_pandas(
+        pd.DataFrame({"i": [1, 2, 3, 10, 20, 20], "j": [2, 3, 4, 11, 21, 22]})
+    )
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4, 10, 11, 50], "text": ["x"] * 7})
+    )
+    kept = dd.apply_dedup_clusters(docs, pairs, num_partitions=4).to_pandas()
+    # pairwise apply_dedup would KEEP 3 (no pair ties it to a smaller id
+    # as the j member of (i<j) ... it does: (2,3) drops 3) — the chain
+    # case where they differ is (1,2),(2,3): pairwise drops {2,3},
+    # transitive also drops both; the real difference shows on e.g.
+    # (5,6),(4,6): pairwise keeps 5 (only j=6 dropped), transitive
+    # keeps only 4.
+    assert sorted(kept["doc_id"]) == [1, 10, 50]
+
+    pairs2 = rd.from_pandas(pd.DataFrame({"i": [5, 4], "j": [6, 6]}))
+    docs2 = rd.from_pandas(pd.DataFrame({"doc_id": [4, 5, 6], "text": ["y"] * 3}))
+    kept_pair = dd.apply_dedup(docs2, pairs2, num_partitions=4).to_pandas()
+    kept_tc = dd.apply_dedup_clusters(docs2, pairs2, num_partitions=4).to_pandas()
+    assert sorted(kept_pair["doc_id"]) == [4, 5]  # pairwise misses 5~4
+    assert sorted(kept_tc["doc_id"]) == [4]  # transitive closes the chain
