@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": c.q_exact_dedup,
         "jaccard_dupes": c.q_jaccard_dupes,
+        "jaccard_dupes_verified": c.q_jaccard_dupes_verified,
         "dedup_apply": c.q_dedup_apply,  # anti-join keep-first consumer
         "dedup_clusters": c.q_dedup_clusters,  # connected components
         "dedup_apply_tc": c.q_dedup_apply_tc,  # transitive keep-first
@@ -175,6 +176,7 @@ def oracle_sql() -> dict[str, str]:
         "balanced_examples": ot5.balanced_examples_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_dupes": oc.jaccard_dupes_sql(),
+        "jaccard_dupes_verified": oc.jaccard_dupes_verified_sql(),
         "dedup_apply": oc.dedup_apply_sql(),
         "dedup_clusters": oc.dedup_clusters_sql(),
         "dedup_apply_tc": oc.dedup_apply_tc_sql(),

@@ -32,6 +32,7 @@ ANN_K = 5
 COSINE_THRESHOLD = 0.9
 JACCARD_K = 3
 JACCARD_MAX_DF = 64
+JACCARD_VERIFIED_MAX_DF = 8  # tiny on purpose: forces the verify path
 
 
 def _read_docs(sf_dir: str):
@@ -126,6 +127,16 @@ def q_dedup_apply(sf_dir: str):
     )
     kept = dedup_ops.apply_dedup(dup_corpus(sf_dir), pairs, num_partitions=16)
     return kept.select_columns(["doc_id"])
+
+
+def q_jaccard_dupes_verified(sf_dir: str):
+    """Verified exact Jaccard with a deliberately TINY df cap (8): the
+    stop-set + upper-bound + exact-verify machinery must recover the
+    TRUE uncapped pair set even though the template boilerplate's
+    shingles (df ~ corpus size) are all dropped from the index."""
+    return dedup_ops.jaccard_pairs_verified(
+        dup_corpus(sf_dir), k=JACCARD_K, max_df=JACCARD_VERIFIED_MAX_DF
+    )
 
 
 def q_dedup_clusters(sf_dir: str):

@@ -55,10 +55,13 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM corpus GROUP BY md5(text)"""
 
 
-def _jaccard_pair_ctes() -> str:
-    """CTE chain ``corpus .. jpairs`` — the exact capped-Jaccard pair set
-    (shared by the pair, cluster and transitive-apply oracles)."""
+def _jaccard_pair_ctes(max_df: int | None = JACCARD_MAX_DF) -> str:
+    """CTE chain ``corpus .. jpairs`` — the exact Jaccard pair set with
+    an optional df cap (shared by the pair, cluster and transitive-apply
+    oracles; ``max_df=None`` = TRUE uncapped Jaccard, the ground truth
+    for the verified pair path)."""
     k = JACCARD_K
+    df_filter = f"HAVING count(*) <= {max_df}" if max_df is not None else ""
     return f"""{DUP_CORPUS_CTE},
 toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
@@ -72,7 +75,7 @@ sh AS (
   FROM toks WHERE len(w) >= {k}
 ),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-df AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= {JACCARD_MAX_DF}),
+df AS (SELECT s FROM sh GROUP BY s {df_filter}),
 sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)),
 pairs AS (
   SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
@@ -90,6 +93,12 @@ jpairs AS (
 
 def jaccard_dupes_sql() -> str:
     return f"WITH {_jaccard_pair_ctes()}\nSELECT i, j FROM jpairs"
+
+
+def jaccard_dupes_verified_sql() -> str:
+    """TRUE (uncapped) Jaccard pairs — the verified pair path must match
+    this even though it runs with a deliberately tiny df cap."""
+    return f"WITH {_jaccard_pair_ctes(max_df=None)}\nSELECT i, j FROM jpairs"
 
 
 _CC_CTES = """edges AS (

@@ -32,11 +32,16 @@ mitigation are the design):
                            distributed LEFT ANTI hash join.
 
 Cap sensitivity (measured): on a duplicate-heavy corpus the fixed
-``max_df`` stop-shingle cap is the exact path's failure mode — at 16x
-corpus duplication EVERY shingle's df exceeds 64 and jaccard_pairs
+``max_df`` stop-shingle cap is the plain exact path's failure mode — at
+16x corpus duplication EVERY shingle's df exceeds 64 and jaccard_pairs
 returns zero pairs, while minhash_lsh_pairs (band df cap 256, collision
-counting) recovers every group.  Exact Jaccard is the verification tool
-for moderate-duplication corpora; MinHash is the web-scale default.
+counting) recovers every group.  ``jaccard_pairs_verified`` removes the
+failure mode entirely: stop-set accounting brackets each candidate's
+true intersection, an exact-verify join settles the uncertain sliver,
+and a heavy-doc all-pairs pass covers pairs that share only stop
+shingles — equal to TRUE uncapped Jaccard by construction (differential
+and oracle tested).  MinHash remains the cheap first screen at web
+scale; the verified path is the exact tool that stays exact.
 
 Semantics model the reference's dedup moves (first-occurrence keep:
 ``/root/reference/information_extraction_t5/features/postprocess.py:277-284``
@@ -252,6 +257,349 @@ def jaccard_pairs(
     return candidates.groupby("pbucket").map_groups(
         final_pairs, batch_format="pandas"
     )
+
+
+def jaccard_stop_shingles(
+    docs_ds, k: int, max_df: int, num_buckets: int, batch_size: int = 2048
+) -> np.ndarray:
+    """Sorted uint64 array of shingles with document frequency > max_df.
+
+    Two-phase: per-batch fold to (shingle, partial df), bucketed groupby
+    sums, filter.  The RESULT is driver-collected — bounded by
+    total_shingle_rows / max_df (each stop shingle absorbs > max_df
+    rows), i.e. the Zipf head of the shingle vocabulary, the only part
+    small enough to broadcast and the only part the verified pair path
+    needs by name."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        hs = [shingle_hashes(t, k) for t in batch["text"].to_pylist()]
+        sh = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        u, c = np.unique(sh, return_counts=True)
+        return pd.DataFrame(
+            {
+                "sh": u.astype(np.int64),
+                "df": c.astype(np.int64),
+                "bucket": (u % np.uint64(num_buckets)).astype(np.int32),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("sh", sort=False)["df"].sum()
+        return pd.DataFrame({"sh": g.index[g > max_df].to_numpy(np.int64)})
+
+    stops = (
+        docs_ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+        .groupby("bucket")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    return np.sort(stops["sh"].to_numpy(np.int64).astype(np.uint64))
+
+
+def jaccard_pairs_verified(
+    docs_ds,
+    k: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    max_df: int = 64,
+    num_buckets: int | None = None,
+    batch_size: int = 2048,
+    parallelism=None,
+    num_partitions: int | None = None,
+):
+    """EXACT word-k-gram Jaccard pairs that stay exact on duplicate-heavy
+    corpora — the fix for plain :func:`jaccard_pairs`'s documented
+    failure mode (its silent df cap undercounts intersections and can
+    zero recall when shingle frequencies blow past ``max_df``).
+
+    Three passes, each streaming:
+
+    1. **Stop-set**: shingles with df > max_df (:func:`jaccard_stop_shingles`)
+       — the Zipf head, broadcast once via ``ray.put``.
+    2. **Kept-shingle inverted index**: every remaining group has df <=
+       max_df BY CONSTRUCTION, so pair emission is bounded without
+       dropping information silently; each doc carries its FULL set size
+       ``si`` and dropped-shingle count ``di``.  A candidate's true
+       intersection is bracketed:  inter_kept <= inter <= inter_kept +
+       min(di, dj).  Lower bound passes -> pair is certainly real;
+       upper bound fails -> certainly not; in between -> uncertain.
+    3. **Exact verification** of the uncertain sliver: uncertain doc ids
+       hash-join back to their full shingle arrays and each pair's true
+       intersection is recomputed (``np.intersect1d``).  No broadcast of
+       texts; pair and id sets are post-filter small.
+    4. **Heavy-doc all-pairs**: a true pair can share ONLY stop-set
+       shingles (zero kept overlap -> no candidate row from pass 2).
+       Such a pair needs ``(n+d)*drop >= n*size`` on BOTH sides — the
+       "heavy" docs.  Those go through a triangle-blocked exact
+       all-pairs check (each heavy doc replicates to P block-pairs;
+       every doc pair lands in exactly one group).  Quadratic ONLY in
+       the heavy subset: rare in benign corpora (run ``exact_dedup``
+       first so mass copies collapse), and in boilerplate-saturated
+       corpora the TRUE OUTPUT is itself near-quadratic, so the cost is
+       inherent to the answer, not the algorithm.
+
+    The union of passes 2-4 (deduped) is the exact uncapped pair set:
+    any true pair either shares a kept shingle (passes 2-3 bracket and
+    verify it) or shares only stop shingles (both ends heavy -> pass 4).
+    """
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    num_partitions = resolve_parallelism(num_partitions)
+    nd = threshold_num + threshold_den
+    stop = jaccard_stop_shingles(docs_ds, k, max_df, num_buckets, batch_size)
+    stop_ref = ray.put(stop)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        stops = ray.get(stop_ref)
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        sh_col, id_col, si_col, di_col = [], [], [], []
+        for d, t in zip(ids, texts):
+            sh = shingle_hashes(t, k)
+            pos = np.searchsorted(stops, sh)
+            pos[pos == len(stops)] = 0
+            dropped = stops[pos] == sh if len(stops) else np.zeros(len(sh), bool)
+            kept = sh[~dropped]
+            sh_col.append(kept)
+            id_col.append(np.full(len(kept), d, dtype=np.int64))
+            si_col.append(np.full(len(kept), len(sh), dtype=np.int32))
+            di_col.append(np.full(len(kept), int(dropped.sum()), dtype=np.int32))
+        cat = lambda parts, dt: (
+            np.concatenate(parts) if parts else np.empty(0, dt)
+        )
+        sh_all = cat(sh_col, np.uint64)
+        return pa.table(
+            {
+                "bucket": pa.array((sh_all % num_buckets).astype(np.int32)),
+                "sh": pa.array(sh_all.astype(np.int64)),
+                "doc_id": pa.array(cat(id_col, np.int64)),
+                "size": pa.array(cat(si_col, np.int32)),
+                "drop": pa.array(cat(di_col, np.int32)),
+            }
+        )
+
+    def emit(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        keys = bucket_df["sh"].to_numpy()
+        # kept groups are <= max_df by construction; the cap is a backstop
+        order, li, ri = _group_pair_indices(keys, max_df)
+        cols = ["i", "j", "si", "sj", "di", "dj", "inter", "pbucket"]
+        if li.size == 0:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64 if c in ("i", "j", "inter")
+                              else np.int32) for c in cols}
+            )
+        ids = bucket_df["doc_id"].to_numpy()[order]
+        szs = bucket_df["size"].to_numpy()[order]
+        dps = bucket_df["drop"].to_numpy()[order]
+        a, b = ids[li], ids[ri]
+        swap = a > b
+        df = pd.DataFrame(
+            {
+                "i": np.where(swap, b, a),
+                "j": np.where(swap, a, b),
+                "si": np.where(swap, szs[ri], szs[li]),
+                "sj": np.where(swap, szs[li], szs[ri]),
+                "di": np.where(swap, dps[ri], dps[li]),
+                "dj": np.where(swap, dps[li], dps[ri]),
+            }
+        )
+        g = df.groupby(["i", "j"], sort=False).agg(
+            si=("si", "first"), sj=("sj", "first"),
+            di=("di", "first"), dj=("dj", "first"), inter=("si", "size"),
+        ).reset_index()
+        g["pbucket"] = ((g["i"] * 1000003 + g["j"]) % num_buckets).astype(np.int32)
+        return g
+
+    def classify(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        g = bucket_df.groupby(["i", "j"], sort=False).agg(
+            si=("si", "first"), sj=("sj", "first"),
+            di=("di", "first"), dj=("dj", "first"), inter=("inter", "sum"),
+        ).reset_index()
+        need = threshold_num * (g["si"] + g["sj"])
+        lower = nd * g["inter"] >= need
+        upper = nd * (g["inter"] + np.minimum(g["di"], g["dj"])) >= need
+        g["certain"] = lower
+        return g.loc[upper, ["i", "j", "certain"]]
+
+    shingles = docs_ds.map_batches(
+        shingle_rows, batch_format="pyarrow", batch_size=batch_size
+    ).repartition(resolve_parallelism(parallelism))
+    cands = (
+        shingles.groupby("bucket").map_groups(emit, batch_format="pandas")
+        .groupby("pbucket").map_groups(classify, batch_format="pandas")
+    ).materialize()
+
+    certain = cands.filter(lambda r: r["certain"]).select_columns(["i", "j"])
+    uncertain = cands.filter(lambda r: not r["certain"]).select_columns(["i", "j"])
+    n_unc = uncertain.count()
+    heavy = _heavy_only_pairs(
+        docs_ds, stop_ref, k, threshold_num, threshold_den,
+        batch_size=batch_size,
+    )
+    if n_unc == 0:
+        return certain.union(heavy) if heavy is not None else certain
+
+    # exact verification of the uncertain sliver: full shingle arrays
+    # travel only for the docs named by an uncertain pair (hash joins,
+    # no broadcast of texts)
+    def ids_of(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": np.unique(np.concatenate([df["i"].to_numpy(),
+                                                 df["j"].to_numpy()]))}
+        )
+
+    ids = distinct_rows(
+        uncertain.map_batches(ids_of, batch_format="pandas"), ["doc_id"]
+    )
+    # Ray's hash join raises when a partition receives zero left rows
+    # (distinct keys sparser than partitions); ~256 pairs per partition
+    # keeps every partition occupied while still scaling with volume
+    n_parts = max(1, min(num_partitions, n_unc // 256))
+
+    def doc_shingles(batch: pa.Table) -> pa.Table:
+        # arrays ride as binary: Arrow hash joins reject tensor/list
+        # payload columns, and uint64 le-bytes round-trip exactly
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "sh": pa.array(
+                    [shingle_hashes(t, k).tobytes()
+                     for t in batch["text"].to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    doc_sh = docs_ds.map_batches(doc_shingles, batch_format="pyarrow").join(
+        ids, "inner", num_partitions=n_parts, on=("doc_id",)
+    )
+    left = uncertain.join(
+        doc_sh.rename_columns({"doc_id": "i", "sh": "sh_i"}),
+        "inner", num_partitions=n_parts, on=("i",),
+    )
+    both = left.join(
+        doc_sh.rename_columns({"doc_id": "j", "sh": "sh_j"}),
+        "inner", num_partitions=n_parts, on=("j",),
+    )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = []
+        for a_raw, b_raw in zip(df["sh_i"], df["sh_j"]):
+            a = np.frombuffer(a_raw, dtype=np.uint64)
+            b = np.frombuffer(b_raw, dtype=np.uint64)
+            inter = len(np.intersect1d(a, b, assume_unique=True))
+            union = len(a) + len(b) - inter
+            keep.append(threshold_den * inter >= threshold_num * union)
+        return df.loc[keep, ["i", "j"]]
+
+    verified = both.map_batches(verify, batch_format="pandas")
+    out = certain.union(verified)
+    return out.union(heavy) if heavy is not None else out
+
+
+def _heavy_only_pairs(
+    docs_ds, stop_ref, k, threshold_num, threshold_den,
+    batch_size: int = 2048, block_target: int = 1024,
+):
+    """Pass 4 of :func:`jaccard_pairs_verified`: exact pairs among HEAVY
+    docs ((n+d)*dropped >= n*size) that share NO kept shingle — the only
+    true pairs the kept-shingle index cannot see.  Triangle-blocked
+    all-pairs: heavy doc in block b replicates to every block-pair group
+    (min(b,c), max(b,c)), so each doc pair meets in exactly one group;
+    the zero-kept-overlap filter keeps the output disjoint from passes
+    2-3 (no downstream distinct needed).  Returns None when no doc is
+    heavy (the common case on benign corpora)."""
+    import ray
+
+    nd = threshold_num + threshold_den
+
+    def heavy_rows(batch: pa.Table) -> pa.Table:
+        stops = ray.get(stop_ref)
+        ids_out, sh_out = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = shingle_hashes(t, k)
+            if len(sh) == 0:
+                continue
+            pos = np.searchsorted(stops, sh)
+            pos[pos == len(stops)] = 0
+            di = int((stops[pos] == sh).sum()) if len(stops) else 0
+            if nd * di >= threshold_num * len(sh):
+                ids_out.append(d)
+                sh_out.append(sh.tobytes())
+        return pa.table(
+            {"doc_id": pa.array(ids_out, pa.int64()),
+             "sh": pa.array(sh_out, pa.binary())}
+        )
+
+    heavy = docs_ds.map_batches(
+        heavy_rows, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    n_heavy = heavy.count()
+    if n_heavy == 0:
+        return None
+    P = int(max(1, min(32, -(-n_heavy // block_target))))
+
+    def replicate(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        blocks = (ids % P).astype(np.int64)
+        frames = []
+        for c in range(P):
+            a = np.minimum(blocks, c)
+            b = np.maximum(blocks, c)
+            frames.append(pd.DataFrame({
+                "gid": a * P + b,
+                "doc_id": ids,
+                "blk": blocks,
+                "sh": batch["sh"].to_pylist(),
+            }))
+        return pd.concat(frames, ignore_index=True).drop_duplicates(
+            ["gid", "doc_id"]
+        )
+
+    def group_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)}
+        )
+        if len(df) == 0:
+            return empty
+        stops = None
+        gid = int(df["gid"].iloc[0])
+        a, b = gid // P, gid % P
+        arrs = [np.frombuffer(r, dtype=np.uint64) for r in df["sh"]]
+        rows = list(zip(df["doc_id"], df["blk"], arrs))
+        out_i, out_j = [], []
+        for x in range(len(rows)):
+            dx, bx, sa = rows[x]
+            for y in range(x + 1, len(rows)):
+                dy, by, sb = rows[y]
+                if a != b and bx == by:
+                    continue  # same-block pairs belong to group (b, b)
+                shared = np.intersect1d(sa, sb, assume_unique=True)
+                inter = len(shared)
+                union = len(sa) + len(sb) - inter
+                if threshold_den * inter < threshold_num * union:
+                    continue
+                if stops is None:
+                    stops = ray.get(stop_ref)
+                if len(stops):
+                    pos = np.searchsorted(stops, shared)
+                    pos[pos == len(stops)] = 0
+                    kept_shared = int((stops[pos] != shared).sum())
+                else:
+                    kept_shared = inter
+                if kept_shared == 0:  # else passes 2-3 already saw it
+                    out_i.append(min(dx, dy))
+                    out_j.append(max(dx, dy))
+        if not out_i:
+            return empty
+        return pd.DataFrame(
+            {"i": pd.Series(out_i, dtype=np.int64),
+             "j": pd.Series(out_j, dtype=np.int64)}
+        )
+
+    rep = heavy.map_batches(replicate, batch_format="pyarrow")
+    return rep.groupby("gid").map_groups(group_pairs, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -304,3 +304,65 @@ def test_apply_dedup_clusters_transitive_keep_first(ray_session):
     kept_tc = dd.apply_dedup_clusters(docs2, pairs2, num_partitions=4).to_pandas()
     assert sorted(kept_pair["doc_id"]) == [4, 5]  # pairwise misses 5~4
     assert sorted(kept_tc["doc_id"]) == [4]  # transitive closes the chain
+
+
+def test_jaccard_verified_exact_under_tiny_cap(ray_session):
+    """The verified path must equal brute-force TRUE Jaccard even when
+    the df cap drops every boilerplate shingle — including pairs whose
+    ONLY shared shingles are stop-set members (the heavy-doc pass)."""
+    import itertools
+
+    import pandas as pd
+    import ray.data as rd
+
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in range(400)]
+    template = " ".join(words[:40])
+    docs = []
+    for d in range(120):
+        uniq = " ".join(rng.choice(words[40:], size=30, replace=False))
+        docs.append((d, template + " " + uniq))
+    for d in range(0, 120, 4):  # near-dups: 5 words changed
+        w = docs[d][1].split()
+        for p in rng.choice(len(w), 5, replace=False):
+            w[p] = "z" + w[p]
+        docs.append((d + 1000, " ".join(w)))
+    df = pd.DataFrame(docs, columns=["doc_id", "text"])
+
+    sets = {d: set(ts.shingle_hashes(t, 3)) for d, t in zip(df.doc_id, df.text)}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if 3 * inter >= len(sets[a]) + len(sets[b]):
+            want.add((a, b))
+    assert want  # the fixture must contain true pairs
+
+    def pairset(d):
+        p = d.to_pandas()
+        return (set(map(tuple, p[["i", "j"]].itertuples(index=False)))
+                if "i" in p.columns else set())
+
+    ds = rd.from_pandas(df)
+    got_plain = pairset(dd.jaccard_pairs(ds, max_df=8))
+    got_ver = pairset(dd.jaccard_pairs_verified(ds, max_df=8))
+    assert got_plain != want  # cap=8 cripples the plain path here...
+    assert got_ver == want  # ...and the verified path still lands exact
+
+
+def test_jaccard_verified_heavy_only_pairs(ray_session):
+    """Docs similar ONLY through over-cap shingles: zero kept overlap,
+    so passes 2-3 are blind and only the heavy all-pairs sees them."""
+    import pandas as pd
+    import ray.data as rd
+
+    shared = " ".join(f"s{i}" for i in range(60))
+    docs = []
+    # 20 docs = same shared block + 3 unique words -> every shared
+    # shingle has df=20 > cap=4; each true pair overlaps only there
+    for d in range(20):
+        docs.append((d, shared + f" u{d}a u{d}b u{d}c"))
+    ds = rd.from_pandas(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = dd.jaccard_pairs_verified(ds, max_df=4).to_pandas()
+    assert len(got) == 20 * 19 // 2  # all pairs are true dups (J ~ 0.9)
+    plain = dd.jaccard_pairs(ds, max_df=4).to_pandas()
+    assert len(plain) == 0 or "i" not in plain.columns
