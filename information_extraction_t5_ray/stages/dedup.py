@@ -92,10 +92,16 @@ def _group_pair_indices(keys: np.ndarray, max_df: int):
     s2 = starts[sizes == 2]
     li.append(s2)
     ri.append(s2 + 1)
-    for b in np.flatnonzero((sizes > 2) & (sizes <= max_df)):
-        iu, ju = np.triu_indices(int(sizes[b]), k=1)
-        li.append(starts[b] + iu)
-        ri.append(starts[b] + ju)
+    # one vectorized emission per DISTINCT size class (<= max_df - 2 of
+    # them), not per group: triu indices tile across all groups of that
+    # size via broadcasting — the per-group Python loop was the pair
+    # stage's hottest line on duplicate-heavy corpora
+    big = (sizes > 2) & (sizes <= max_df)
+    for s in np.unique(sizes[big]):
+        st = starts[big & (sizes == s)]
+        iu, ju = np.triu_indices(int(s), k=1)
+        li.append((st[:, None] + iu[None, :]).ravel())
+        ri.append((st[:, None] + ju[None, :]).ravel())
     return order, np.concatenate(li), np.concatenate(ri)
 
 
