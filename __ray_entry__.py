@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "doc_stats": c.q_doc_stats,
         "lang_id": c.q_lang_id,
+        "quality_score": c.q_quality_score,  # Gopher/C4-style gates
+        "tfidf_top_terms": c.q_tfidf_top_terms,  # term weighting
         "fingerprint": c.q_fingerprint,
         "winnow_sketch": c.q_winnow,  # rows-only (list column)
         "top_bigrams": c.q_top_bigrams,  # vocabulary building
@@ -185,6 +187,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_ivf": oc.ann_topk_sql(),
         "doc_stats": oc.doc_stats_sql(),
         "lang_id": oc.lang_id_sql(),
+        "quality_score": oc.quality_score_sql(),
+        "tfidf_top_terms": oc.tfidf_top_terms_sql(),
         "fingerprint": oc.fingerprint_sql(),
         "top_bigrams": oc.top_bigrams_sql(),
         "purchase_asof_signup": oc.purchase_asof_signup_sql(),

@@ -174,6 +174,14 @@ def q_lang_id(sf_dir: str):
     return textstats.lang_id_stage(_read_docs(sf_dir))
 
 
+def q_quality_score(sf_dir: str):
+    return textstats.quality_score_stage(_read_docs(sf_dir))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    return textstats.tfidf_top_terms(_read_docs(sf_dir), top_k=3)
+
+
 def q_fingerprint(sf_dir: str):
     return textstats.fingerprint_stage(_read_docs(sf_dir))
 

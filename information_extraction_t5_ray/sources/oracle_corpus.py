@@ -145,6 +145,57 @@ def doc_stats_sql() -> str:
 FROM documents"""
 
 
+def quality_score_sql() -> str:
+    from ..stages.textstats import (
+        QL_MAX_TOKENS,
+        QL_MIN_STOPWORDS,
+        QL_MIN_TOKENS,
+        QL_STOPWORDS,
+    )
+
+    stop_sum = " + ".join(_marker_count_sql(m) for m in QL_STOPWORDS)
+    return f"""WITH padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\\S')) AS n_word_chars,
+    {stop_sum} AS n_stop,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM padded
+)
+SELECT doc_id, n_tokens, n_word_chars, CAST(n_stop AS BIGINT) AS n_stop,
+  n_punct,
+  CAST(CASE WHEN n_tokens >= {QL_MIN_TOKENS} AND n_tokens <= {QL_MAX_TOKENS}
+        AND 3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens
+        AND n_stop >= {QL_MIN_STOPWORDS} AND n_punct <= n_tokens
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig"""
+
+
+def tfidf_top_terms_sql(top_k: int = 3) -> str:
+    """Per-doc top-k terms by (tf DESC, df ASC, term ASC) — the integral
+    tf-idf ordering of ``textstats.tfidf_top_terms``."""
+    return f"""WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, df.df ASC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {top_k}"""
+
+
 def _marker_count_sql(marker: str) -> str:
     esc = marker.replace("'", "''")
     return f"(length(p) - length(replace(p, '{esc}', ''))) // {len(marker)}"

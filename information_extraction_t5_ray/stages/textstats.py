@@ -112,6 +112,81 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+# --- quality scoring -------------------------------------------------------
+
+# Gopher/C4-style document-quality gates, kept INTEGRAL so the DuckDB
+# oracle hashes identically (no float ratios anywhere):
+#   tokens in [QL_MIN_TOKENS, QL_MAX_TOKENS]
+#   mean word length in [3, 10]   <=>  3*n_tokens <= n_word_chars <= 10*n_tokens
+#   >= QL_MIN_STOPWORDS stopword hits (C4's "has common function words")
+#   punctuation runs do not outnumber tokens:  n_punct <= n_tokens
+QL_MIN_TOKENS = 20
+QL_MAX_TOKENS = 100_000
+QL_MIN_STOPWORDS = 2
+QL_STOPWORDS = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> per-doc quality signals + integral keep flag.
+    Vectorized Arrow kernels only; the predicate arithmetic is mirrored
+    1:1 in ``oracle_corpus.quality_score_sql``."""
+    text = batch["text"]
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.int64())
+    # word chars = non-whitespace chars (mean word length denominator)
+    n_word_chars = pc.cast(
+        pc.count_substring_regex(text, r"\S"), pa.int64()
+    )
+    padded = pc.binary_join_element_wise(
+        pa.array([" "] * len(batch)), pc.utf8_lower(text),
+        pa.array([" "] * len(batch)), "",
+    )
+    n_stop = None
+    for m in QL_STOPWORDS:
+        c = pc.count_substring(padded, m)
+        n_stop = c if n_stop is None else pc.add(n_stop, c)
+    n_stop = pc.cast(n_stop, pa.int64())
+    t = n_tokens.to_numpy(zero_copy_only=False)
+    w = n_word_chars.to_numpy(zero_copy_only=False)
+    s = n_stop.to_numpy(zero_copy_only=False)
+    p = n_punct.to_numpy(zero_copy_only=False)
+    keep = (
+        (t >= QL_MIN_TOKENS) & (t <= QL_MAX_TOKENS)
+        & (3 * t <= w) & (w <= 10 * t)
+        & (s >= QL_MIN_STOPWORDS)
+        & (p <= t)
+    )
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": n_tokens,
+            "n_word_chars": n_word_chars,
+            "n_stop": n_stop,
+            "n_punct": n_punct,
+            "keep": pa.array(keep.astype(np.int64)),
+        }
+    )
+
+
+def quality_score_stage(docs_ds, batch_size: int = 4096):
+    return docs_ds.map_batches(
+        quality_score_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+def quality_filter(docs_ds, batch_size: int = 4096):
+    """docs -> docs that pass the quality gates (streaming filter: the
+    predicate is evaluated inside the same batch, no join, no shuffle)."""
+
+    def keep_rows(batch: pa.Table) -> pa.Table:
+        flags = quality_score_batch(batch)["keep"]
+        return batch.filter(pc.equal(flags, 1))
+
+    return docs_ds.map_batches(
+        keep_rows, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 # --- fingerprints ----------------------------------------------------------
 
 
@@ -264,3 +339,85 @@ def top_ngrams(
         bucket_topk, batch_format="pandas"
     )
     return per_bucket.repartition(1).map_batches(final_topk, batch_format="pandas")
+
+
+def tfidf_top_terms(
+    docs_ds,
+    top_k: int = 3,
+    num_buckets: int | None = None,
+    batch_size: int = 4096,
+):
+    """Per-document top-k terms by a tf-idf ordering — the term-weighting
+    primitive behind keyword extraction and quality-signal features.
+
+    Ranking is (tf DESC, df ASC, term ASC): term frequency primary,
+    document frequency as the (inverse-)idf tie-break — an INTEGRAL
+    ordering that is hash-identical in SQL (float idf = tf*ln(N/df)
+    would rank identically for fixed tf but differ in last-ulp hashing;
+    the float score is trivially derivable from the returned tf/df).
+
+    Scale shape (two bucketed exchanges, no join):
+      1. per-batch tokenize -> (doc_id, term, tf) rows (tf is final
+         in-batch: a document lives in exactly one row);
+      2. groupby term-bucket: every term group is complete, so df
+         attaches via a vectorized transform — the classic df join
+         collapses into the same exchange that computes it;
+      3. groupby doc-bucket: per-doc sort + head(k).
+    Shuffle volume is the distinct (doc, term) incidence, pre-shrunk by
+    in-batch tf folding; skew-safe because both exchanges key on hashed
+    vocab/doc ids."""
+    num_buckets = resolve_parallelism(num_buckets)
+    from .common import bucket_of
+
+    def term_rows(batch: pa.Table) -> pd.DataFrame:
+        ids_out, term_out, tf_out = [], [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            u, c = np.unique(toks, return_counts=True)
+            ids_out.append(np.full(len(u), d, dtype=np.int64))
+            term_out.append(u)
+            tf_out.append(c.astype(np.int64))
+        if not ids_out:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "term": pd.Series(dtype=object),
+                 "tf": pd.Series(dtype=np.int64),
+                 "bucket": pd.Series(dtype=np.int32)}
+            )
+        terms = np.concatenate(term_out)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(ids_out),
+                "term": terms,
+                "tf": np.concatenate(tf_out),
+                "bucket": bucket_of(terms, num_buckets),
+            }
+        )
+
+    def attach_df(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["doc_id", "term", "tf"]].copy()
+        out["df"] = df.groupby("term", sort=False)["doc_id"].transform("size")
+        out["dbucket"] = (out["doc_id"].to_numpy(np.int64) % num_buckets).astype(
+            np.int32
+        )
+        return out
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.sort_values(
+            ["doc_id", "tf", "df", "term"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        g["rank"] = g.groupby("doc_id", sort=False).cumcount() + 1
+        g = g[g["rank"] <= top_k]
+        g["rank"] = g["rank"].astype(np.int64)
+        g["df"] = g["df"].astype(np.int64)
+        return g[["doc_id", "term", "tf", "df", "rank"]]
+
+    rows = docs_ds.map_batches(
+        term_rows, batch_format="pyarrow", batch_size=batch_size
+    )
+    with_df = rows.groupby("bucket").map_groups(attach_df, batch_format="pandas")
+    return with_df.groupby("dbucket").map_groups(topk, batch_format="pandas")
