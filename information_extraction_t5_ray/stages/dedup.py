@@ -59,7 +59,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import bucket_of, resolve_parallelism
+from .common import bucket_of, maybe_scatter, resolve_parallelism
 from .textstats import shingle_hashes
 
 # ---------------------------------------------------------------------------
@@ -252,11 +252,14 @@ def jaccard_pairs(
         keep = nd * g["inter"] >= threshold_num * (g["si"] + g["sj"])
         return g.loc[keep, ["i", "j"]]
 
-    shingles = docs_ds.map_batches(
-        lambda b: _shingle_rows(b, k, num_buckets),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    ).repartition(resolve_parallelism(parallelism))
+    shingles = maybe_scatter(
+        docs_ds.map_batches(
+            lambda b: _shingle_rows(b, k, num_buckets),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ),
+        parallelism,
+    )
     candidates = shingles.groupby("bucket").map_groups(
         lambda df: _emit_pairs(df, max_df, num_buckets), batch_format="pandas"
     )
@@ -428,9 +431,12 @@ def jaccard_pairs_verified(
         g["certain"] = lower
         return g.loc[upper, ["i", "j", "certain"]]
 
-    shingles = docs_ds.map_batches(
-        shingle_rows, batch_format="pyarrow", batch_size=batch_size
-    ).repartition(resolve_parallelism(parallelism))
+    shingles = maybe_scatter(
+        docs_ds.map_batches(
+            shingle_rows, batch_format="pyarrow", batch_size=batch_size
+        ),
+        parallelism,
+    )
     cands = (
         shingles.groupby("bucket").map_groups(emit, batch_format="pandas")
         .groupby("pbucket").map_groups(classify, batch_format="pandas")
@@ -800,10 +806,15 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         batch_size=batch_size,
     )
-    band_rows = band_rows.map_batches(
-        lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
-        batch_format="pandas",
-    ).repartition(resolve_parallelism(parallelism))
+    band_rows = maybe_scatter(
+        band_rows.map_batches(
+            lambda df: df.assign(
+                bucket=(df["band_key"] % num_buckets).astype(np.int32)
+            ),
+            batch_format="pandas",
+        ),
+        parallelism,
+    )
     cand = band_rows.groupby("bucket").map_groups(candidates, batch_format="pandas")
     return cand.groupby("pbucket").map_groups(verify, batch_format="pandas")
 
@@ -891,10 +902,15 @@ def simhash_pairs(
         return df.drop_duplicates(["i", "j"])[["i", "j"]]
 
     bands = docs_ds.map_batches(to_bands, batch_format="pyarrow", batch_size=batch_size)
-    bands = bands.map_batches(
-        lambda df: df.assign(bucket=(df["band_key"] % num_buckets).astype(np.int32)),
-        batch_format="pandas",
-    ).repartition(resolve_parallelism(parallelism))
+    bands = maybe_scatter(
+        bands.map_batches(
+            lambda df: df.assign(
+                bucket=(df["band_key"] % num_buckets).astype(np.int32)
+            ),
+            batch_format="pandas",
+        ),
+        parallelism,
+    )
     cand = bands.groupby("bucket").map_groups(pairs_in_band, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: df.assign(

@@ -31,7 +31,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-from .common import resolve_parallelism
+from .common import maybe_scatter, resolve_parallelism
 
 
 _RP_PLANES_CACHE: dict = {}
@@ -309,6 +309,7 @@ def rp_lsh_dup_pairs(
     num_buckets: int | None = None,
     batch_size: int = 4096,
     dim: Optional[int] = None,
+    parallelism: int | None = None,
 ):
     """Random-hyperplane LSH near-dup pairs — the no-broadcast scale
     path.  Recall is probabilistic (tested, not oracle-matched); the
@@ -378,10 +379,15 @@ def rp_lsh_dup_pairs(
     h = embeddings_ds.map_batches(
         lambda b: hasher(b), batch_format="pyarrow", batch_size=batch_size
     )
-    h = h.map_batches(
-        lambda df: df.assign(bucket=(df["bkey"] % num_buckets).astype(np.int32)),
-        batch_format="pandas",
-    ).repartition(num_buckets)
+    h = maybe_scatter(
+        h.map_batches(
+            lambda df: df.assign(
+                bucket=(df["bkey"] % num_buckets).astype(np.int32)
+            ),
+            batch_format="pandas",
+        ),
+        parallelism,
+    )
     cand = h.groupby("bucket").map_groups(pairs_in_bucket, batch_format="pandas")
     cand = cand.map_batches(
         lambda df: df.assign(
