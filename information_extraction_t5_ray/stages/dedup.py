@@ -227,7 +227,7 @@ def jaccard_pairs(
     threshold_den: int = 2,
     max_df: int = 64,
     num_buckets: int | None = None,
-    batch_size: int = 2048,
+    batch_size: int = 512,
     parallelism=None,
 ):
     """Pairs (i < j) with word-k-gram Jaccard >= num/den, exact.
@@ -235,11 +235,13 @@ def jaccard_pairs(
     The threshold test is kept integral:
         inter/(si+sj-inter) >= n/d  <=>  (n+d)*inter >= n*(si+sj).
 
-    ``parallelism``: block count forced (cheap split repartition) before
-    each groupby — map_groups task count follows the sort's block count,
-    which follows its INPUT block count, so without this the pair-emit
-    stage inherits the handful of blocks the shingle map produced and
-    runs 3-5 wide on a 32-core node.
+    ``batch_size`` doubles as the sort width knob: shingling explodes
+    each doc ~50-100x, and the pair-emit reduce width follows the
+    shingle map's OUTPUT block count, so smaller input batches both
+    bound the exploded block size and widen the sort (measured at
+    sf0.1/32cpu: 512 runs 2x faster than 2048 end-to-end and beats an
+    explicit re-scatter, which pays a full extra exchange —
+    ``parallelism``/:func:`maybe_scatter` remains for narrow inputs).
     """
 
     num_buckets = resolve_parallelism(num_buckets)
@@ -312,7 +314,7 @@ def jaccard_pairs_verified(
     threshold_den: int = 2,
     max_df: int = 64,
     num_buckets: int | None = None,
-    batch_size: int = 2048,
+    batch_size: int = 512,
     parallelism=None,
     num_partitions: int | None = None,
 ):
