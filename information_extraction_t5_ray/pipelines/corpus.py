@@ -158,6 +158,31 @@ def q_dedup_apply_tc(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def q_curate_corpus(sf_dir: str):
+    """Composed corpus-curation flagship — the standard training-data
+    funnel run as ONE streaming Ray pipeline:
+
+        quality gate (C4/Gopher-style integral gates, in-batch filter,
+        no shuffle)
+          -> exact keep-first dedup (two-phase content-hash fold; the
+             survivor carries its text forward)
+          -> transitive near-dedup (exact-Jaccard pairs -> connected
+             components -> component-min survivors via LEFT ANTI join)
+
+    Output: (doc_id, n_exact_dups) for every document that survives all
+    three gates.  Every stage is individually oracle-checked elsewhere
+    (quality_score, exact_dedup, jaccard_dupes, dedup_apply_tc); this
+    query checks their COMPOSITION against a single recursive-CTE SQL
+    oracle.  Mirrors the reference's dedup-by-grouped-head(1) semantics
+    (features/postprocess.py:277-284) lifted to corpus scale."""
+    corpus = dup_corpus(sf_dir)
+    qdocs = textstats.quality_filter(corpus)
+    uniq = dedup_ops.exact_dedup_keep(qdocs)
+    pairs = dedup_ops.jaccard_pairs(uniq, k=JACCARD_K, max_df=JACCARD_MAX_DF)
+    kept = dedup_ops.apply_dedup_clusters(uniq, pairs, num_partitions=16)
+    return kept.select_columns(["doc_id", "n_exact_dups"])
+
+
 def q_minhash_dupes(sf_dir: str):
     return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
 

@@ -55,15 +55,20 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM corpus GROUP BY md5(text)"""
 
 
-def _jaccard_pair_ctes(max_df: int | None = JACCARD_MAX_DF) -> str:
+def _jaccard_pair_ctes(
+    max_df: int | None = JACCARD_MAX_DF,
+    corpus_cte: str | None = DUP_CORPUS_CTE,
+) -> str:
     """CTE chain ``corpus .. jpairs`` — the exact Jaccard pair set with
     an optional df cap (shared by the pair, cluster and transitive-apply
     oracles; ``max_df=None`` = TRUE uncapped Jaccard, the ground truth
-    for the verified pair path)."""
+    for the verified pair path).  ``corpus_cte=None`` emits only the
+    ``toks .. jpairs`` tail for callers that define ``corpus``
+    themselves (the composed curation oracle)."""
     k = JACCARD_K
     df_filter = f"HAVING count(*) <= {max_df}" if max_df is not None else ""
-    return f"""{DUP_CORPUS_CTE},
-toks AS (
+    prefix = f"{corpus_cte},\n" if corpus_cte is not None else ""
+    return f"""{prefix}toks AS (
   SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
 ),
 sh AS (
@@ -127,6 +132,53 @@ def dedup_apply_tc_sql() -> str:
     return f"""WITH RECURSIVE {_jaccard_pair_ctes()},
 {_CC_CTES}
 SELECT c.doc_id
+FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
+WHERE l.node IS NULL OR l.cluster = c.doc_id"""
+
+
+def curate_corpus_sql() -> str:
+    """Composed curation funnel: quality gate -> exact keep-first dedup
+    -> transitive near-dedup over the dup corpus.  One recursive-CTE
+    oracle for ``q_curate_corpus``'s three chained stages."""
+    from ..stages.textstats import (
+        QL_MAX_TOKENS,
+        QL_MIN_STOPWORDS,
+        QL_MIN_TOKENS,
+        QL_STOPWORDS,
+    )
+
+    stop_sum = " + ".join(_marker_count_sql(m) for m in QL_STOPWORDS)
+    corpus0 = DUP_CORPUS_CTE.replace("corpus AS (", "corpus0 AS (", 1)
+    curated = f"""{corpus0},
+padded AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM corpus0
+),
+sig AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\\S')) AS n_word_chars,
+    {stop_sum} AS n_stop,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM padded
+),
+quality AS (
+  SELECT doc_id, text FROM sig
+  WHERE n_tokens >= {QL_MIN_TOKENS} AND n_tokens <= {QL_MAX_TOKENS}
+    AND 3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens
+    AND n_stop >= {QL_MIN_STOPWORDS} AND n_punct <= n_tokens
+),
+exact AS (
+  SELECT min(doc_id) AS doc_id, count(*) AS n_exact_dups
+  FROM quality GROUP BY md5(text)
+),
+corpus AS (
+  SELECT e.doc_id, q.text, e.n_exact_dups
+  FROM exact e JOIN quality q USING (doc_id)
+)"""
+    return f"""WITH RECURSIVE {curated},
+{_jaccard_pair_ctes(corpus_cte=None)},
+{_CC_CTES}
+SELECT c.doc_id, CAST(c.n_exact_dups AS BIGINT) AS n_exact_dups
 FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
 WHERE l.node IS NULL OR l.cluster = c.doc_id"""
 

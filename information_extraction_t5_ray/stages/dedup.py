@@ -155,6 +155,49 @@ def exact_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 4096)
     return partials.groupby("bucket").map_groups(final, batch_format="pandas")
 
 
+def exact_dedup_keep(docs_ds, num_buckets: int | None = None, batch_size: int = 4096):
+    """(doc_id, text) -> the min-doc_id representative ROW per exact
+    content group: (doc_id, text, n_exact_dups).
+
+    Same two-phase shape as :func:`exact_dedup`, but the survivor keeps
+    its text so downstream stages (near-dedup, chunking) can consume the
+    exact-deduped corpus directly — no join back against the input.  The
+    shuffle still carries at most one row per (batch, content-key): the
+    text rides on the folded representative only, and within a content
+    group every text is byte-identical by construction, so any
+    representative's payload is THE payload.
+    """
+
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        keys = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        df = pd.DataFrame(
+            {"key": keys, "doc_id": batch["doc_id"].to_numpy(), "text": texts}
+        )
+        df = df.sort_values("doc_id", kind="stable")
+        g = df.groupby("key", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "first"),
+            text=("text", "first"),
+            n_exact_dups=("doc_id", "size"),
+        )
+        g["bucket"] = bucket_of(g["key"], num_buckets)
+        return g
+
+    def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        bucket_df = bucket_df.sort_values("doc_id", kind="stable")
+        out = bucket_df.groupby("key", sort=False, as_index=False).agg(
+            doc_id=("doc_id", "first"),
+            text=("text", "first"),
+            n_exact_dups=("n_exact_dups", "sum"),
+        )
+        return out[["doc_id", "text", "n_exact_dups"]]
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow", batch_size=batch_size)
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard via shingle inverted index
 # ---------------------------------------------------------------------------

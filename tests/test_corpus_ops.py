@@ -366,3 +366,25 @@ def test_jaccard_verified_heavy_only_pairs(ray_session):
     assert len(got) == 20 * 19 // 2  # all pairs are true dups (J ~ 0.9)
     plain = dd.jaccard_pairs(ds, max_df=4).to_pandas()
     assert len(plain) == 0 or "i" not in plain.columns
+
+
+def test_exact_dedup_keep_carries_min_row(ray_session):
+    """exact_dedup_keep must keep the MIN-doc_id representative with its
+    text and the full group count, across batch boundaries."""
+    import ray.data as rd
+
+    rows = (
+        [{"doc_id": 100 + i, "text": "alpha beta gamma"} for i in range(3)]
+        + [{"doc_id": 7, "text": "alpha beta gamma"}]
+        + [{"doc_id": 1, "text": "unique content"}]
+    )
+    ds = rd.from_items(rows).repartition(4)  # force cross-batch folding
+    out = dd.exact_dedup_keep(ds).to_pandas().sort_values("doc_id")
+    got = {
+        (r.doc_id, r.text, r.n_exact_dups)
+        for r in out.itertuples(index=False)
+    }
+    assert got == {
+        (1, "unique content", 1),
+        (7, "alpha beta gamma", 4),
+    }
