@@ -33,6 +33,8 @@ COSINE_THRESHOLD = 0.9
 JACCARD_K = 3
 JACCARD_MAX_DF = 64
 JACCARD_VERIFIED_MAX_DF = 8  # tiny on purpose: forces the verify path
+DECONTAM_MOD = 97  # docs with doc_id % 97 == 0 form the "benchmark" set
+DECONTAM_N = 13  # GPT-3-style 13-gram overlap window
 
 
 def _read_docs(sf_dir: str):
@@ -181,6 +183,34 @@ def q_curate_corpus(sf_dir: str):
     pairs = dedup_ops.jaccard_pairs(uniq, k=JACCARD_K, max_df=JACCARD_MAX_DF)
     kept = dedup_ops.apply_dedup_clusters(uniq, pairs, num_partitions=16)
     return kept.select_columns(["doc_id", "n_exact_dups"])
+
+
+def q_line_dedup(sf_dir: str):
+    """Corpus-level duplicated-line removal over the dup corpus: every
+    non-empty line survives only at its first (doc_id, line_no)
+    occurrence; docs are reassembled from surviving lines."""
+    return dedup_ops.line_dedup(dup_corpus(sf_dir))
+
+
+def q_decontaminate(sf_dir: str):
+    """Eval-set decontamination: flag every training doc sharing a word
+    13-gram with the held-out benchmark docs (doc_id % DECONTAM_MOD ==
+    0).  Benchmark n-gram index built distributedly, broadcast once via
+    ray.put; the training side streams."""
+    import ray
+
+    def _mod_split(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            hit = batch["doc_id"].to_numpy() % DECONTAM_MOD == 0
+            return batch.filter(pa.array(hit if keep_bench else ~hit))
+
+        return f
+
+    docs = _read_docs(sf_dir)
+    bench = docs.map_batches(_mod_split(True), batch_format="pyarrow")
+    index_ref = ray.put(dedup_ops.bench_ngram_index(bench, n=DECONTAM_N))
+    train = docs.map_batches(_mod_split(False), batch_format="pyarrow")
+    return dedup_ops.contamination_flags(train, index_ref, n=DECONTAM_N)
 
 
 def q_minhash_dupes(sf_dir: str):
@@ -949,6 +979,7 @@ def bench_queries(sf_dir: str):
     """name -> zero-arg callable (consumes the pipeline, returns rows)."""
     return {
         "exact_dedup": lambda: q_exact_dedup(sf_dir).count(),
+        "curate_corpus": lambda: q_curate_corpus(sf_dir).count(),
         "minhash_dupes": lambda: q_minhash_dupes(sf_dir).count(),
         "jaccard_dupes": lambda: q_jaccard_dupes(sf_dir).count(),
         "doc_stats": lambda: q_doc_stats(sf_dir).count(),

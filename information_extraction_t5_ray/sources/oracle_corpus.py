@@ -183,6 +183,58 @@ FROM corpus c LEFT JOIN labels l ON l.node = c.doc_id
 WHERE l.node IS NULL OR l.cluster = c.doc_id"""
 
 
+def line_dedup_sql() -> str:
+    """Corpus-level keep-first line dedup + per-doc reassembly — the
+    SQL mirror of ``dedup.line_dedup`` over the dup corpus."""
+    return f"""WITH {DUP_CORPUS_CTE},
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+lines AS (
+  SELECT doc_id, unnest(parts) AS line,
+         unnest(range(1, len(parts) + 1)) AS line_no
+  FROM ls
+),
+ne AS (SELECT * FROM lines WHERE line <> ''),
+kept AS (
+  SELECT doc_id, line_no, line FROM ne
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id"""
+
+
+def decontaminate_sql() -> str:
+    """Eval-set decontamination flags — word n-gram overlap of every
+    training doc (doc_id % DECONTAM_MOD != 0) against the benchmark docs
+    (doc_id % DECONTAM_MOD == 0)."""
+    from ..pipelines.corpus import DECONTAM_MOD, DECONTAM_N
+
+    n = DECONTAM_N
+    gram = " || ' ' || ".join(
+        f"w[i+{j}]" if j else "w[i]" for j in range(n)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - {n - 2}, 1)), i -> {gram}
+         ))) AS g
+  FROM toks WHERE len(w) >= {n}
+),
+bench AS (SELECT DISTINCT g FROM ng WHERE doc_id % {DECONTAM_MOD} = 0),
+hits AS (
+  SELECT DISTINCT ng.doc_id FROM ng JOIN bench USING (g)
+  WHERE ng.doc_id % {DECONTAM_MOD} <> 0
+)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {DECONTAM_MOD} <> 0"""
+
+
 def doc_stats_sql() -> str:
     # BPE pattern must stay byte-identical to textstats.BPE_RE (both
     # engines are RE2, so match sets coincide)

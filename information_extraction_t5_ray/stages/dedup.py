@@ -199,6 +199,146 @@ def exact_dedup_keep(docs_ds, num_buckets: int | None = None, batch_size: int = 
 
 
 # ---------------------------------------------------------------------------
+# corpus-level line dedup (CCNet-style duplicated-paragraph removal)
+# ---------------------------------------------------------------------------
+
+
+def _explode_lines(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """doc -> one row per non-empty line: (bucket, doc_id, line_no, line).
+    Fully Arrow-vectorized (split_pattern + list_parent_indices); the
+    bucket keys line CONTENT so the keep-first groupby co-locates every
+    occurrence of a line."""
+    split = pc.split_pattern(batch["text"], "\n")
+    counts = pc.list_value_length(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    doc_ids = pc.take(batch["doc_id"], pc.list_parent_indices(split))
+    total = int(counts.sum())
+    line_no = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    t = pa.table(
+        {"doc_id": doc_ids, "line_no": pa.array(line_no), "line": flat}
+    )
+    t = t.filter(pc.not_equal(t["line"], ""))
+    buckets = bucket_of(t["line"].to_pandas(), num_buckets)
+    return t.append_column("bucket", pa.array(buckets))
+
+
+def line_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 1024):
+    """Corpus-level duplicated-line removal (the CCNet/C4 paragraph-dedup
+    analog): every non-empty line keeps only its FIRST occurrence across
+    the whole corpus — first = min (doc_id, line_no) — and each doc is
+    reassembled from its surviving lines.
+
+    (doc_id, text) -> (doc_id, n_lines, text) for docs with >= 1
+    surviving line.  Two narrow shuffles: lines bucketed by content
+    (keep-first), survivors bucketed by doc (reassembly).  Scale note:
+    the exchange carries one row per line occurrence — no doc ever has
+    to fit in one task until its own (already thinned) reassembly group.
+    """
+
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "line_no"], kind="stable")
+        kept = df.drop_duplicates("line", keep="first")
+        out = kept[["doc_id", "line_no", "line"]].copy()
+        out["dbucket"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "line_no"], kind="stable")
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(n_lines=("line", "size"), text=("line", "\n".join))
+        return out.reset_index()[["doc_id", "n_lines", "text"]]
+
+    lines = docs_ds.map_batches(
+        lambda b: _explode_lines(b, num_buckets),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    kept = lines.groupby("bucket").map_groups(keep_first, batch_format="pandas")
+    return kept.groupby("dbucket").map_groups(reassemble, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap against a broadcast eval set)
+# ---------------------------------------------------------------------------
+
+
+def bench_ngram_index(bench_docs_ds, n: int = 8):
+    """Build the broadcast contamination index from the (small) benchmark
+    side: (sorted uint64 rolling-hash array, frozenset of the literal
+    n-gram strings).  The distinct grams are folded per batch
+    distributedly; only the deduplicated small side reaches the driver —
+    the same bounded-small-side regime as the ANN query matrix."""
+
+    def batch_grams(batch: pa.Table) -> pa.Table:
+        out = set()
+        for t in batch["text"].to_pylist():
+            toks = t.split()
+            out.update(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    grams: set = set()
+    for b in bench_docs_ds.map_batches(
+        batch_grams, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        grams.update(b["g"].to_pylist())
+
+    from .textstats import shingle_hashes
+
+    hashes = np.sort(
+        np.unique(
+            np.array(
+                [shingle_hashes(g, n)[0] for g in grams], dtype=np.uint64
+            )
+        )
+    ) if grams else np.empty(0, np.uint64)
+    return hashes, frozenset(grams)
+
+
+def contamination_flags(docs_ds, index_ref, n: int = 8, batch_size: int = 1024):
+    """(doc_id, text) -> (doc_id, contaminated) — 1 iff the doc shares a
+    word n-gram with the broadcast benchmark index (GPT-3/PaLM-style
+    eval-set decontamination).
+
+    Hot path is vectorized: per-doc rolling n-gram hashes tested with
+    ``np.isin`` against the broadcast sorted hash array; only docs with
+    a hash hit run the exact string verify (early-exit any()), so
+    correctness does NOT rest on the 64-bit hash being collision-free.
+    ``index_ref`` is a ``ray.put`` handle — shipped once per worker, not
+    per batch."""
+    import ray
+
+    from .textstats import shingle_hashes
+
+    def flags(batch: pa.Table) -> pa.Table:
+        hashes, grams = ray.get(index_ref)
+        out = np.zeros(len(batch), dtype=np.int64)
+        for row, t in enumerate(batch["text"].to_pylist()):
+            sh = shingle_hashes(t, n)
+            if len(sh) == 0 or not np.isin(sh, hashes, assume_unique=True).any():
+                continue
+            toks = t.split()
+            out[row] = int(
+                any(
+                    " ".join(toks[i : i + n]) in grams
+                    for i in range(len(toks) - n + 1)
+                )
+            )
+        return pa.table(
+            {"doc_id": batch["doc_id"], "contaminated": pa.array(out)}
+        )
+
+    return docs_ds.map_batches(
+        flags, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard via shingle inverted index
 # ---------------------------------------------------------------------------
 

@@ -388,3 +388,51 @@ def test_exact_dedup_keep_carries_min_row(ray_session):
         (1, "unique content", 1),
         (7, "alpha beta gamma", 4),
     }
+
+
+def test_line_dedup_keeps_first_occurrence_across_docs(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "shared header\nunique one\n\nshared footer"},
+        {"doc_id": 2, "text": "shared header\nunique two\nshared footer"},
+        {"doc_id": 3, "text": "shared header\nshared footer"},
+    ]
+    out = (
+        dd.line_dedup(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 keeps everything (empty line dropped); docs 2/3 lose the
+    # lines doc 1 already claimed
+    assert out.loc[1, "text"] == "shared header\nunique one\nshared footer"
+    assert out.loc[2, "text"] == "unique two"
+    assert list(out.index) == [1, 2]  # doc 3 fully deduplicated away
+    assert out["n_lines"].tolist() == [3, 1]
+
+
+def test_decontamination_flags_planted_overlap(ray_session):
+    import ray
+    import ray.data as rd
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight " * 3
+    n = 8
+    bench = rd.from_items([{"doc_id": 0, "text": bench_text}])
+    index_ref = ray.put(dd.bench_ngram_index(bench, n=n))
+    toks = bench_text.split()
+    planted = "clean prefix words here " + " ".join(toks[:n]) + " clean suffix"
+    train = rd.from_items(
+        [
+            {"doc_id": 10, "text": planted},
+            {"doc_id": 11, "text": "completely unrelated content " * 5},
+            {"doc_id": 12, "text": " ".join(toks[: n - 1])},  # n-1 gram only
+        ]
+    )
+    out = (
+        dd.contamination_flags(train, index_ref, n=n)
+        .to_pandas()
+        .set_index("doc_id")["contaminated"]
+        .sort_index()
+    )
+    assert out.to_dict() == {10: 1, 11: 0, 12: 0}
