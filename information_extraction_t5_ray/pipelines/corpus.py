@@ -179,7 +179,14 @@ def q_curate_corpus(sf_dir: str):
     (features/postprocess.py:277-284) lifted to corpus scale."""
     corpus = dup_corpus(sf_dir)
     qdocs = textstats.quality_filter(corpus)
-    uniq = dedup_ops.exact_dedup_keep(qdocs)
+    # Checkpoint the exact-dedup survivors: `uniq` feeds TWO consumers
+    # (pair generation and the final anti-join) and Ray Data re-executes
+    # unmaterialized lineage per consumer — without this the read +
+    # quality + exact-dedup subtree runs twice.  The survivor set is the
+    # funnel's natural checkpoint (already thinned); blocks live in the
+    # object store and spill, the driver holds only refs.  At true 100 TB
+    # scale substitute a parquet checkpoint via state.manifest.
+    uniq = dedup_ops.exact_dedup_keep(qdocs).materialize()
     pairs = dedup_ops.jaccard_pairs(uniq, k=JACCARD_K, max_df=JACCARD_MAX_DF)
     kept = dedup_ops.apply_dedup_clusters(uniq, pairs, num_partitions=16)
     return kept.select_columns(["doc_id", "n_exact_dups"])

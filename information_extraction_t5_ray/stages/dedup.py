@@ -1227,10 +1227,40 @@ def _orient(batch: pa.Table, kind: str, num_buckets: int) -> pd.DataFrame:
     return df
 
 
+def _local_cc(batch: pa.Table) -> pa.Table:
+    """Exact single-task connected components over one edge block:
+    vectorized min-label propagation (numpy) alternating edge-relax and
+    pointer-jumping — O(E log V) memory-bound numpy passes, no Python
+    per-edge loop.  Output matches the distributed path: one
+    (doc_id, cluster_id = component min) row per node seen in any edge."""
+    u = batch["u"].to_numpy().astype(np.int64)
+    v = batch["v"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    ui, vi = inv[: len(u)], inv[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        relaxed = label.copy()
+        np.minimum.at(relaxed, ui, label[vi])
+        np.minimum.at(relaxed, vi, label[ui])
+        while True:  # pointer jumping: label of my label
+            nxt = relaxed[relaxed]
+            if np.array_equal(nxt, relaxed):
+                break
+            relaxed = nxt
+        if np.array_equal(relaxed, label):
+            break
+        label = relaxed
+    # nodes is sorted, so the min label INDEX names the min node id
+    return pa.table(
+        {"doc_id": pa.array(nodes), "cluster_id": pa.array(nodes[label])}
+    )
+
+
 def connected_components(
     pairs_ds,
     num_buckets: int | None = None,
     max_rounds: int = 32,
+    local_threshold: int = 4_000_000,
 ):
     """Duplicate pairs (i, j) -> (doc_id, cluster_id = component min).
 
@@ -1247,6 +1277,16 @@ def connected_components(
     the contracted edge set (bounded by the pair count).  Skewed
     components are safe: a node's neighborhood after contraction is its
     component members, and the star ops only take a min and re-emit.
+
+    Hybrid fast path: the edge set is already materialized for the
+    round loop, so its count is free — when it is at most
+    ``local_threshold`` edges (default 4M ≈ 64 MB of int64 pairs, far
+    below one worker's heap) the multi-round loop degenerates to ONE
+    coalesce + one vectorized task (:func:`_local_cc`).  The driver
+    never holds the edges; above the threshold the distributed
+    star-contraction loop runs unchanged, so a pathological
+    billion-pair graph still converges without any single task seeing
+    the whole edge set.
 
     Reference parity note: lifts features/postprocess.py:277-284's
     keep-first semantics from exact-key groups to TRANSITIVE closure
@@ -1278,6 +1318,10 @@ def connected_components(
                             "v": pc.cast(b["j"], pa.int64())}),
         batch_format="pyarrow",
     ).materialize()
+    if edges.count() <= local_threshold:
+        return edges.repartition(1).map_batches(
+            _local_cc, batch_format="pyarrow"
+        )
     prev = None
     for _ in range(max_rounds):
         edges = run_round(edges, "large")
@@ -1302,17 +1346,40 @@ def connected_components(
 
 
 def apply_dedup_clusters(docs_ds, pairs_ds, num_partitions: int | None = None,
-                         id_col: str = "doc_id"):
+                         id_col: str = "doc_id",
+                         broadcast_threshold: int = 4_000_000):
     """Transitive keep-first dedup: survivors are the per-component
     minimum ids of :func:`connected_components` plus every doc in no
-    pair.  LEFT ANTI join against the non-root members — same shape as
-    :func:`apply_dedup` but closed under A~B~C chains."""
+    pair.
+
+    Hybrid drop-side handling (same posture as ``bloom_semi_join``):
+    the cluster table is bounded by the pair-graph node set — tiny next
+    to the corpus — so it is materialized and counted for free.  At or
+    under ``broadcast_threshold`` non-root rows the sorted drop-id array
+    is shipped once via ``ray.put`` and the corpus STREAMS through a
+    vectorized ``np.isin`` filter — zero shuffle on the big side.
+    Above it, a distributed LEFT ANTI hash join keeps every task's
+    working set bounded (the drop set is never broadcast)."""
+    import ray
+
     num_partitions = resolve_parallelism(num_partitions)
-    clusters = connected_components(pairs_ds)
+    clusters = connected_components(pairs_ds).materialize()
 
     def non_roots(df: pd.DataFrame) -> pd.DataFrame:
         out = df[df["doc_id"] != df["cluster_id"]][["doc_id"]]
         return out.rename(columns={"doc_id": id_col}) if id_col != "doc_id" else out
 
     drops = clusters.map_batches(non_roots, batch_format="pandas")
+    if clusters.count() <= broadcast_threshold:
+        ids = np.sort(drops.to_pandas()[id_col].to_numpy().astype(np.int64))
+        ids_ref = ray.put(ids)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            drop_ids = ray.get(ids_ref)
+            col = batch[id_col].to_numpy().astype(np.int64)
+            return batch.filter(
+                pa.array(~np.isin(col, drop_ids, assume_unique=False))
+            )
+
+        return docs_ds.map_batches(keep, batch_format="pyarrow")
     return docs_ds.join(drops, "left_anti", num_partitions=num_partitions, on=(id_col,))
