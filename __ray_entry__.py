@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": c.q_ann_topk_ivf,  # nprobe=all -> oracle-exact
         # text analysis
         "doc_stats": c.q_doc_stats,
+        "rep_signals": c.q_rep_signals,  # Gopher repetition fractions
+        "lm_score": c.q_lm_score,  # CCNet-shaped count-LM fluency
         "lang_id": c.q_lang_id,
         "quality_score": c.q_quality_score,  # Gopher/C4-style gates
         "tfidf_top_terms": c.q_tfidf_top_terms,  # term weighting
@@ -192,6 +194,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oc.ann_topk_sql(),
         "ann_topk_ivf": oc.ann_topk_sql(),
         "doc_stats": oc.doc_stats_sql(),
+        "rep_signals": oc.rep_signals_sql(),
+        "lm_score": oc.lm_score_sql(),
         "lang_id": oc.lang_id_sql(),
         "quality_score": oc.quality_score_sql(),
         "tfidf_top_terms": oc.tfidf_top_terms_sql(),

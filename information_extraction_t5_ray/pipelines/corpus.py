@@ -232,6 +232,24 @@ def q_doc_stats(sf_dir: str):
     return textstats.doc_stats_stage(_read_docs(sf_dir))
 
 
+def q_rep_signals(sf_dir: str):
+    """Gopher-style within-doc repetition fractions — shuffle-free."""
+    return textstats.rep_signals_stage(_read_docs(sf_dir))
+
+
+def q_lm_score(sf_dir: str):
+    """Count-LM fluency scoring (CCNet shape): distributed exact
+    frequent-bigram counts -> bounded table broadcast once via ray.put
+    -> the doc stream scores against it with zero shuffles."""
+    import ray
+
+    docs = _read_docs(sf_dir)
+    lm = textstats.frequent_ngrams(
+        docs, n=2, min_count=textstats.LM_MIN_COUNT
+    ).to_pandas()
+    return textstats.lm_score(docs, ray.put(lm), n=2)
+
+
 def q_lang_id(sf_dir: str):
     return textstats.lang_id_stage(_read_docs(sf_dir))
 

@@ -235,6 +235,93 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {DECONTAM_MOD} <> 0"""
 
 
+def rep_signals_sql() -> str:
+    """Gopher-style within-doc repetition fractions — mirrors
+    ``textstats.rep_signals_batch`` exactly: every fraction is ONE
+    division of two integer sums, so values are bit-identical across
+    engines.  Docs with no lines / tokens / bigrams get 0.0."""
+    return """WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+words AS (SELECT doc_id, unnest(w) AS word FROM t),
+wc AS (SELECT doc_id, word, count(*) AS c FROM words GROUP BY doc_id, word),
+wagg AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS twf
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM t WHERE len(w) >= 2
+),
+bc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+bagg AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS tbf
+  FROM bc GROUP BY doc_id
+),
+ls AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM t),
+ne AS (SELECT doc_id, line, length(line) AS l FROM ls WHERE line <> ''),
+lc AS (
+  SELECT doc_id, line, count(*) AS c, min(l) AS l
+  FROM ne GROUP BY doc_id, line
+),
+lagg AS (
+  SELECT doc_id,
+         CAST(sum(c - 1) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS dlf,
+         CAST(sum((c - 1) * l) AS DOUBLE) / CAST(sum(c * l) AS DOUBLE) AS dlcf
+  FROM lc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(lagg.dlf, 0.0) AS dup_line_frac,
+       coalesce(lagg.dlcf, 0.0) AS dup_line_char_frac,
+       coalesce(wagg.twf, 0.0) AS top_word_frac,
+       coalesce(bagg.tbf, 0.0) AS top_bigram_frac
+FROM documents d
+LEFT JOIN lagg ON lagg.doc_id = d.doc_id
+LEFT JOIN wagg ON wagg.doc_id = d.doc_id
+LEFT JOIN bagg ON bagg.doc_id = d.doc_id"""
+
+
+def lm_score_sql() -> str:
+    """Count-LM fluency — mirrors ``textstats.frequent_ngrams`` (exact
+    global bigram counts pruned by MIN COUNT, deterministic under ties
+    unlike top-k) + ``textstats.lm_score`` (mean reference frequency,
+    OOV = 0; single int64-sum division, no float accumulation)."""
+    from ..stages.textstats import LM_MIN_COUNT
+
+    return f"""WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM t WHERE len(w) >= 2
+),
+cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY g),
+lm AS (SELECT g, c FROM cnt WHERE c >= {LM_MIN_COUNT}),
+per AS (
+  SELECT bg.doc_id,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum(coalesce(lm.c, 0)) AS BIGINT) AS sumc,
+         CAST(count(lm.g) AS BIGINT) AS known
+  FROM bg LEFT JOIN lm ON bg.g = lm.g GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(per.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(per.sumc, 0) AS BIGINT) AS sum_freq,
+       CASE WHEN per.nb IS NULL THEN 0.0
+            ELSE CAST(per.sumc AS DOUBLE) / CAST(per.nb AS DOUBLE)
+       END AS lm_score,
+       CASE WHEN per.nb IS NULL THEN 0.0
+            ELSE CAST(per.nb - per.known AS DOUBLE) / CAST(per.nb AS DOUBLE)
+       END AS oov_frac
+FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id"""
+
+
 def doc_stats_sql() -> str:
     # BPE pattern must stay byte-identical to textstats.BPE_RE (both
     # engines are RE2, so match sets coincide)

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from .common import resolve_parallelism
+from .common import bucket_of, resolve_parallelism
 
 # --- doc_stats -------------------------------------------------------------
 
@@ -251,6 +251,244 @@ def winnow_batch(batch: pa.Table, k: int = 5, window: int = 8) -> pa.Table:
             "sketch": pa.array(sk, pa.list_(pa.uint64())),
             "sketch_size": pa.array([len(s) for s in sk], pa.int32()),
         }
+    )
+
+
+# --- repetition signals (Gopher-style, Rae et al. 2021 §A1.1) ---------------
+
+
+def _exploded_tokens(batch: pa.Table):
+    """text column -> (doc_pos int64 array, token Arrow string array),
+    whitespace-tokenized (matches ``\\S+`` extraction), order-preserving
+    within each doc.  Pure Arrow kernels."""
+    split = pc.split_pattern_regex(batch["text"], r"\s+")
+    parent = pc.list_parent_indices(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    keep = pc.not_equal(flat, "")
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    return parent[keep_np], flat.filter(keep)
+
+
+def rep_signals_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> within-doc repetition fractions — the Gopher
+    quality signals (Rae et al. 2021, table A1): duplicate-line
+    fraction, duplicate-line CHARACTER fraction, top-word fraction,
+    top-bigram fraction.
+
+    Entirely within-row statistics, so the stage is embarrassingly
+    parallel — NO shuffle at any corpus size.  Each fraction is one
+    IEEE division of two int64 sums, bit-deterministic and mirrored
+    1:1 in ANSI SQL (oracle_corpus.rep_signals_sql).  Vectorized:
+    Arrow split kernels explode lines/tokens via list_parent_indices;
+    duplicate counting is a pandas groupby over the exploded frame —
+    no Python loop over rows or tokens."""
+    nrows = len(batch)
+    dup_line_frac = np.zeros(nrows, dtype=np.float64)
+    dup_line_char_frac = np.zeros(nrows, dtype=np.float64)
+    top_word_frac = np.zeros(nrows, dtype=np.float64)
+    top_bigram_frac = np.zeros(nrows, dtype=np.float64)
+
+    # --- lines ---
+    split = pc.split_pattern(batch["text"], "\n")
+    parent = pc.list_parent_indices(split).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(split)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    ldf = pd.DataFrame(
+        {
+            "d": parent[keep],
+            "line": flat.to_pandas().to_numpy()[keep],
+            "l": pc.utf8_length(flat).to_numpy().astype(np.int64)[keep],
+        }
+    )
+    if len(ldf):
+        per_line = (
+            ldf.groupby(["d", "line"], sort=False)
+            .agg(c=("l", "size"), l=("l", "first"))
+            .reset_index()
+        )
+        g = per_line.groupby("d", sort=False)
+        dup_occ = g["c"].sum() - g["c"].size()
+        tot_occ = g["c"].sum()
+        dup_chars = (
+            per_line.assign(x=(per_line["c"] - 1) * per_line["l"])
+            .groupby("d", sort=False)["x"]
+            .sum()
+        )
+        tot_chars = (
+            per_line.assign(x=per_line["c"] * per_line["l"])
+            .groupby("d", sort=False)["x"]
+            .sum()
+        )
+        idx = tot_occ.index.to_numpy()
+        dup_line_frac[idx] = dup_occ.to_numpy() / tot_occ.to_numpy()
+        dup_line_char_frac[idx] = dup_chars.to_numpy() / tot_chars.to_numpy()
+
+    # --- words / bigrams ---
+    d, toks = _exploded_tokens(batch)
+    if len(d):
+        wc = (
+            pd.DataFrame({"d": d, "w": toks.to_pandas().to_numpy()})
+            .groupby(["d", "w"], sort=False)
+            .size()
+        )
+        mx = wc.groupby(level=0).max()
+        tot = wc.groupby(level=0).sum()
+        top_word_frac[mx.index.to_numpy()] = mx.to_numpy() / tot.to_numpy()
+        if len(d) >= 2:
+            same = d[1:] == d[:-1]
+            if same.any():
+                bg = pc.binary_join_element_wise(
+                    toks.slice(0, len(toks) - 1), toks.slice(1), " "
+                ).filter(pa.array(same))
+                bc = (
+                    pd.DataFrame(
+                        {"d": d[:-1][same], "g": bg.to_pandas().to_numpy()}
+                    )
+                    .groupby(["d", "g"], sort=False)
+                    .size()
+                )
+                bmx = bc.groupby(level=0).max()
+                btot = bc.groupby(level=0).sum()
+                top_bigram_frac[bmx.index.to_numpy()] = (
+                    bmx.to_numpy() / btot.to_numpy()
+                )
+
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "dup_line_frac": pa.array(dup_line_frac),
+            "dup_line_char_frac": pa.array(dup_line_char_frac),
+            "top_word_frac": pa.array(top_word_frac),
+            "top_bigram_frac": pa.array(top_bigram_frac),
+        }
+    )
+
+
+def rep_signals_stage(docs_ds, batch_size: int = 2048):
+    return docs_ds.map_batches(
+        rep_signals_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
+# --- count-based LM fluency (CCNet-shaped scoring loop) ----------------------
+
+LM_MIN_COUNT = 4
+
+
+def frequent_ngrams(
+    docs_ds,
+    n: int = 2,
+    min_count: int = LM_MIN_COUNT,
+    num_buckets: int | None = None,
+    batch_size: int = 2048,
+):
+    """Exact global word n-gram counts, filtered to ``cnt >= min_count``
+    — the distributed 'train' half of the count-LM scoring loop.  Same
+    two-phase shape as :func:`top_ngrams` (per-batch Counter fold ->
+    bucketed exact sum), but pruned by MINIMUM COUNT instead of top-k:
+    a count threshold is deterministic under ties, so the pruned set is
+    byte-stable and SQL-mirrorable (``HAVING count(*) >= min_count``).
+
+    The survivor table is bounded by the threshold (frequent-n-gram
+    vocabularies grow sublinearly in corpus size); at extreme scale
+    raise ``min_count`` with the corpus or substitute a count-min
+    sketch — documented tradeoff, same regime as the ANN query matrix.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    from collections import Counter
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        c: Counter = Counter()
+        for t in batch["text"].to_pylist():
+            w = t.split()
+            c.update(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+        if not c:
+            return pd.DataFrame(
+                {
+                    "ngram": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype=np.int64),
+                    "bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        df = pd.DataFrame({"ngram": list(c.keys()), "cnt": list(c.values())})
+        df["bucket"] = bucket_of(df["ngram"], num_buckets)
+        return df
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
+        g = g[g["cnt"] >= min_count]
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g[["ngram", "cnt"]]
+
+    partials = docs_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby("bucket").map_groups(
+        bucket_sum, batch_format="pandas"
+    )
+
+
+def lm_score(docs_ds, lm_ref, n: int = 2, batch_size: int = 2048):
+    """(doc_id, text) -> (doc_id, n_bigrams, sum_freq, lm_score,
+    oov_frac): score every document against the broadcast
+    frequent-n-gram table — the CCNet curation shape (Wenzek et al.
+    2020: score each page with a reference LM, filter on the score)
+    with the KenLM replaced by corpus n-gram frequencies so the result
+    is exactly SQL-mirrorable.
+
+    ``lm_score`` is the mean reference frequency of the doc's n-grams
+    (OOV counts 0); ``oov_frac`` the fraction of n-grams missing from
+    the table.  Both are a single IEEE division of int64 sums — no
+    float accumulation, so no sum-order nondeterminism against the
+    oracle.  ``lm_ref`` is a ``ray.put`` handle to the (ngram, cnt)
+    pandas frame: shipped once per worker, looked up per batch with a
+    C-level hash map (Series.map) — the doc stream never shuffles."""
+    import ray
+
+    def score(batch: pa.Table) -> pa.Table:
+        lm = ray.get(lm_ref)
+        lut = pd.Series(
+            lm["cnt"].to_numpy(np.int64), index=lm["ngram"], dtype=np.int64
+        )
+        nrows = len(batch)
+        nb = np.zeros(nrows, dtype=np.int64)
+        sumc = np.zeros(nrows, dtype=np.int64)
+        known = np.zeros(nrows, dtype=np.int64)
+        d, toks = _exploded_tokens(batch)
+        if len(d) >= n:
+            same = d[n - 1 :] == d[: len(d) - n + 1]
+            if same.any():
+                parts = [
+                    toks.slice(j, len(toks) - n + 1) for j in range(n)
+                ]
+                grams = pc.binary_join_element_wise(*parts, " ").filter(
+                    pa.array(same)
+                )
+                gd = d[: len(d) - n + 1][same]
+                mapped = (
+                    pd.Series(grams.to_pandas().to_numpy()).map(lut).to_numpy()
+                )
+                np.add.at(nb, gd, 1)
+                hit = ~np.isnan(mapped)
+                np.add.at(known, gd[hit], 1)
+                np.add.at(sumc, gd[hit], mapped[hit].astype(np.int64))
+        nz = nb > 0
+        lm_s = np.zeros(nrows, dtype=np.float64)
+        oov = np.zeros(nrows, dtype=np.float64)
+        lm_s[nz] = sumc[nz] / nb[nz]
+        oov[nz] = (nb[nz] - known[nz]) / nb[nz]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(nb),
+                "sum_freq": pa.array(sumc),
+                "lm_score": pa.array(lm_s),
+                "oov_frac": pa.array(oov),
+            }
+        )
+
+    return docs_ds.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size
     )
 
 

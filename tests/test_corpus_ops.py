@@ -436,3 +436,63 @@ def test_decontamination_flags_planted_overlap(ray_session):
         .sort_index()
     )
     assert out.to_dict() == {10: 1, 11: 0, 12: 0}
+
+
+def test_rep_signals_hand_computed(ray_session):
+    import ray.data as rd
+
+    rows = [
+        # 4 non-empty lines, "dup" twice (3 dup'd chars of 3+3+11+1=18);
+        # tokens: dup dup hello there x -> top word "dup" 2/5; the 4
+        # bigrams (dup dup)(dup hello)(hello there)(there x) are all
+        # distinct -> top 1/4
+        {"doc_id": 0, "text": "dup\ndup\nhello there\n\nx"},
+        {"doc_id": 1, "text": ""},  # empty doc -> all zeros
+        {"doc_id": 2, "text": "a b a b a"},  # top word a: 3/5; bigram
+        # stream: (a b)(b a)(a b)(b a) -> top 2/4
+    ]
+    out = (
+        ts.rep_signals_stage(rd.from_items(rows).repartition(2))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "dup_line_frac"] == pytest.approx(1 / 4)
+    assert out.loc[0, "dup_line_char_frac"] == pytest.approx(3 / 18)
+    assert out.loc[0, "top_word_frac"] == pytest.approx(2 / 5)
+    assert out.loc[0, "top_bigram_frac"] == pytest.approx(1 / 4)
+    assert out.loc[1].tolist() == [0.0, 0.0, 0.0, 0.0]
+    assert out.loc[2, "dup_line_frac"] == pytest.approx(0.0)
+    assert out.loc[2, "top_word_frac"] == pytest.approx(3 / 5)
+    assert out.loc[2, "top_bigram_frac"] == pytest.approx(2 / 4)
+
+
+def test_lm_score_planted_frequencies(ray_session):
+    import ray
+    import ray.data as rd
+
+    # "the cat" 6x and "cat sat" 5x clear min_count 4; bigrams of the
+    # two tail docs stay rare
+    rows = [{"doc_id": i, "text": "the cat sat"} for i in range(5)]
+    rows.append({"doc_id": 99, "text": "the cat zzz unique"})
+    rows.append({"doc_id": 100, "text": "solo"})  # no bigrams
+    ds = rd.from_items(rows).repartition(3)
+    lm = ts.frequent_ngrams(ds, n=2, min_count=4).to_pandas()
+    assert dict(zip(lm["ngram"], lm["cnt"])) == {"the cat": 6, "cat sat": 5}
+    out = (
+        ts.lm_score(ds, ray.put(lm), n=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0: bigrams (the cat)(cat sat) -> sum 6+5, nb 2, oov 0
+    assert out.loc[0, "n_bigrams"] == 2
+    assert out.loc[0, "sum_freq"] == 11
+    assert out.loc[0, "lm_score"] == pytest.approx(5.5)
+    assert out.loc[0, "oov_frac"] == pytest.approx(0.0)
+    # doc 99: 3 bigrams, one known
+    assert out.loc[99, "n_bigrams"] == 3
+    assert out.loc[99, "sum_freq"] == 6
+    assert out.loc[99, "oov_frac"] == pytest.approx(2 / 3)
+    # doc 100: no bigrams -> zeros
+    assert out.loc[100].tolist() == [0, 0, 0.0, 0.0]
