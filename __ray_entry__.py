@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
         "embedding_dupes": c.q_embedding_dupes,
+        "semdedup": c.q_semdedup,  # rows-only (k-means partition)
         "embedding_dupes_lsh": c.q_embedding_dupes_lsh,  # rows-only
         # similarity search
         "ann_topk": c.q_ann_topk,

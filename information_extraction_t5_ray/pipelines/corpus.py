@@ -330,6 +330,16 @@ def q_embedding_dupes_lsh(sf_dir: str):
     return sim_ops.rp_lsh_dup_pairs(emb_corpus(sf_dir), threshold=COSINE_THRESHOLD)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup survivors over the dup-planted embedding corpus —
+    approximate (k-means partition), rows-only at the driver gate;
+    exact-copy recall is pytest-checked against the planted +EMB_OFF
+    duplicates."""
+    return sim_ops.semdedup(
+        emb_corpus(sf_dir), n_clusters=16, threshold=0.999
+    )
+
+
 # --- relational operator demos over the TPC-H-ish tables -------------------
 
 

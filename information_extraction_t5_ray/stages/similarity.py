@@ -31,6 +31,8 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+
 from .common import maybe_scatter, resolve_parallelism
 
 
@@ -398,3 +400,98 @@ def rp_lsh_dup_pairs(
         batch_format="pandas",
     )
     return cand.groupby("pbucket").map_groups(dedup, batch_format="pandas")
+
+
+def semdedup(
+    embeddings_ds,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    train_sample: int = 20000,
+    seed: int = 42,
+    batch_size: int = 4096,
+    chunk: int = 2048,
+    id_col: str = "vec_id",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by k-means partition + within-cluster exact cosine.
+
+    1. spherical k-means centroids train on a bounded driver-side
+       sample (:func:`_kmeans_lite`, same regime as ``ann_topk_ivf``);
+    2. every vector gets its cluster in ONE broadcast-centroid matmul
+       per batch — the corpus streams, nothing shuffles yet;
+    3. one groupby co-locates each cluster; inside the group the
+       pairwise cosine runs in row CHUNKS (``chunk`` x m matmuls, so a
+       skewed cluster costs memory O(chunk * m), not O(m^2));
+    4. above-threshold pairs close transitively with the same
+       vectorized min-label propagation as the corpus dedup
+       (:func:`dedup._local_cc` — a cluster group is already local);
+       the component MIN id survives.
+
+    Keep policy deviates from the paper (which keeps the exemplar with
+    the LOWEST centroid similarity): min-id is deterministic under any
+    partitioning, matching the repo-wide keep-first convention
+    (reference features/postprocess.py:277-284 lifted to semantic
+    groups).  Cross-cluster duplicates are missed by design — the
+    k-means partition IS the approximation; scale ``n_clusters`` with
+    the corpus (paper: ~sqrt(N) clusters) to bound cluster sizes.
+
+    Returns survivors (id_col, cluster) — approximate (k-means
+    assignment is not SQL-expressible), so rows-only at the driver
+    gate; recall against the exact broadcast path is pytest-checked.
+    """
+    import ray
+
+    from .dedup import _local_cc
+
+    sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
+    sample = np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64)
+    cent_ref = ray.put(_kmeans_lite(sample, n_clusters, seed=seed))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        m = _normalize(_mat(batch["embedding"]))
+        cl = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "embedding": batch["embedding"],
+                "cluster": pa.array(cl),
+            }
+        )
+
+    def dedup_group(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy(np.int64)
+        m = _normalize(
+            np.asarray(np.stack(df["embedding"].to_numpy()), dtype=np.float64)
+        )
+        us, vs = [], []
+        for s in range(0, len(m), chunk):
+            sims = m[s : s + chunk] @ m.T  # (c, m)
+            r, c = np.nonzero(sims > threshold)
+            r = r + s
+            keep = c > r  # upper triangle only
+            us.append(r[keep])
+            vs.append(c[keep])
+        u = np.concatenate(us) if us else np.empty(0, np.int64)
+        if len(u) == 0:
+            out = df[[id_col]].copy()
+            out["cluster"] = df["cluster"].to_numpy(np.int32)
+            return out
+        v = np.concatenate(vs)
+        cc = _local_cc(
+            pa.table({"u": pa.array(ids[u]), "v": pa.array(ids[v])})
+        )
+        drop = cc.filter(
+            pc.not_equal(cc["doc_id"], cc["cluster_id"])
+        )["doc_id"].to_numpy()
+        keep_mask = ~np.isin(ids, drop)
+        out = df.loc[keep_mask, [id_col]].copy()
+        out["cluster"] = df["cluster"].to_numpy(np.int32)[keep_mask]
+        return out
+
+    assigned = embeddings_ds.map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size
+    )
+    return assigned.groupby("cluster").map_groups(
+        dedup_group, batch_format="pandas"
+    )

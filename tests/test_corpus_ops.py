@@ -496,3 +496,36 @@ def test_lm_score_planted_frequencies(ray_session):
     assert out.loc[99, "oov_frac"] == pytest.approx(2 / 3)
     # doc 100: no bigrams -> zeros
     assert out.loc[100].tolist() == [0, 0, 0.0, 0.0]
+
+
+def test_semdedup_removes_planted_exact_copies(ray_session):
+    from information_extraction_t5_ray.stages import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    corpus = c.emb_corpus(sf)
+    n_total = corpus.count()
+    out = sim.semdedup(corpus, n_clusters=16, threshold=0.999).to_pandas()
+    ids = set(out["vec_id"])
+    # every planted exact copy (vec_id + EMB_OFF) must lose to its
+    # original: identical vectors always land in the same cluster
+    planted = [i for i in ids if i >= c.EMB_OFF]
+    assert planted == []
+    assert 0 < len(ids) < n_total
+    # one survivor per duplicate group: each planted copy removes
+    # exactly one row, and survivors are unique ids
+    assert len(out) == len(ids)
+
+
+def test_semdedup_keeps_min_id_per_duplicate_group(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.stages import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 8)
+    rows = [
+        {"vec_id": i, "embedding": base[i % 40].tolist()} for i in range(120)
+    ]  # every vector appears 3x: ids i, i+40, i+80 identical
+    out = sim.semdedup(
+        rd.from_items(rows).repartition(4), n_clusters=4, threshold=0.999
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(40))
