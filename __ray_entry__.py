@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_apply_tc": c.q_dedup_apply_tc,  # transitive keep-first
         "curate_corpus": c.q_curate_corpus,  # quality -> exact -> near dedup
         "line_dedup": c.q_line_dedup,  # CCNet-style duplicated-line removal
+        "incremental_dedup": c.q_incremental_dedup,  # new crawl vs snapshot
+        "length_histogram": c.q_length_histogram,
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
@@ -190,6 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_apply_tc": oc.dedup_apply_tc_sql(),
         "curate_corpus": oc.curate_corpus_sql(),
         "line_dedup": oc.line_dedup_sql(),
+        "incremental_dedup": oc.incremental_dedup_sql(),
+        "length_histogram": oc.length_histogram_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),

@@ -220,6 +220,20 @@ def q_decontaminate(sf_dir: str):
     return dedup_ops.contamination_flags(train, index_ref, n=DECONTAM_N)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Incremental ingest: the dup corpus arrives as a 'fresh crawl'
+    against the base documents table as the existing snapshot — only
+    content not already in the snapshot survives (the planted exact
+    copies and the originals themselves are dropped; truncated
+    near-dups, being new text, pass)."""
+    return dedup_ops.incremental_dedup(dup_corpus(sf_dir), _read_docs(sf_dir))
+
+
+def q_length_histogram(sf_dir: str):
+    """Token-length histogram, 64-token buckets, combiner-folded."""
+    return textstats.length_histogram(_read_docs(sf_dir), bucket_width=64)
+
+
 def q_minhash_dupes(sf_dir: str):
     return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
 
@@ -1021,7 +1035,12 @@ def bench_queries(sf_dir: str):
         "ann_topk": lambda: q_ann_topk(sf_dir).count(),
         "ann_topk_ivf": lambda: q_ann_topk_ivf(sf_dir).count(),
         "embedding_dupes": lambda: q_embedding_dupes(sf_dir).count(),
+        "semdedup": lambda: q_semdedup(sf_dir).count(),
         "top_bigrams": lambda: q_top_bigrams(sf_dir).count(),
+        "line_dedup": lambda: q_line_dedup(sf_dir).count(),
+        "decontaminate": lambda: q_decontaminate(sf_dir).count(),
+        "rep_signals": lambda: q_rep_signals(sf_dir).count(),
+        "lm_score": lambda: q_lm_score(sf_dir).count(),
         "sessionize": lambda: q_sessionize(sf_dir).count(),
         "asof_join": lambda: q_purchase_asof_signup(sf_dir).count(),
     }

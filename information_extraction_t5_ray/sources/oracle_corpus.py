@@ -235,6 +235,25 @@ FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {DECONTAM_MOD} <> 0"""
 
 
+def incremental_dedup_sql() -> str:
+    """Incremental ingest dedup — mirrors ``dedup.incremental_dedup``:
+    incoming (dup corpus) LEFT ANTI snapshot (documents) on md5(text)."""
+    return f"""WITH {DUP_CORPUS_CTE},
+snap AS (SELECT DISTINCT md5(text) AS key FROM documents)
+SELECT c.doc_id, md5(c.text) AS key
+FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
+WHERE s.key IS NULL"""
+
+
+def length_histogram_sql() -> str:
+    """Token-length histogram, 64-token buckets."""
+    return """SELECT
+  CAST((len(regexp_extract_all(text, '\\S+')) // 64) * 64 AS BIGINT)
+    AS bucket_lo,
+  CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1"""
+
+
 def rep_signals_sql() -> str:
     """Gopher-style within-doc repetition fractions — mirrors
     ``textstats.rep_signals_batch`` exactly: every fraction is ONE

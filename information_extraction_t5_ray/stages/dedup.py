@@ -1383,3 +1383,48 @@ def apply_dedup_clusters(docs_ds, pairs_ds, num_partitions: int | None = None,
 
         return docs_ds.map_batches(keep, batch_format="pyarrow")
     return docs_ds.join(drops, "left_anti", num_partitions=num_partitions, on=(id_col,))
+
+
+def incremental_dedup(new_ds, snapshot_ds, num_partitions: int | None = None,
+                      batch_size: int = 4096):
+    """Incremental ingest dedup: keep only the incoming docs whose exact
+    content does NOT already exist in a corpus snapshot — the
+    production shape for appending a fresh crawl to an existing 100 TB
+    corpus without re-deduplicating it.
+
+    Both sides reduce to md5 content keys IN the map phase (the wire
+    carries one short hash row per doc, never text); the snapshot side
+    additionally folds to one row per distinct key per batch.  The
+    decision is a distributed LEFT ANTI hash join on the key — the
+    snapshot key set is corpus-sized and is therefore NEVER broadcast
+    (contrast apply_dedup_clusters' bounded drop set).  Returns
+    (doc_id, key) for surviving incoming docs; join back on doc_id for
+    payloads.
+    """
+    num_partitions = resolve_parallelism(num_partitions)
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        keys = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(), "key": keys}
+        )
+
+    def snap_keys(batch: pa.Table) -> pd.DataFrame:
+        keys = {
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        }
+        return pd.DataFrame({"key": sorted(keys)})
+
+    incoming = new_ds.map_batches(
+        keyed, batch_format="pyarrow", batch_size=batch_size
+    )
+    seen = snapshot_ds.map_batches(
+        snap_keys, batch_format="pyarrow", batch_size=batch_size
+    )
+    return incoming.join(
+        seen, "left_anti", num_partitions=num_partitions, on=("key",)
+    )

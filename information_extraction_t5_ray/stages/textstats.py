@@ -492,6 +492,45 @@ def lm_score(docs_ds, lm_ref, n: int = 2, batch_size: int = 2048):
     )
 
 
+# --- corpus length histogram -------------------------------------------------
+
+
+def length_histogram(docs_ds, bucket_width: int = 64, batch_size: int = 4096,
+                     num_buckets: int | None = None):
+    """Token-length histogram over the corpus: (bucket_lo, n_docs) where
+    ``bucket_lo = (n_tokens // bucket_width) * bucket_width``.
+
+    Classic combiner shape: each batch folds to one row per occupied
+    histogram bucket (vectorized ``np.bincount`` over Arrow-counted
+    token totals), then one tiny groupby sums the partials — exchange
+    volume is O(buckets x batches), independent of corpus size."""
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        n = pc.count_substring_regex(batch["text"], TOKEN_RE).to_numpy()
+        lo = (n // bucket_width).astype(np.int64)
+        cnt = np.bincount(lo)
+        occ = np.flatnonzero(cnt)
+        return pd.DataFrame(
+            {
+                "bucket_lo": occ * bucket_width,
+                "n_docs": cnt[occ].astype(np.int64),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("bucket_lo", sort=False)["n_docs"].sum().reset_index()
+        out["n_docs"] = out["n_docs"].astype(np.int64)
+        return out
+
+    partials = docs_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    )
+    return partials.groupby("bucket_lo").map_groups(
+        final, batch_format="pandas"
+    )
+
+
 # --- stage wrappers --------------------------------------------------------
 
 

@@ -529,3 +529,46 @@ def test_semdedup_keeps_min_id_per_duplicate_group(ray_session):
         rd.from_items(rows).repartition(4), n_clusters=4, threshold=0.999
     ).to_pandas()
     assert sorted(out["vec_id"]) == list(range(40))
+
+
+def test_incremental_dedup_drops_snapshot_content(ray_session):
+    import ray.data as rd
+
+    snapshot = rd.from_items(
+        [
+            {"doc_id": 1, "text": "known content one"},
+            {"doc_id": 2, "text": "known content two"},
+        ]
+    )
+    incoming = rd.from_items(
+        [
+            {"doc_id": 10, "text": "known content one"},  # dup of snapshot
+            {"doc_id": 11, "text": "brand new content"},
+            {"doc_id": 12, "text": "known content two"},  # dup of snapshot
+            {"doc_id": 13, "text": "brand new content"},  # new, but dup of 11
+        ]
+    )
+    out = dd.incremental_dedup(incoming, snapshot).to_pandas()
+    # snapshot content is dropped; in-batch dups of NEW content are NOT
+    # (incremental dedup only guards against the snapshot — compose
+    # exact_dedup on the survivors for within-crawl dedup)
+    assert sorted(out["doc_id"]) == [11, 13]
+
+
+def test_length_histogram_buckets(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": "a b c"},  # 3 tokens -> bucket 0
+        {"doc_id": 1, "text": " ".join(["w"] * 64)},  # 64 -> bucket 64
+        {"doc_id": 2, "text": " ".join(["w"] * 65)},  # 65 -> bucket 64
+        {"doc_id": 3, "text": ""},  # 0 tokens -> bucket 0
+        {"doc_id": 4, "text": " ".join(["w"] * 130)},  # -> bucket 128
+    ]
+    out = (
+        ts.length_histogram(rd.from_items(rows).repartition(3))
+        .to_pandas()
+        .set_index("bucket_lo")["n_docs"]
+        .sort_index()
+    )
+    assert out.to_dict() == {0: 2, 64: 2, 128: 1}
