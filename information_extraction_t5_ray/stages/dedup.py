@@ -268,35 +268,31 @@ def line_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 1024):
 
 def bench_ngram_index(bench_docs_ds, n: int = 8):
     """Build the broadcast contamination index from the (small) benchmark
-    side: (sorted uint64 rolling-hash array, frozenset of the literal
-    n-gram strings).  The distinct grams are folded per batch
-    distributedly; only the deduplicated small side reaches the driver —
-    the same bounded-small-side regime as the ANN query matrix."""
+    side: (sorted uint64 n-gram-hash array, frozenset of the literal
+    n-gram strings).  The (hash, gram) pairs are computed batch-wide
+    with the vectorized :func:`textstats.batch_word_ngrams` and folded
+    to per-batch distinct rows distributedly; only the deduplicated
+    small side reaches the driver — the same bounded-small-side regime
+    as the ANN query matrix."""
+    from .textstats import batch_word_ngrams
 
-    def batch_grams(batch: pa.Table) -> pa.Table:
-        out = set()
-        for t in batch["text"].to_pylist():
-            toks = t.split()
-            out.update(
-                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            )
-        return pa.table({"g": pa.array(sorted(out), pa.string())})
+    def batch_grams(batch: pa.Table) -> pd.DataFrame:
+        _, h, g = batch_word_ngrams(batch, n)
+        df = pd.DataFrame({"g": g.to_pandas().to_numpy(), "h": h})
+        return df.drop_duplicates("g")
 
     grams: set = set()
+    hashes_parts = []
     for b in bench_docs_ds.map_batches(
         batch_grams, batch_format="pyarrow"
-    ).iter_batches(batch_format="pyarrow"):
-        grams.update(b["g"].to_pylist())
-
-    from .textstats import shingle_hashes
-
-    hashes = np.sort(
-        np.unique(
-            np.array(
-                [shingle_hashes(g, n)[0] for g in grams], dtype=np.uint64
-            )
-        )
-    ) if grams else np.empty(0, np.uint64)
+    ).iter_batches(batch_format="pandas"):
+        grams.update(b["g"])
+        hashes_parts.append(b["h"].to_numpy(np.uint64))
+    hashes = (
+        np.unique(np.concatenate(hashes_parts))
+        if hashes_parts
+        else np.empty(0, np.uint64)
+    )
     return hashes, frozenset(grams)
 
 
@@ -305,30 +301,30 @@ def contamination_flags(docs_ds, index_ref, n: int = 8, batch_size: int = 1024):
     word n-gram with the broadcast benchmark index (GPT-3/PaLM-style
     eval-set decontamination).
 
-    Hot path is vectorized: per-doc rolling n-gram hashes tested with
-    ``np.isin`` against the broadcast sorted hash array; only docs with
-    a hash hit run the exact string verify (early-exit any()), so
-    correctness does NOT rest on the 64-bit hash being collision-free.
-    ``index_ref`` is a ``ray.put`` handle — shipped once per worker, not
-    per batch."""
+    Hot path is batch-wide vectorized (:func:`textstats
+    .batch_word_ngrams`): one ``np.isin`` of every gram hash in the
+    batch against the broadcast sorted hash array; ONLY the hash-hit
+    grams run the exact string-membership verify, so correctness does
+    not rest on the 64-bit hash being collision-free and the verify
+    cost is proportional to true contamination, not corpus size.
+    ``index_ref`` is a ``ray.put`` handle — shipped once per worker,
+    not per batch."""
     import ray
 
-    from .textstats import shingle_hashes
+    from .textstats import batch_word_ngrams
 
     def flags(batch: pa.Table) -> pa.Table:
         hashes, grams = ray.get(index_ref)
         out = np.zeros(len(batch), dtype=np.int64)
-        for row, t in enumerate(batch["text"].to_pylist()):
-            sh = shingle_hashes(t, n)
-            if len(sh) == 0 or not np.isin(sh, hashes, assume_unique=True).any():
-                continue
-            toks = t.split()
-            out[row] = int(
-                any(
-                    " ".join(toks[i : i + n]) in grams
-                    for i in range(len(toks) - n + 1)
+        gd, h, g = batch_word_ngrams(batch, n)
+        if len(h):
+            hit = np.isin(h, hashes)
+            if hit.any():
+                gs = g.filter(pa.array(hit)).to_pylist()
+                verified = np.fromiter(
+                    (x in grams for x in gs), bool, count=len(gs)
                 )
-            )
+                out[gd[hit][verified]] = 1
         return pa.table(
             {"doc_id": batch["doc_id"], "contaminated": pa.array(out)}
         )

@@ -370,9 +370,70 @@ def rep_signals_stage(docs_ds, batch_size: int = 2048):
     )
 
 
+def batch_word_ngrams(batch: pa.Table, n: int):
+    """Batch-wide word n-gram explosion: -> (doc_pos int64[G],
+    gram_hash uint64[G], gram_strings Arrow string[G]).
+
+    Fully vectorized: tokens explode once per batch (Arrow kernels),
+    every token gets a C-level siphash (``pd.util.hash_array`` — the
+    same primitive as ``common.bucket_of``), n-gram hashes are the
+    rolling _MUL combine over the FLAT hash array, and the in-doc mask
+    ``d[i] == d[i+n-1]`` kills grams that would span documents (parent
+    indices are non-decreasing, so the endpoints agreeing implies the
+    interior does).  Gram strings come from one
+    ``binary_join_element_wise`` over n shifted slices.  No Python loop
+    over rows, tokens, or grams."""
+    d, toks = _exploded_tokens(batch)
+    L = len(d) - n + 1
+    empty = (
+        np.empty(0, np.int64),
+        np.empty(0, np.uint64),
+        pa.array([], pa.string()),
+    )
+    if L <= 0:
+        return empty
+    th = pd.util.hash_array(toks.to_pandas().to_numpy()).astype(np.uint64)
+    h = th[:L].copy()
+    for i in range(1, n):
+        h = h * _MUL + th[i : L + i]
+    valid = d[:L] == d[n - 1 :]
+    if not valid.any():
+        return empty
+    grams = pc.binary_join_element_wise(
+        *(toks.slice(j, L) for j in range(n)), " "
+    )
+    vmask = pa.array(valid)
+    return d[:L][valid], h[valid], grams.filter(vmask)
+
+
 # --- count-based LM fluency (CCNet-shaped scoring loop) ----------------------
 
 LM_MIN_COUNT = 4
+
+
+def _ngram_count_partial(batch: pa.Table, n: int, num_buckets: int) -> pd.DataFrame:
+    """Per-batch n-gram count fold (the combiner behind top_ngrams and
+    frequent_ngrams): batch-wide vectorized gram explosion
+    (:func:`batch_word_ngrams`) + one C-level value_counts — no Python
+    loop over rows or grams."""
+    _, _, g = batch_word_ngrams(batch, n)
+    if len(g) == 0:
+        return pd.DataFrame(
+            {
+                "ngram": pd.Series(dtype=str),
+                "cnt": pd.Series(dtype=np.int64),
+                "bucket": pd.Series(dtype=np.int32),
+            }
+        )
+    vc = pd.Series(g.to_pandas().to_numpy()).value_counts(sort=False)
+    df = pd.DataFrame(
+        {
+            "ngram": vc.index.to_numpy(),
+            "cnt": vc.to_numpy().astype(np.int64),
+        }
+    )
+    df["bucket"] = bucket_of(df["ngram"], num_buckets)
+    return df
 
 
 def frequent_ngrams(
@@ -384,10 +445,11 @@ def frequent_ngrams(
 ):
     """Exact global word n-gram counts, filtered to ``cnt >= min_count``
     — the distributed 'train' half of the count-LM scoring loop.  Same
-    two-phase shape as :func:`top_ngrams` (per-batch Counter fold ->
-    bucketed exact sum), but pruned by MINIMUM COUNT instead of top-k:
-    a count threshold is deterministic under ties, so the pruned set is
-    byte-stable and SQL-mirrorable (``HAVING count(*) >= min_count``).
+    two-phase shape as :func:`top_ngrams` (shared vectorized per-batch
+    fold :func:`_ngram_count_partial` -> bucketed exact sum), but pruned
+    by MINIMUM COUNT instead of top-k: a count threshold is
+    deterministic under ties, so the pruned set is byte-stable and
+    SQL-mirrorable (``HAVING count(*) >= min_count``).
 
     The survivor table is bounded by the threshold (frequent-n-gram
     vocabularies grow sublinearly in corpus size); at extreme scale
@@ -395,24 +457,9 @@ def frequent_ngrams(
     sketch — documented tradeoff, same regime as the ANN query matrix.
     """
     num_buckets = resolve_parallelism(num_buckets)
-    from collections import Counter
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            w = t.split()
-            c.update(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
-        if not c:
-            return pd.DataFrame(
-                {
-                    "ngram": pd.Series(dtype=str),
-                    "cnt": pd.Series(dtype=np.int64),
-                    "bucket": pd.Series(dtype=np.int32),
-                }
-            )
-        df = pd.DataFrame({"ngram": list(c.keys()), "cnt": list(c.values())})
-        df["bucket"] = bucket_of(df["ngram"], num_buckets)
-        return df
+        return _ngram_count_partial(batch, n, num_buckets)
 
     def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
@@ -566,9 +613,9 @@ def top_ngrams(
     stopword / boilerplate analysis).
 
     Three stages, all narrow until the final k rows:
-    1. per-batch Counter fold -> one (ngram, cnt) row per distinct
-       ngram per batch (the combiner: the shuffle moves vocabulary,
-       not tokens);
+    1. per-batch vectorized count fold (:func:`_ngram_count_partial`)
+       -> one (ngram, cnt) row per distinct ngram per batch (the
+       combiner: the shuffle moves vocabulary, not tokens);
     2. bucketed groupby on hash(ngram) -> exact global counts, each
        bucket emits only its local top-k (safe: the global top-k is a
        subset of the union of per-bucket top-ks since each ngram lives
@@ -577,26 +624,9 @@ def top_ngrams(
        (cnt desc, ngram asc — byte-stable under any partitioning).
     """
     num_buckets = resolve_parallelism(num_buckets)
-    import zlib
-
-    from collections import Counter
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        c: Counter = Counter()
-        for t in batch["text"].to_pylist():
-            w = t.split()
-            c.update(
-                " ".join(w[i : i + n]) for i in range(len(w) - n + 1)
-            )
-        if not c:
-            return pd.DataFrame({"ngram": pd.Series(dtype=str),
-                                 "cnt": pd.Series(dtype=np.int64),
-                                 "bucket": pd.Series(dtype=np.int32)})
-        df = pd.DataFrame({"ngram": list(c.keys()), "cnt": list(c.values())})
-        df["bucket"] = df["ngram"].map(
-            lambda s: zlib.crc32(s.encode()) % num_buckets
-        ).astype(np.int32)
-        return df
+        return _ngram_count_partial(batch, n, num_buckets)
 
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("ngram", sort=False)["cnt"].sum().reset_index()
