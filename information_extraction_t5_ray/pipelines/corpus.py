@@ -192,6 +192,54 @@ def q_curate_corpus(sf_dir: str):
     return kept.select_columns(["doc_id", "n_exact_dups"])
 
 
+def run_curate_checkpointed(sf_dir: str, ckpt_dir: str):
+    """Checkpointed curation funnel: every stage boundary of
+    :func:`q_curate_corpus` materializes to ``{ckpt_dir}/{stage}/`` with
+    a lineage manifest (fingerprint chain over inputs + parameters); a
+    rerun with the same inputs SKIPS completed stages and a killed run
+    resumes from the last complete boundary — the corpus-curation analog
+    of ``pipelines.kg.run_kg_checkpointed``.
+
+    Boundaries: ``uniq`` (quality gate + exact-dedup survivors — also
+    replaces the in-memory materialize: the Parquet checkpoint IS the
+    multi-consumer snapshot), ``pairs`` (near-dup candidate pairs),
+    ``kept`` (final survivors).  Returns (kept_ds, {stage: skipped}).
+    """
+    from ..state import manifest as mf
+
+    fp_u = mf.fingerprint("curate-uniq", sf_dir)
+    fp_p = mf.fingerprint(
+        "curate-pairs", fp_u, str(JACCARD_K), str(JACCARD_MAX_DF)
+    )
+    fp_k = mf.fingerprint("curate-kept", fp_p)
+    skipped = {}
+    uniq, skipped["uniq"] = mf.checkpointed(
+        lambda: dedup_ops.exact_dedup_keep(
+            textstats.quality_filter(dup_corpus(sf_dir))
+        ),
+        f"{ckpt_dir}/uniq",
+        "uniq",
+        fp_u,
+    )
+    pairs, skipped["pairs"] = mf.checkpointed(
+        lambda: dedup_ops.jaccard_pairs(
+            uniq, k=JACCARD_K, max_df=JACCARD_MAX_DF
+        ),
+        f"{ckpt_dir}/pairs",
+        "pairs",
+        fp_p,
+    )
+    kept, skipped["kept"] = mf.checkpointed(
+        lambda: dedup_ops.apply_dedup_clusters(
+            uniq, pairs, num_partitions=16
+        ).select_columns(["doc_id", "n_exact_dups"]),
+        f"{ckpt_dir}/kept",
+        "kept",
+        fp_k,
+    )
+    return kept, skipped
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-level duplicated-line removal over the dup corpus: every
     non-empty line survives only at its first (doc_id, line_no)

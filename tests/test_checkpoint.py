@@ -148,3 +148,36 @@ def test_sharded_resume_skips_finished_shards(ray_session, tmp_path):
         direct[["subj", "pred", "obj"]],
         df1[["subj", "pred", "obj"]],
     )
+
+
+def test_curate_checkpointed_matches_direct_and_resumes(ray_session, tmp_path):
+    """The checkpointed curation funnel equals the direct query, a warm
+    rerun skips every stage, and deleting a mid-chain manifest
+    recomputes that stage without changing the result."""
+    from information_extraction_t5_ray.pipelines import corpus as c
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "curate")
+    direct = (
+        c.q_curate_corpus(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    kept, skipped = c.run_curate_checkpointed(sf, ck)
+    got = kept.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert skipped == {"uniq": False, "pairs": False, "kept": False}
+    assert got.equals(direct)
+    # warm rerun: all boundaries skip, same rows
+    kept2, skipped2 = c.run_curate_checkpointed(sf, ck)
+    assert skipped2 == {"uniq": True, "pairs": True, "kept": True}
+    assert (
+        kept2.to_pandas().sort_values("doc_id").reset_index(drop=True).equals(direct)
+    )
+    # kill the pairs boundary: only it recomputes (uniq stays skipped;
+    # kept's manifest survives), result identical
+    import shutil
+
+    shutil.rmtree(f"{ck}/pairs")
+    kept3, skipped3 = c.run_curate_checkpointed(sf, ck)
+    assert skipped3["uniq"] is True and skipped3["pairs"] is False
+    assert (
+        kept3.to_pandas().sort_values("doc_id").reset_index(drop=True).equals(direct)
+    )
