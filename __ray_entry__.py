@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "line_dedup": c.q_line_dedup,  # CCNet-style duplicated-line removal
         "incremental_dedup": c.q_incremental_dedup,  # new crawl vs snapshot
         "length_histogram": c.q_length_histogram,
+        "length_quantiles": c.q_length_quantiles,  # exact counting-sort quantiles
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
@@ -194,6 +195,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": oc.line_dedup_sql(),
         "incremental_dedup": oc.incremental_dedup_sql(),
         "length_histogram": oc.length_histogram_sql(),
+        "length_quantiles": oc.length_quantiles_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),

@@ -299,6 +299,38 @@ def q_rep_signals(sf_dir: str):
     return textstats.rep_signals_stage(_read_docs(sf_dir))
 
 
+def q_length_quantiles(sf_dir: str):
+    """Exact per-language token-length p50/p95 via the counting-sort
+    quantile operator (wire carries (lang, n_tokens, count), not rows)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import grouped_quantiles_counting
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["lang", "text"]
+    )
+
+    def tok(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        batch["text"], textstats.TOKEN_RE
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_quantiles_counting(
+        docs.map_batches(tok, batch_format="pyarrow"),
+        "lang",
+        "n_tokens",
+        {"p50": 0.5, "p95": 0.95},
+    )
+
+
 def q_lm_score(sf_dir: str):
     """Count-LM fluency scoring (CCNet shape): distributed exact
     frequent-bigram counts -> bounded table broadcast once via ray.put

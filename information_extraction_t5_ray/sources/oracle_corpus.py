@@ -245,6 +245,18 @@ FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
 WHERE s.key IS NULL"""
 
 
+def length_quantiles_sql() -> str:
+    """Exact per-language token-length quantiles — mirrors
+    ``aggregates.grouped_quantiles_counting`` (rank = ceil(q*n),
+    DuckDB quantile_disc semantics)."""
+    return """SELECT lang,
+  CAST(quantile_disc(len(regexp_extract_all(text, '\\S+')), 0.5)
+       AS BIGINT) AS p50,
+  CAST(quantile_disc(len(regexp_extract_all(text, '\\S+')), 0.95)
+       AS BIGINT) AS p95
+FROM documents GROUP BY lang"""
+
+
 def length_histogram_sql() -> str:
     """Token-length histogram, 64-token buckets."""
     return """SELECT

@@ -56,6 +56,56 @@ def grouped_median_counting(
     return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
 
 
+def grouped_quantiles_counting(
+    ds,
+    group_col: str,
+    val_col: str,
+    qs: dict,
+    num_buckets: int | None = None,
+):
+    """EXACT per-group discrete quantiles for bounded-cardinality value
+    domains — the same counting-sort shuffle as
+    :func:`grouped_median_counting` (the wire carries (group, value,
+    count) partials, never raw rows), generalized to any quantile set.
+
+    ``qs`` maps output column name -> quantile in (0, 1].  Quantile
+    definition matches DuckDB's ``quantile_disc`` exactly: the value at
+    1-based rank ``ceil(q * n)`` in sorted order (probed empirically and
+    pinned by the oracle tests) — integral selection, no interpolation,
+    byte-stable."""
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby([group_col, val_col], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        g["_bucket"] = bucket_of(g[group_col], num_buckets)
+        return g
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            df.groupby([group_col, val_col], sort=False)["cnt"].sum().reset_index()
+        )
+        rows = []
+        for key, g in counts.groupby(group_col, sort=False):
+            g = g.sort_values(val_col, kind="stable")
+            cum = np.cumsum(g["cnt"].to_numpy())
+            n = cum[-1]
+            row = {group_col: key}
+            for name, q in qs.items():
+                rank = int(np.ceil(q * n))
+                idx = int(np.searchsorted(cum, rank))
+                row[name] = g[val_col].iloc[idx]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=[group_col, *qs.keys()])
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog approximate distinct count
 # ---------------------------------------------------------------------------
