@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": c.q_length_histogram,
         "length_quantiles": c.q_length_quantiles,  # exact counting-sort quantiles
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
+        "streaming_dedup": c.q_streaming_dedup,  # rows-only (arrival order)
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
         "embedding_dupes": c.q_embedding_dupes,

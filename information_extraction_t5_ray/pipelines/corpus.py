@@ -282,6 +282,19 @@ def q_length_histogram(sf_dir: str):
     return textstats.length_histogram(_read_docs(sf_dir), bucket_width=64)
 
 
+def q_streaming_dedup(sf_dir: str):
+    """Online sharded-index dedup driven as two successive ingests: the
+    base documents arrive first, then the dup corpus — only content the
+    index has never seen survives the second call.  Row COUNT is
+    deterministic (one admission per distinct content); which doc_id
+    carries it is arrival order, hence rows-only."""
+    from ..state.dedup_index import ShardedDedupIndex
+
+    idx = ShardedDedupIndex(num_shards=8)
+    idx.filter_new(_read_docs(sf_dir)).materialize()  # ingest 1: snapshot
+    return idx.filter_new(dup_corpus(sf_dir)).select_columns(["doc_id"])
+
+
 def q_minhash_dupes(sf_dir: str):
     return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
 
