@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup": c.q_incremental_dedup,  # new crawl vs snapshot
         "length_histogram": c.q_length_histogram,
         "length_quantiles": c.q_length_quantiles,  # exact counting-sort quantiles
+        "pack_sequences": c.q_pack_sequences,  # concat-then-chunk packing
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
         "streaming_dedup": c.q_streaming_dedup,  # rows-only (arrival order)
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
@@ -197,6 +198,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": oc.incremental_dedup_sql(),
         "length_histogram": oc.length_histogram_sql(),
         "length_quantiles": oc.length_quantiles_sql(),
+        "pack_sequences": oc.pack_sequences_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),

@@ -344,6 +344,14 @@ def q_length_quantiles(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """GPT-style concat-then-chunk sequence packing (512-token packs)
+    via the distributed ordered prefix scan."""
+    from ..stages.packing import pack_sequences
+
+    return pack_sequences(_read_docs(sf_dir), budget=512)
+
+
 def q_lm_score(sf_dir: str):
     """Count-LM fluency scoring (CCNet shape): distributed exact
     frequent-bigram counts -> bounded table broadcast once via ray.put

@@ -245,6 +245,28 @@ FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
 WHERE s.key IS NULL"""
 
 
+def pack_sequences_sql() -> str:
+    """Concat-then-chunk packing — mirrors ``packing.pack_sequences``:
+    exclusive ordered prefix sum of token counts, integer div/mod by
+    the 512-token budget."""
+    return """WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(strt // 512 AS BIGINT) AS pack_id,
+       CAST(strt % 512 AS BIGINT) AS pack_off
+FROM s"""
+
+
 def length_quantiles_sql() -> str:
     """Exact per-language token-length quantiles — mirrors
     ``aggregates.grouped_quantiles_counting`` (rank = ceil(q*n),

@@ -1,0 +1,118 @@
+"""Sequence packing — the 'concat-then-chunk' pretraining layout.
+
+Assigns every document to a training pack: documents are laid
+end-to-end in ``doc_id`` order and the token stream is cut every
+``budget`` tokens; a doc belongs to the pack where it STARTS
+(``pack_id = exclusive_prefix_tokens // budget``).  This is the
+deterministic packing strategy used for GPT-style pretraining corpora
+(concatenate, then slice fixed-length windows) — unlike greedy
+bin-packing it is a pure function of the ordered token-length prefix
+sum, so it is byte-stable under any partitioning and exactly
+SQL-mirrorable (one window SUM + integer division).
+
+The interesting part at scale is the ORDERED GLOBAL PREFIX SCAN —
+nothing else in the repo needs one.  Three narrow stages:
+
+1. token counts per doc (stateless vectorized map, no shuffle);
+2. per-range partial sums: docs bucket by contiguous ``doc_id`` range;
+   ONE row per range reaches the driver (range count is bounded by
+   ``num_ranges``, not corpus size), which computes the exclusive
+   per-range offsets — the classic two-phase scan (Blelloch);
+3. each range group sorts locally by doc_id, local exclusive cumsum +
+   broadcast range offset -> pack_id.  The shuffle carries
+   (doc_id, n_tokens) only — never text.
+
+Range partitioning assumption: ``doc_id`` is integer-ish and roughly
+dense so ranges are balanced; for arbitrary ids substitute any total
+order + range-partition by sampled split points (same scan shape).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import resolve_parallelism
+from .textstats import TOKEN_RE
+
+
+def pack_sequences(
+    docs_ds,
+    budget: int = 2048,
+    num_ranges: int | None = None,
+    max_doc_id: int | None = None,
+    batch_size: int = 4096,
+):
+    """(doc_id, text) -> (doc_id, n_tokens, pack_id, pack_off).
+
+    ``pack_id``: which fixed-``budget`` token window the doc starts in;
+    ``pack_off``: the doc's token offset within that window.  Both are
+    integer arithmetic over the global ordered prefix sum — bit-exact
+    vs the SQL window mirror.
+    """
+    import ray
+
+    num_ranges = resolve_parallelism(num_ranges)
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], TOKEN_RE), pa.int64()
+        )
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    # one pass over the text; everything after runs on the narrow
+    # (doc_id, n_tokens) table (materialized: consumed by the max probe,
+    # the range sums, and the scan)
+    slim = docs_ds.map_batches(
+        counts, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+    if max_doc_id is None:
+        max_doc_id = int(slim.max("doc_id"))
+    span = max_doc_id + 1
+    width = -(-span // num_ranges)  # ceil
+
+    def add_range(batch: pa.Table) -> pa.Table:
+        rng = pc.cast(
+            pc.divide(pc.cast(batch["doc_id"], pa.int64()), width),
+            pa.int32(),
+        )
+        return batch.append_column("rng", rng)
+
+    counted = slim.map_batches(add_range, batch_format="pyarrow")
+
+    # phase 1: one (range, token_sum) row per occupied range -> driver
+    def range_sums(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "rng": batch["rng"].to_numpy(),
+                "s": batch["n_tokens"].to_numpy(),
+            }
+        )
+        return df.groupby("rng", sort=False)["s"].sum().reset_index()
+
+    partials = (
+        counted.map_batches(range_sums, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("rng")["s"]
+        .sum()
+    )
+    sums = np.zeros(num_ranges + 1, dtype=np.int64)
+    sums[partials.index.to_numpy() + 1] = partials.to_numpy()
+    offsets_ref = ray.put(np.cumsum(sums))  # exclusive offset per range
+
+    # phase 2: local ordered scan per co-located range group
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        offsets = ray.get(offsets_ref)
+        df = df.sort_values("doc_id", kind="stable")
+        n = df["n_tokens"].to_numpy(np.int64)
+        start = (
+            offsets[int(df["rng"].iloc[0])] + np.cumsum(n) - n
+        )  # exclusive prefix
+        out = df[["doc_id", "n_tokens"]].copy()
+        out["pack_id"] = start // budget
+        out["pack_off"] = start % budget
+        return out
+
+    return counted.groupby("rng").map_groups(scan, batch_format="pandas")

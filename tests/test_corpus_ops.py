@@ -572,3 +572,52 @@ def test_length_histogram_buckets(ray_session):
         .sort_index()
     )
     assert out.to_dict() == {0: 2, 64: 2, 128: 1}
+
+
+def test_pack_sequences_hand_computed(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.packing import pack_sequences
+
+    # token counts: 3, 4, 2, 5 in doc_id order; budget 6
+    # exclusive starts: 0, 3, 7, 9 -> packs 0, 0, 1, 1; offs 0, 3, 1, 3
+    rows = [
+        {"doc_id": 0, "text": "a b c"},
+        {"doc_id": 1, "text": "d e f g"},
+        {"doc_id": 2, "text": "h i"},
+        {"doc_id": 3, "text": "j k l m n"},
+    ]
+    out = (
+        pack_sequences(rd.from_items(rows).repartition(3), budget=6,
+                       num_ranges=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["pack_id"].tolist() == [0, 0, 1, 1]
+    assert out["pack_off"].tolist() == [0, 3, 1, 3]
+    assert out["n_tokens"].tolist() == [3, 4, 2, 5]
+
+
+def test_pack_sequences_partition_invariance(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.packing import pack_sequences
+
+    rng = np.random.RandomState(3)
+    rows = [
+        {"doc_id": int(i), "text": " ".join(["w"] * int(rng.randint(1, 30)))}
+        for i in range(200)
+    ]
+    a = (
+        pack_sequences(rd.from_items(rows).repartition(2), budget=64,
+                       num_ranges=3)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        pack_sequences(rd.from_items(rows).repartition(16), budget=64,
+                       num_ranges=11)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert a.equals(b), "pack assignment must not depend on partitioning"
+    # every pack except the last is fully covered by construction
+    starts = (a["pack_id"] * 64 + a["pack_off"]).to_numpy()
+    assert (np.diff(starts) == a["n_tokens"].to_numpy()[:-1]).all()
