@@ -344,6 +344,33 @@ def q_length_quantiles(sf_dir: str):
     )
 
 
+PII_MOD = 7  # docs with doc_id % 7 == 0 get a planted PII suffix
+
+
+def q_pii_redact(sf_dir: str):
+    """C4-style PII scrubbing with per-pattern hit counts.  The clean
+    synthetic corpus would make this an identity op, so every 7th doc
+    gets a deterministic planted contact block first (mirrored verbatim
+    in the SQL oracle) — the compare then exercises real replacements.
+    """
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch["doc_id"], pa.string())
+        suffix = pc.binary_join_element_wise(
+            " contact user", ids, "@example.com or 10.0.0.1 or +1 (415) 555-0134", ""
+        )
+        hit = pa.array(batch["doc_id"].to_numpy() % PII_MOD == 0)
+        text = pc.if_else(
+            hit,
+            pc.binary_join_element_wise(batch["text"], suffix, ""),
+            batch["text"],
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    docs = _read_docs(sf_dir).map_batches(plant, batch_format="pyarrow")
+    return textstats.pii_redact_stage(docs)
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style concat-then-chunk sequence packing (512-token packs)
     via the distributed ordered prefix scan."""

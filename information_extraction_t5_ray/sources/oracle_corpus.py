@@ -245,6 +245,41 @@ FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
 WHERE s.key IS NULL"""
 
 
+def pii_redact_sql() -> str:
+    """PII scrubbing — the SAME RE2 patterns as textstats.PII_PATTERNS,
+    nested in the same order (DuckDB's regexp engine is RE2 too, so
+    match sets coincide byte-for-byte)."""
+    from ..stages.textstats import PII_PATTERNS
+    from ..pipelines.corpus import PII_MOD
+
+    planted = (
+        "CASE WHEN doc_id % {m} = 0 THEN text || ' contact user' || doc_id"
+        " || '@example.com or 10.0.0.1 or +1 (415) 555-0134'"
+        " ELSE text END"
+    ).format(m=PII_MOD)
+    text_expr = "t.text"
+    count_cols = []
+    for name, pat, repl in PII_PATTERNS:
+        # DuckDB '...' literals are standard-conforming: backslash is a
+        # literal char, so the RE2 pattern goes in verbatim — only
+        # quotes need doubling
+        pat_sql = pat.replace("'", "''")
+        count_cols.append(
+            "CAST(len(regexp_extract_all({t}, '{p}')) AS BIGINT) AS {n}".format(
+                t=text_expr, p=pat_sql, n=name
+            )
+        )
+        text_expr = "regexp_replace({t}, '{p}', '{r}', 'g')".format(
+            t=text_expr, p=pat_sql, r=repl
+        )
+    return (
+        "WITH t AS (SELECT doc_id, {planted} AS text FROM documents) "
+        "SELECT doc_id, {counts}, {t} AS redacted FROM t".format(
+            planted=planted, counts=", ".join(count_cols), t=text_expr
+        )
+    )
+
+
 def pack_sequences_sql() -> str:
     """Concat-then-chunk packing — mirrors ``packing.pack_sequences``:
     exclusive ordered prefix sum of token counts, integer div/mod by

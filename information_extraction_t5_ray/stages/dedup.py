@@ -1360,13 +1360,16 @@ def apply_dedup_clusters(docs_ds, pairs_ds, num_partitions: int | None = None,
 
     num_partitions = resolve_parallelism(num_partitions)
     clusters = connected_components(pairs_ds).materialize()
+    n_clusters = clusters.count()
+    if n_clusters == 0:  # no duplicate pairs at all: everything survives
+        return docs_ds
 
     def non_roots(df: pd.DataFrame) -> pd.DataFrame:
         out = df[df["doc_id"] != df["cluster_id"]][["doc_id"]]
         return out.rename(columns={"doc_id": id_col}) if id_col != "doc_id" else out
 
     drops = clusters.map_batches(non_roots, batch_format="pandas")
-    if clusters.count() <= broadcast_threshold:
+    if n_clusters <= broadcast_threshold:
         ids = np.sort(drops.to_pandas()[id_col].to_numpy().astype(np.int64))
         ids_ref = ray.put(ids)
 

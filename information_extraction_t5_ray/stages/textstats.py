@@ -539,6 +539,45 @@ def lm_score(docs_ds, lm_ref, n: int = 2, batch_size: int = 2048):
     )
 
 
+# --- PII scrubbing ------------------------------------------------------------
+
+# RE2-safe (no lookaround), shared VERBATIM with the DuckDB oracle —
+# both engines are RE2, so match sets coincide byte-for-byte.  Applied
+# in this order (email first so its digits can't be half-eaten by the
+# phone pattern; the oracle nests replaces in the same order).
+PII_PATTERNS = (
+    ("n_emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("n_ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # space allowed inside (not \s: a phone must not gobble newlines)
+    ("n_phones", r"\+?\d[\d ().-]{7,}\d", "<PHONE>"),
+)
+
+
+def pii_redact_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) -> (doc_id, redacted, n_emails, n_ips, n_phones):
+    C4-style PII scrubbing — emails, IPv4s, phone-shaped digit runs
+    replaced by sentinel tokens, per-pattern hit counts kept for
+    corpus telemetry.  Stateless vectorized Arrow kernels (compiled
+    RE2, no Python loop), no shuffle at any corpus size.  Counts are
+    taken on the text each pattern actually sees (post the previous
+    replacements), exactly like the SQL mirror's nested replaces."""
+    text = batch["text"]
+    cols = {"doc_id": batch["doc_id"]}
+    for name, pat, repl in PII_PATTERNS:
+        cols[name] = pc.cast(
+            pc.count_substring_regex(text, pat), pa.int64()
+        )
+        text = pc.replace_substring_regex(text, pat, repl)
+    cols["redacted"] = text
+    return pa.table(cols)
+
+
+def pii_redact_stage(docs_ds, batch_size: int = 4096):
+    return docs_ds.map_batches(
+        pii_redact_batch, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 # --- corpus length histogram -------------------------------------------------
 
 

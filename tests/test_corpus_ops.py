@@ -621,3 +621,41 @@ def test_pack_sequences_partition_invariance(ray_session):
     # every pack except the last is fully covered by construction
     starts = (a["pack_id"] * 64 + a["pack_off"]).to_numpy()
     assert (np.diff(starts) == a["n_tokens"].to_numpy()[:-1]).all()
+
+
+def test_apply_dedup_clusters_empty_pairs_passthrough(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_items(
+        [{"doc_id": i, "text": f"unique {i}"} for i in range(5)]
+    )
+    pairs = rd.from_items([{"i": 1, "j": 2}]).filter(lambda r: False)
+    out = dd.apply_dedup_clusters(docs, pairs).to_pandas()
+    assert sorted(out["doc_id"]) == [0, 1, 2, 3, 4]
+    assert len(dd.connected_components(pairs).to_pandas()) == 0
+
+
+def test_pii_redact_planted(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {
+            "doc_id": 0,
+            "text": "mail a.b+c@exa-mple.co.uk now, or call +1 (415) 555-0134"
+            " from 192.168.001.1 please",
+        },
+        {"doc_id": 1, "text": "no pii here at all"},
+    ]
+    out = (
+        ts.pii_redact_stage(rd.from_items(rows))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    r = out.loc[0, "redacted"]
+    assert "<EMAIL>" in r and "<IP>" in r and "<PHONE>" in r
+    assert "exa-mple" not in r and "192.168" not in r and "555-0134" not in r
+    assert out.loc[0, ["n_emails", "n_ips"]].tolist() == [1, 1]
+    assert out.loc[0, "n_phones"] >= 1
+    assert out.loc[1, "redacted"] == "no pii here at all"
+    assert out.loc[1, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 0, 0]
