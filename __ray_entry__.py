@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": c.q_length_quantiles,  # exact counting-sort quantiles
         "pack_sequences": c.q_pack_sequences,  # concat-then-chunk packing
         "pii_redact": c.q_pii_redact,  # C4-style scrubbing
+        "data_mixture": c.q_data_mixture,  # token-budget mixing
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
         "streaming_dedup": c.q_streaming_dedup,  # rows-only (arrival order)
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": oc.length_quantiles_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "pii_redact": oc.pii_redact_sql(),
+        "data_mixture": oc.data_mixture_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),

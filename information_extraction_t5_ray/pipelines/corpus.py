@@ -371,6 +371,30 @@ def q_pii_redact(sf_dir: str):
     return textstats.pii_redact_stage(docs)
 
 
+MIX_WEIGHTS = {0: 500, 1: 300, 2: 200}  # tier = int(source[3:]) % 3
+
+
+def q_data_mixture(sf_dir: str):
+    """Token-budget pretraining mixture: sources tier by suffix mod 3,
+    surviving token mass targets 50/30/20 — integer-exact rates, LCG
+    membership, deterministic under any partitioning."""
+    import ray.data as rd
+
+    from ..stages.sampling import data_mixture
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+
+    def tier_of(source_col) -> np.ndarray:
+        idx = pc.cast(
+            pc.utf8_slice_codeunits(source_col, 3, 32), pa.int64()
+        ).to_numpy()
+        return (idx % 3).astype(np.int32)
+
+    return data_mixture(docs, tier_of, MIX_WEIGHTS)
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style concat-then-chunk sequence packing (512-token packs)
     via the distributed ordered prefix scan."""

@@ -245,6 +245,32 @@ FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
 WHERE s.key IS NULL"""
 
 
+def data_mixture_sql() -> str:
+    """Token-budget mixture — mirrors ``sampling.data_mixture`` integer
+    arithmetic and the LCG membership rule exactly."""
+    from ..pipelines.corpus import MIX_WEIGHTS
+
+    B = sum(MIX_WEIGHTS.values())
+    vals = ", ".join(f"({t}, {w})" for t, w in MIX_WEIGHTS.items())
+    return f"""WITH t AS (
+  SELECT doc_id, source,
+         CAST(substr(source, 4) AS BIGINT) % 3 AS tier,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+w(tier, bp) AS (VALUES {vals}),
+sums AS (SELECT tier, CAST(sum(n_tokens) AS BIGINT) AS tok
+         FROM t GROUP BY tier),
+caps AS (SELECT s.tier, s.tok, w.bp, s.tok * {B} // w.bp AS cap
+         FROM sums s JOIN w ON w.tier = s.tier),
+tmin AS (SELECT min(cap) AS tt FROM caps),
+rates AS (SELECT tier, (tt * bp * 10000) // ({B} * tok) AS r
+          FROM caps, tmin)
+SELECT t.doc_id, t.source, t.tier, t.n_tokens
+FROM t JOIN rates ON rates.tier = t.tier
+WHERE ((t.doc_id * 1103515245 + 12345) % 2147483648) % 10000 < rates.r"""
+
+
 def pii_redact_sql() -> str:
     """PII scrubbing — the SAME RE2 patterns as textstats.PII_PATTERNS,
     nested in the same order (DuckDB's regexp engine is RE2 too, so

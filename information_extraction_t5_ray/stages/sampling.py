@@ -159,3 +159,95 @@ def export_shuffled(
         out_dir, partition_cols=["shard"], min_rows_per_file=min_rows_per_file
     )
     return out_dir
+
+
+def data_mixture(
+    docs_ds,
+    tier_of_source,
+    weights: dict,
+    token_re: str = r"\S+",
+    batch_size: int = 4096,
+):
+    """Token-budget data mixing (the pretraining mixture step): keep a
+    deterministic per-tier document sample so the SURVIVING token mass
+    follows the target ``weights`` distribution, scaled to the largest
+    total no tier can exceed (no tier oversamples: the binding tier
+    keeps ~everything, the rest downsample).
+
+    Math (all integer, mirrored 1:1 in SQL): with B = sum(weights),
+    ``cap_t = tok_t * B // w_t`` is the max total output if t binds,
+    ``T = min(cap_t)``, and the per-tier keep rate in basis points is
+    ``r_t = T * w_t * 10000 // (B * tok_t)`` — computed DRIVER-side
+    with unbounded Python ints (no int64 overflow at any corpus size).
+    A doc survives iff ``lcg(doc_id) % 10000 < r_t`` — the same pure
+    key hash as ``stratified_sample``, so the pick is partitioning-
+    stable and reproducible.
+
+    Scale shape: one pass folds the text to a narrow (doc_id, source,
+    tier, n_tokens) table (materialized — consumed by the tiny tier-sum
+    aggregate and the filter); the exchange for the sums carries one
+    row per (tier, batch).  ``tier_of_source`` maps the source column
+    to a tier id IN-BATCH (vectorized caller-supplied fn).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    B = sum(weights.values())
+
+    def slim(batch: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(batch["text"], token_re), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "tier": pa.array(tier_of_source(batch["source"])),
+                "n_tokens": n,
+            }
+        )
+
+    slimmed = docs_ds.map_batches(
+        slim, batch_format="pyarrow", batch_size=batch_size
+    ).materialize()
+
+    def tier_sums(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "tier": batch["tier"].to_numpy(),
+                "n": batch["n_tokens"].to_numpy(),
+            }
+        )
+        return df.groupby("tier", sort=False)["n"].sum().reset_index()
+
+    partials = (
+        slimmed.map_batches(tier_sums, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("tier")["n"]
+        .sum()
+    )
+    toks = {int(t): int(v) for t, v in partials.items()}
+    T = min(toks[t] * B // w for t, w in weights.items() if t in toks)
+    rates = {
+        t: T * w * 10000 // (B * toks[t])
+        for t, w in weights.items()
+        if t in toks
+    }
+    rates_ref = ray.put(rates)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        r = ray.get(rates_ref)
+        tiers = batch["tier"].to_numpy()
+        lut = np.zeros(max(r.keys(), default=0) + 1, dtype=np.int64)
+        for t, v in r.items():
+            lut[t] = v
+        rate = lut[tiers]
+        h = lcg_bucket(batch["doc_id"].to_numpy(), denom=10000)
+        return batch.filter(pa.array(h < rate)).select(
+            ["doc_id", "source", "tier", "n_tokens"]
+        )
+
+    return slimmed.map_batches(
+        keep, batch_format="pyarrow", batch_size=batch_size
+    )

@@ -659,3 +659,44 @@ def test_pii_redact_planted(ray_session):
     assert out.loc[0, "n_phones"] >= 1
     assert out.loc[1, "redacted"] == "no pii here at all"
     assert out.loc[1, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 0, 0]
+
+
+def test_data_mixture_token_distribution(ray_session):
+    """Surviving token mass must track the 50/30/20 target and the
+    binding tier must keep (almost) everything."""
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.sampling import data_mixture
+
+    rng = np.random.RandomState(1)
+    # tier token masses wildly off-target: t0 scarce, t2 abundant
+    rows = []
+    for i in range(3000):
+        tier = 0 if i % 10 == 0 else (1 if i % 10 in (1, 2, 3) else 2)
+        rows.append(
+            {
+                "doc_id": i,
+                "source": f"src{tier}",
+                "text": " ".join(["w"] * int(rng.randint(5, 40))),
+            }
+        )
+    ds = rd.from_items(rows).repartition(5)
+
+    def tier_of(col):
+        return np.array([int(s[3:]) for s in col.to_pylist()], np.int32)
+
+    out = data_mixture(ds, tier_of, {0: 500, 1: 300, 2: 200}).to_pandas()
+    got = out.groupby("tier")["n_tokens"].sum()
+    total = got.sum()
+    fracs = (got / total).to_dict()
+    assert abs(fracs[0] - 0.5) < 0.03, fracs
+    assert abs(fracs[1] - 0.3) < 0.03, fracs
+    assert abs(fracs[2] - 0.2) < 0.03, fracs
+    # binding tier (0, the scarce one) keeps ~all its docs
+    n0_in = sum(1 for r in rows if r["source"] == "src0")
+    n0_out = (out["tier"] == 0).sum()
+    assert n0_out / n0_in > 0.97
+    # determinism under different partitioning
+    out2 = data_mixture(
+        rd.from_items(rows).repartition(13), tier_of, {0: 500, 1: 300, 2: 200}
+    ).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
