@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": c.q_dedup_clusters,  # connected components
         "dedup_apply_tc": c.q_dedup_apply_tc,  # transitive keep-first
         "curate_corpus": c.q_curate_corpus,  # quality -> exact -> near dedup
+        "web_curation": c.q_web_curation,  # pii -> quality -> line/exact dedup -> pack
         "line_dedup": c.q_line_dedup,  # CCNet-style duplicated-line removal
         "incremental_dedup": c.q_incremental_dedup,  # new crawl vs snapshot
         "length_histogram": c.q_length_histogram,
@@ -196,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oc.dedup_clusters_sql(),
         "dedup_apply_tc": oc.dedup_apply_tc_sql(),
         "curate_corpus": oc.curate_corpus_sql(),
+        "web_curation": oc.web_curation_sql(),
         "line_dedup": oc.line_dedup_sql(),
         "incremental_dedup": oc.incremental_dedup_sql(),
         "length_histogram": oc.length_histogram_sql(),

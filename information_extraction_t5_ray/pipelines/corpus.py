@@ -347,28 +347,61 @@ def q_length_quantiles(sf_dir: str):
 PII_MOD = 7  # docs with doc_id % 7 == 0 get a planted PII suffix
 
 
+def _plant_pii_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic planted contact block on every PII_MOD-th doc —
+    mirrored verbatim in the SQL oracles so PII replacement compares
+    exercise real hits on the otherwise-clean synthetic corpus."""
+    ids = pc.cast(batch["doc_id"], pa.string())
+    suffix = pc.binary_join_element_wise(
+        " contact user", ids, "@example.com or 10.0.0.1 or +1 (415) 555-0134", ""
+    )
+    hit = pa.array(batch["doc_id"].to_numpy() % PII_MOD == 0)
+    text = pc.if_else(
+        hit,
+        pc.binary_join_element_wise(batch["text"], suffix, ""),
+        batch["text"],
+    )
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
 def q_pii_redact(sf_dir: str):
     """C4-style PII scrubbing with per-pattern hit counts.  The clean
     synthetic corpus would make this an identity op, so every 7th doc
     gets a deterministic planted contact block first (mirrored verbatim
     in the SQL oracle) — the compare then exercises real replacements.
     """
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = pc.cast(batch["doc_id"], pa.string())
-        suffix = pc.binary_join_element_wise(
-            " contact user", ids, "@example.com or 10.0.0.1 or +1 (415) 555-0134", ""
-        )
-        hit = pa.array(batch["doc_id"].to_numpy() % PII_MOD == 0)
-        text = pc.if_else(
-            hit,
-            pc.binary_join_element_wise(batch["text"], suffix, ""),
-            batch["text"],
-        )
-        return pa.table({"doc_id": batch["doc_id"], "text": text})
-
-    docs = _read_docs(sf_dir).map_batches(plant, batch_format="pyarrow")
+    docs = _read_docs(sf_dir).map_batches(
+        _plant_pii_batch, batch_format="pyarrow"
+    )
     return textstats.pii_redact_stage(docs)
+
+
+def q_web_curation(sf_dir: str):
+    """End-to-end web-curation showcase — the round-2 operators chained
+    as ONE streaming pipeline over the dup corpus:
+
+        plant PII -> redact (C4 scrub)
+          -> quality gate (in-batch, no shuffle)
+          -> corpus-level line dedup (content-bucketed keep-first)
+          -> exact keep-first dedup (two-phase content-hash fold)
+          -> sequence packing (distributed ordered prefix scan)
+
+    Every stage is individually oracle-checked elsewhere; this query
+    checks their COMPOSITION against a single assembled SQL oracle.
+    Output: (doc_id, n_tokens, pack_id, pack_off) per surviving doc."""
+    from ..stages.packing import pack_sequences
+
+    planted = dup_corpus(sf_dir).map_batches(
+        _plant_pii_batch, batch_format="pyarrow"
+    )
+    red = textstats.pii_redact_stage(planted).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"], "text": b["redacted"]}),
+        batch_format="pyarrow",
+    )
+    qdocs = textstats.quality_filter(red)
+    ld = dedup_ops.line_dedup(qdocs).select_columns(["doc_id", "text"])
+    uniq = dedup_ops.exact_dedup_keep(ld).select_columns(["doc_id", "text"])
+    return pack_sequences(uniq, budget=512)
 
 
 MIX_WEIGHTS = {0: 500, 1: 300, 2: 200}  # tier = int(source[3:]) % 3

@@ -245,6 +245,86 @@ FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
 WHERE s.key IS NULL"""
 
 
+def web_curation_sql() -> str:
+    """The composed web-curation showcase — one assembled oracle for
+    plant-PII -> redact -> quality gate -> line dedup -> exact dedup ->
+    pack, each CTE the same SQL fragment that checks the stage alone."""
+    from ..pipelines.corpus import PII_MOD
+    from ..stages.textstats import (
+        PII_PATTERNS,
+        QL_MAX_TOKENS,
+        QL_MIN_STOPWORDS,
+        QL_MIN_TOKENS,
+        QL_STOPWORDS,
+    )
+
+    red_expr = "text"
+    for _, pat, repl in PII_PATTERNS:
+        red_expr = "regexp_replace({t}, '{p}', '{r}', 'g')".format(
+            t=red_expr, p=pat.replace("'", "''"), r=repl
+        )
+    stop_sum = " + ".join(_marker_count_sql(m) for m in QL_STOPWORDS)
+    corpus0 = DUP_CORPUS_CTE.replace("corpus AS (", "corpus0 AS (", 1)
+    return f"""WITH {corpus0},
+pl AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {PII_MOD} = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com or 10.0.0.1 or +1 (415) 555-0134'
+              ELSE text END AS text
+  FROM corpus0
+),
+red AS (SELECT doc_id, {red_expr} AS text FROM pl),
+padded AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM red),
+sig AS (
+  SELECT doc_id, text,
+    len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+    len(regexp_extract_all(text, '\\S')) AS n_word_chars,
+    {stop_sum} AS n_stop,
+    len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+  FROM padded
+),
+quality AS (
+  SELECT doc_id, text FROM sig
+  WHERE n_tokens >= {QL_MIN_TOKENS} AND n_tokens <= {QL_MAX_TOKENS}
+    AND 3 * n_tokens <= n_word_chars AND n_word_chars <= 10 * n_tokens
+    AND n_stop >= {QL_MIN_STOPWORDS} AND n_punct <= n_tokens
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM quality),
+lines AS (
+  SELECT doc_id, unnest(parts) AS line,
+         unnest(range(1, len(parts) + 1)) AS line_no
+  FROM ls
+),
+ne AS (SELECT * FROM lines WHERE line <> ''),
+keptl AS (
+  SELECT doc_id, line_no, line FROM ne
+  QUALIFY row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) = 1
+),
+docs2 AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM keptl GROUP BY doc_id
+),
+exact AS (SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY md5(text)),
+uniq AS (SELECT d.doc_id, d.text FROM exact e JOIN docs2 d USING (doc_id)),
+toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens
+  FROM uniq
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM toks
+)
+SELECT doc_id, n_tokens,
+       CAST(strt // 512 AS BIGINT) AS pack_id,
+       CAST(strt % 512 AS BIGINT) AS pack_off
+FROM s"""
+
+
 def data_mixture_sql() -> str:
     """Token-budget mixture — mirrors ``sampling.data_mixture`` integer
     arithmetic and the LCG membership rule exactly."""
