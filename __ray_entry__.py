@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": c.q_fingerprint,
         "winnow_sketch": c.q_winnow,  # rows-only (list column)
         "top_bigrams": c.q_top_bigrams,  # vocabulary building
+        "media_meta": c.q_media_meta,  # decode round-trip, oracle-checked
         "media_features": c.q_media_features,  # rows-only (binary payloads)
         # relational operator demos (reference postprocess/balance/split
         # semantics over the TPC-H-ish tables)
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oc.pack_sequences_sql(),
         "pii_redact": oc.pii_redact_sql(),
         "data_mixture": oc.data_mixture_sql(),
+        "media_meta": oc.media_meta_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),
         "ann_topk": oc.ann_topk_sql(),

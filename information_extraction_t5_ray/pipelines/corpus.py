@@ -1192,6 +1192,18 @@ def q_balanced_sample(sf_dir: str):
     return balanced.select_columns(["l_orderkey", "l_linenumber"])
 
 
+def q_media_meta(sf_dir: str):
+    """Encode -> ship -> decode round-trip over binary media payloads:
+    every output value is parsed OUT OF the payload bytes; the SQL
+    oracle predicts them independently from doc_id arithmetic."""
+    from ..stages import multimodal as mm
+
+    media = _read_docs(sf_dir).map_batches(
+        lambda b: mm.attach_varied_payload(b), batch_format="pyarrow"
+    )
+    return mm.media_meta_stage(media)
+
+
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: attach a deterministic binary
     image payload per doc (stand-in for real WARC media), decode +

@@ -245,6 +245,19 @@ FROM corpus c LEFT JOIN snap s ON s.key = md5(c.text)
 WHERE s.key IS NULL"""
 
 
+def media_meta_sql() -> str:
+    """Predicts what the FIMG decoder must parse out of the payload
+    bytes — closed-form in doc_id (multimodal.attach_varied_payload):
+    n_bytes = 9-byte header + h*w*c."""
+    return """SELECT doc_id,
+  CAST(16 + (doc_id % 5) * 8 AS BIGINT) AS height,
+  CAST(16 + (doc_id % 7) * 8 AS BIGINT) AS width,
+  CAST(1 + doc_id % 3 AS BIGINT) AS channels,
+  CAST(9 + (16 + (doc_id % 5) * 8) * (16 + (doc_id % 7) * 8)
+         * (1 + doc_id % 3) AS BIGINT) AS n_bytes
+FROM documents"""
+
+
 def web_curation_sql() -> str:
     """The composed web-curation showcase — one assembled oracle for
     plant-PII -> redact -> quality gate -> line dedup -> exact dedup ->

@@ -94,6 +94,58 @@ def attach_payload(batch: pa.Table, h: int = 48, w: int = 48, c: int = 3) -> pa.
     )
 
 
+def attach_varied_payload(batch: pa.Table) -> pa.Table:
+    """Synth source with per-doc dimensions (h = 16 + (doc_id % 5) * 8,
+    w = 16 + (doc_id % 7) * 8, c = 1 + doc_id % 3) — closed-form in
+    doc_id so a SQL oracle can independently predict what the decoder
+    must find inside the bytes."""
+    ids = batch["doc_id"].to_numpy()
+    payloads = []
+    for d in ids:
+        d = int(d)
+        payloads.append(
+            encode_fake_image(
+                16 + (d % 5) * 8, 16 + (d % 7) * 8, 1 + d % 3, seed=d % 100000
+            )
+        )
+    return pa.table(
+        {"doc_id": batch["doc_id"], "payload": pa.array(payloads, pa.binary())}
+    )
+
+
+def media_meta_stage(media_ds, batch_size: int = 256):
+    """Decode-side metadata extraction: every value comes from PARSING
+    the payload bytes (the FakeCodec header route — the same code path
+    a real container probe takes), none from passthrough columns, so an
+    oracle that predicts (height, width, channels, n_bytes) from doc_id
+    arithmetic verifies the encode->ship->decode round-trip.  Per-row
+    struct parse is header-bounded (9 bytes), not payload-sized."""
+
+    def meta(batch: pa.Table) -> pa.Table:
+        hs, ws, cs, nb = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            if p[:4] != MAGIC:
+                raise ValueError("not a FIMG payload")
+            h, w, c = struct.unpack("<HHB", p[4:9])
+            hs.append(h)
+            ws.append(w)
+            cs.append(c)
+            nb.append(len(p))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+                "channels": pa.array(cs, pa.int64()),
+                "n_bytes": pa.array(nb, pa.int64()),
+            }
+        )
+
+    return media_ds.map_batches(
+        meta, batch_format="pyarrow", batch_size=batch_size
+    )
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: codec constructed ONCE per actor (the
     model-load slot); per-batch work is decode + vectorized histogram."""
