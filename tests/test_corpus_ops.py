@@ -700,3 +700,84 @@ def test_data_mixture_token_distribution(ray_session):
         rd.from_items(rows).repartition(13), tier_of, {0: 500, 1: 300, 2: 200}
     ).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_local_cc_random_graphs_property():
+    """_local_cc (the single-task CC fast path behind dedup_clusters,
+    dedup_apply_tc, curate_corpus and semdedup groups) vs a plain
+    union-find reference on random graphs."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from information_extraction_t5_ray.stages.dedup import _local_cc
+
+    def uf_components(edges):
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in edges:
+            parent[find(u)] = find(v)
+        return {n: min(m for m in parent if find(m) == find(n)) for n in parent}
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=25),
+                st.integers(min_value=0, max_value=25),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def check(edges):
+        t = pa.table(
+            {
+                "u": pa.array([u for u, _ in edges], pa.int64()),
+                "v": pa.array([v for _, v in edges], pa.int64()),
+            }
+        )
+        got = _local_cc(t).to_pandas()
+        want = uf_components(edges)
+        assert dict(zip(got["doc_id"], got["cluster_id"])) == want
+
+    check()
+
+
+def test_batch_word_ngrams_random_property():
+    """batch_word_ngrams (behind decontaminate, lm_score, top_ngrams)
+    vs brute-force per-doc n-gram enumeration."""
+    import pyarrow as pa
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from information_extraction_t5_ray.stages.textstats import batch_word_ngrams
+
+    word = st.text(alphabet="abxy", min_size=1, max_size=3)
+    doc = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=6),
+           n=st.integers(min_value=2, max_value=4))
+    def check(docs, n):
+        batch = pa.table(
+            {"doc_id": list(range(len(docs))), "text": docs}
+        )
+        d, h, g = batch_word_ngrams(batch, n)
+        got = list(zip(d.tolist(), g.to_pylist()))
+        want = []
+        for i, t in enumerate(docs):
+            w = t.split()
+            want += [
+                (i, " ".join(w[j : j + n])) for j in range(len(w) - n + 1)
+            ]
+        assert got == want
+        assert len(h) == len(want)
+
+    check()
