@@ -37,6 +37,20 @@ DECONTAM_MOD = 97  # docs with doc_id % 97 == 0 form the "benchmark" set
 DECONTAM_N = 13  # GPT-3-style 13-gram overlap window
 
 
+def _read_pq(*args, **kwargs):
+    """read_parquet with the pandas schema metadata stripped at the
+    boundary: pandas-written parquet embeds a b'pandas' dict that makes
+    pa.Schema unhashable, so every downstream multi-block schema
+    unification warns ('Failed to hash the schemas') and falls back to
+    the slow unify path.  replace_schema_metadata(None) is zero-copy
+    and fuses with the next map stage."""
+    import ray.data as rd
+
+    return rd.read_parquet(*args, **kwargs).map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def _read_docs(sf_dir: str):
     # NOTE: deliberately no pre-scatter here — these pipelines end in
     # groupby shuffles whose cost grows with input block count; at this
@@ -44,15 +58,11 @@ def _read_docs(sf_dir: str):
     # fat blocks (measured: scattering to 64 blocks made jaccard 4x
     # slower via sort fan-out).  Sharded real corpora parallelize at
     # the read instead.
-    import ray.data as rd
-
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return _read_pq(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
 def _read_embeddings(sf_dir: str):
-    import ray.data as rd
-
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
 
@@ -319,7 +329,7 @@ def q_length_quantiles(sf_dir: str):
 
     from ..stages.aggregates import grouped_quantiles_counting
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["lang", "text"]
     )
 
@@ -415,7 +425,7 @@ def q_data_mixture(sf_dir: str):
 
     from ..stages.sampling import data_mixture
 
-    docs = rd.read_parquet(
+    docs = _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
     )
 
@@ -554,7 +564,7 @@ def q_orders_by_nation(sf_dir: str):
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = _read_pq(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     joined = broadcast_hash_join(
         orders, cust.rename_columns(["o_custkey", "nationkey"]), on="o_custkey"
     )
@@ -594,10 +604,10 @@ def q_lineitem_order_join(sf_dir: str):
 
     from ..stages.joins import hash_join
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
     )
-    orders = rd.read_parquet(
+    orders = _read_pq(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
     joined = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey",
@@ -656,7 +666,7 @@ def q_props_extract(sf_dir: str):
 
     import ray.data as rd
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "props"]
     )
 
@@ -683,7 +693,7 @@ def q_top3_events_per_user(sf_dir: str):
 
     from ..stages.aggregates import grouped_topk
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
     ).map_batches(
         lambda df: df.assign(cents=np.round(df["value"] * 100).astype(np.int64)),
@@ -707,7 +717,7 @@ def q_session_stats(sf_dir: str):
 
     from ..stages.temporal import sessionize
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     sess = sessionize(
@@ -749,7 +759,7 @@ def q_rolling_value_sum(sf_dir: str):
 
     from ..stages.temporal import rolling_window_sum
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
     ).map_batches(
         lambda df: df.assign(cents=np.round(df["value"] * 100).astype(np.int64)),
@@ -773,7 +783,7 @@ def q_events_of_purchasers(sf_dir: str):
 
     from ..stages.joins import bloom_semi_join
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type"]
     )
     purchasers = ev.filter(expr="event_type == 'purchase'").select_columns(
@@ -805,7 +815,7 @@ def q_approx_distinct_users(sf_dir: str):
 
     from ..stages.aggregates import approx_distinct
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ev, "user_id")
     return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
 
@@ -817,7 +827,7 @@ def q_median_qty(sf_dir: str):
 
     from ..stages.aggregates import grouped_median_counting
 
-    li = rd.read_parquet(
+    li = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
     )
     med = grouped_median_counting(
@@ -848,7 +858,7 @@ def q_stratified_sample(sf_dir: str):
 def _read_docs_with_lang(sf_dir: str):
     import ray.data as rd
 
-    return rd.read_parquet(
+    return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
@@ -858,7 +868,7 @@ def q_distinct_user_events(sf_dir: str):
     drop-duplicates, shuffle carries per-batch distinct sets only."""
     import ray.data as rd
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return dedup_ops.distinct_rows(ev, cols=["user_id", "event_type"])
@@ -871,7 +881,7 @@ def q_events_pivot(sf_dir: str):
 
     from ..stages.temporal import pivot_counts
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
     )
     return pivot_counts(
@@ -887,10 +897,10 @@ def q_acctbal_range_join(sf_dir: str):
 
     from ..stages.joins import range_join
 
-    cust = rd.read_parquet(
+    cust = _read_pq(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
     )
-    supp = rd.read_parquet(
+    supp = _read_pq(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
     ).map_batches(
         lambda df: df.assign(lo=df["s_acctbal"] - 50.0, hi=df["s_acctbal"] + 50.0),
@@ -916,7 +926,7 @@ def q_sessionize(sf_dir: str):
 
     from ..stages.temporal import sessionize
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
     )
     out = sessionize(
@@ -940,7 +950,7 @@ def q_purchase_asof_signup(sf_dir: str):
 
     from ..stages.joins import asof_join
 
-    ev = rd.read_parquet(
+    ev = _read_pq(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -968,7 +978,7 @@ def q_grouped_argmax(sf_dir: str):
     table (reference postprocess.py:277-284 semantics)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice"],
     )
@@ -996,7 +1006,7 @@ def q_q1_counts(sf_dir: str):
     under any summation order): sum_qty, count_order, avg_qty."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
     )
@@ -1034,7 +1044,7 @@ def q_balance_counts(sf_dir: str):
     balance_data outer-join + dropna, utils/balance_data.py:65-70)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     )
     num_buckets = resolve_parallelism(None)
@@ -1069,7 +1079,7 @@ def q_events_window(sf_dir: str):
     counts -> bucketed final sum + nunique)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
     )
     num_buckets = 16
@@ -1119,7 +1129,7 @@ def q_events_top100(sf_dir: str):
     at sf0.01)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
     )
 
@@ -1170,7 +1180,7 @@ def q_balanced_sample(sf_dir: str):
 
     from ..stages.balance import balance_stage
 
-    ds = rd.read_parquet(
+    ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_returnflag"],
     )

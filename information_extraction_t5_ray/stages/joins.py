@@ -107,8 +107,13 @@ def _as_arrow(ds):
     """Normalize a Dataset to Arrow blocks so ``.schema()`` reports real
     Arrow types (pandas-block sources report None for dtypes Arrow can't
     introspect lazily, e.g. tz-aware datetimes) and the tagged-union
-    exchange below ships columnar Arrow instead of pickled pandas."""
-    return ds.map_batches(lambda t: t, batch_format="pyarrow")
+    exchange below ships columnar Arrow instead of pickled pandas.
+    Schema metadata is stripped: pandas-written parquet embeds a
+    b'pandas' dict that makes pa.Schema unhashable, so Ray's block
+    concat warns and falls back to the slow schema-unify path."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
 
 
 def _ext_mapper(t):
@@ -255,7 +260,8 @@ def asof_join(
             merged = merged.drop(columns=["__matched"])
         return pa.Table.from_pandas(
             merged[all_cols], schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)  # from_pandas re-attaches the
+        # unhashable b'pandas' metadata even with an explicit schema
 
     return tagged.groupby("_bucket").map_groups(merge, batch_format="pyarrow")
 

@@ -114,13 +114,13 @@ def pivot_counts(
         d[key] = df[key].to_numpy()
         g = d.groupby(key, sort=False).sum().reset_index()
         g["_bucket"] = bucket_of(g[key], num_buckets)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return pa.Table.from_pandas(g, preserve_index=False).replace_schema_metadata(None)
 
     def final(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         out = df.groupby(key, sort=False)[cols].sum().reset_index()
         out = out.astype({c: np.int64 for c in cols})
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(out, preserve_index=False).replace_schema_metadata(None)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("_bucket").map_groups(final, batch_format="pyarrow")
