@@ -80,6 +80,13 @@ def _make_shard_cls():
         def size(self) -> int:
             return len(self.seen)
 
+        def dump(self) -> np.ndarray:
+            return np.fromiter(self.seen, dtype=np.uint64, count=len(self.seen))
+
+        def load(self, keys: np.ndarray) -> int:
+            self.seen.update(keys.tolist())
+            return len(self.seen)
+
     return DedupShard
 
 
@@ -130,3 +137,51 @@ class ShardedDedupIndex:
         import ray
 
         return int(sum(ray.get([s.size.remote() for s in self.shards])))
+
+    def save(self, out_dir: str) -> str:
+        """Persist the admitted key set as one Parquet file per shard —
+        the index survives the Ray session, so tomorrow's ingest run
+        deduplicates against everything ever admitted (quiesce ingest
+        before saving: an in-flight filter_new may still be admitting).
+        Each shard dumps its own uint64 array; nothing funnels through
+        a single task."""
+        import ray
+        from pathlib import Path
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for i, keys in enumerate(ray.get([s.dump.remote() for s in self.shards])):
+            pq.write_table(
+                pa.table({"key": pa.array(keys, pa.uint64())}),
+                out / f"shard-{i:05d}.parquet",
+            )
+        return str(out)
+
+    @classmethod
+    def load(cls, out_dir: str, num_shards: int | None = None):
+        """Rebuild an index from :meth:`save` output.  ``num_shards``
+        may differ from the saved layout — keys re-route by hash, so an
+        index can be re-sharded wider as the corpus grows."""
+        import ray
+        from pathlib import Path
+
+        import pyarrow.parquet as pq
+
+        files = sorted(Path(out_dir).glob("shard-*.parquet"))
+        if num_shards is None:
+            num_shards = max(len(files), 1)
+        idx = cls(num_shards=num_shards)
+        n = np.uint64(idx.num_shards)
+        futs = []
+        for f in files:
+            keys = pq.read_table(f)["key"].to_numpy().astype(np.uint64)
+            route = (keys % n).astype(np.int64)
+            for s in range(idx.num_shards):
+                part = keys[route == s]
+                if len(part):
+                    futs.append(idx.shards[s].load.remote(part))
+        ray.get(futs)
+        return idx

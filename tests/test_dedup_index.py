@@ -74,3 +74,24 @@ def test_content_keys_stable_and_distinct():
     assert a.dtype == np.uint64
     # process-stable (md5, not hash())
     assert int(a[0]) == int(content_keys(["x"])[0])
+
+
+def test_index_save_load_roundtrip_and_resharding(ray_session, tmp_path):
+    idx = ShardedDedupIndex(num_shards=3)
+    idx.filter_new(
+        _ds([{"doc_id": i, "text": f"doc {i}"} for i in range(50)])
+    ).materialize()
+    assert idx.size() == 50
+    path = idx.save(str(tmp_path / "idx"))
+
+    # reload WIDER (3 -> 5 shards): keys re-route by hash
+    idx2 = ShardedDedupIndex.load(path, num_shards=5)
+    assert idx2.size() == 50
+    out = idx2.filter_new(
+        _ds(
+            [{"doc_id": 100, "text": "doc 7"},   # admitted last run
+             {"doc_id": 101, "text": "doc new"}]
+        )
+    ).to_pandas()
+    assert out["text"].tolist() == ["doc new"]
+    assert idx2.size() == 51
