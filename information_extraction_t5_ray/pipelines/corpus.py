@@ -38,17 +38,13 @@ DECONTAM_N = 13  # GPT-3-style 13-gram overlap window
 
 
 def _read_pq(*args, **kwargs):
-    """read_parquet with the pandas schema metadata stripped at the
-    boundary: pandas-written parquet embeds a b'pandas' dict that makes
-    pa.Schema unhashable, so every downstream multi-block schema
-    unification warns ('Failed to hash the schemas') and falls back to
-    the slow unify path.  replace_schema_metadata(None) is zero-copy
-    and fuses with the next map stage."""
+    """read_parquet + ``common.strip_pandas_metadata`` (see there for
+    the unhashable-b'pandas'-metadata invariant)."""
     import ray.data as rd
 
-    return rd.read_parquet(*args, **kwargs).map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    from ..stages.common import strip_pandas_metadata
+
+    return strip_pandas_metadata(rd.read_parquet(*args, **kwargs))
 
 
 def _read_docs(sf_dir: str):
@@ -217,7 +213,25 @@ def run_curate_checkpointed(sf_dir: str, ckpt_dir: str):
     """
     from ..state import manifest as mf
 
-    fp_u = mf.fingerprint("curate-uniq", sf_dir)
+    # the uniq boundary's lineage must cover every parameter that
+    # changes its content: the quality-gate constants and the
+    # dup-corpus construction offsets — else tuning a gate silently
+    # reuses a stale checkpoint (kg.py fingerprints repr(cfg) the same
+    # way)
+    fp_u = mf.fingerprint(
+        "curate-uniq",
+        sf_dir,
+        repr(
+            (
+                textstats.QL_MIN_TOKENS,
+                textstats.QL_MAX_TOKENS,
+                textstats.QL_MIN_STOPWORDS,
+                tuple(textstats.QL_STOPWORDS),
+                EXACT_OFF,
+                NEAR_OFF,
+            )
+        ),
+    )
     fp_p = mf.fingerprint(
         "curate-pairs", fp_u, str(JACCARD_K), str(JACCARD_MAX_DF)
     )
@@ -325,7 +339,6 @@ def q_rep_signals(sf_dir: str):
 def q_length_quantiles(sf_dir: str):
     """Exact per-language token-length p50/p95 via the counting-sort
     quantile operator (wire carries (lang, n_tokens, count), not rows)."""
-    import ray.data as rd
 
     from ..stages.aggregates import grouped_quantiles_counting
 
@@ -421,7 +434,6 @@ def q_data_mixture(sf_dir: str):
     """Token-budget pretraining mixture: sources tier by suffix mod 3,
     surviving token mass targets 50/30/20 — integer-exact rates, LCG
     membership, deterministic under any partitioning."""
-    import ray.data as rd
 
     from ..stages.sampling import data_mixture
 
@@ -557,7 +569,6 @@ def q_orders_by_nation(sf_dir: str):
     ray.put once) -> per-nation order/customer counts.  The big side
     never shuffles; only pair-level partials exchange."""
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from ..stages.joins import broadcast_hash_join
 
@@ -600,7 +611,6 @@ def q_orders_by_nation(sf_dir: str):
 def q_lineitem_order_join(sf_dir: str):
     """Large-large hash-join demo: lineitem x orders on orderkey (both
     sides exchange), then per-priority integral aggregates."""
-    import ray.data as rd
 
     from ..stages.joins import hash_join
 
@@ -664,8 +674,6 @@ def q_props_extract(sf_dir: str):
     str extraction on the known shape, falling back to json.loads)."""
     import json as _json
 
-    import ray.data as rd
-
     ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "props"]
     )
@@ -689,7 +697,6 @@ def q_props_extract(sf_dir: str):
 def q_top3_events_per_user(sf_dir: str):
     """Grouped top-k: each user's 3 highest-value events (ties by
     ascending event_id) — the argmax pattern generalized to k rows."""
-    import ray.data as rd
 
     from ..stages.aggregates import grouped_topk
 
@@ -712,8 +719,6 @@ def q_session_stats(sf_dir: str):
     """Composition: sessionize -> per-(user, session) integral stats
     (event count + duration in microseconds)."""
     import datetime as dt
-
-    import ray.data as rd
 
     from ..stages.temporal import sessionize
 
@@ -755,7 +760,6 @@ def q_session_stats(sf_dir: str):
 def q_rolling_value_sum(sf_dir: str):
     """Per-user rolling 3-event sum of event value (in exact integer
     cents) — the ROWS 2 PRECEDING window function, distributed."""
-    import ray.data as rd
 
     from ..stages.temporal import rolling_window_sum
 
@@ -779,7 +783,6 @@ def q_events_of_purchasers(sf_dir: str):
     """Exact semi-join with Bloom prefilter: all events of users who
     ever purchased — the broadcast filter drops most non-matching rows
     before the exchange; the hash semi-join keeps the result exact."""
-    import ray.data as rd
 
     from ..stages.joins import bloom_semi_join
 
@@ -811,7 +814,6 @@ def q_sample_per_lang(sf_dir: str):
 def q_approx_distinct_users(sf_dir: str):
     """HLL cardinality of event users (approximate -> rows-only check;
     accuracy vs exact COUNT(DISTINCT) is asserted in tests)."""
-    import ray.data as rd
 
     from ..stages.aggregates import approx_distinct
 
@@ -823,7 +825,6 @@ def q_approx_distinct_users(sf_dir: str):
 def q_median_qty(sf_dir: str):
     """Exact per-returnflag median quantity via counting-sort partials
     (lower-median definition; integral, interpolation-free)."""
-    import ray.data as rd
 
     from ..stages.aggregates import grouped_median_counting
 
@@ -856,7 +857,6 @@ def q_stratified_sample(sf_dir: str):
 
 
 def _read_docs_with_lang(sf_dir: str):
-    import ray.data as rd
 
     return _read_pq(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
@@ -866,7 +866,6 @@ def _read_docs_with_lang(sf_dir: str):
 def q_distinct_user_events(sf_dir: str):
     """Generic distinct over (user_id, event_type) — two-phase
     drop-duplicates, shuffle carries per-batch distinct sets only."""
-    import ray.data as rd
 
     ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
@@ -877,7 +876,6 @@ def q_distinct_user_events(sf_dir: str):
 def q_events_pivot(sf_dir: str):
     """Distributed pivot: per-user event-type counts as a wide table
     (closed category set = the synthesizer's five event types)."""
-    import ray.data as rd
 
     from ..stages.temporal import pivot_counts
 
@@ -893,7 +891,6 @@ def q_events_pivot(sf_dir: str):
 def q_acctbal_range_join(sf_dir: str):
     """Range-join demo: customers whose balance falls in a +-50 band
     around any supplier's balance (value-space binned interval join)."""
-    import ray.data as rd
 
     from ..stages.joins import range_join
 
@@ -922,8 +919,6 @@ def q_sessionize(sf_dir: str):
     functions."""
     import datetime as dt
 
-    import ray.data as rd
-
     from ..stages.temporal import sessionize
 
     ev = _read_pq(
@@ -946,7 +941,6 @@ def q_sessionize(sf_dir: str):
 def q_purchase_asof_signup(sf_dir: str):
     """As-of join demo: every purchase event matched to the same user's
     most recent preceding signup event (DuckDB ASOF JOIN oracle)."""
-    import ray.data as rd
 
     from ..stages.joins import asof_join
 
@@ -976,7 +970,6 @@ def q_grouped_argmax(sf_dir: str):
     """Per-order argmax lineitem (max l_extendedprice, tie -> lowest
     l_linenumber) — the best-window argmax pattern on a relational
     table (reference postprocess.py:277-284 semantics)."""
-    import ray.data as rd
 
     ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
@@ -1004,7 +997,6 @@ def q_grouped_argmax(sf_dir: str):
 def q_q1_counts(sf_dir: str):
     """TPC-H-Q1-style grouped aggregate, integral outputs only (exact
     under any summation order): sum_qty, count_order, avg_qty."""
-    import ray.data as rd
 
     ds = _read_pq(
         f"{sf_dir}/lineitem.parquet",
@@ -1042,7 +1034,6 @@ def q_q1_counts(sf_dir: str):
 def q_balance_counts(sf_dir: str):
     """Per-order pos/neg counts, keep keys with both (the reference's
     balance_data outer-join + dropna, utils/balance_data.py:65-70)."""
-    import ray.data as rd
 
     ds = _read_pq(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
@@ -1077,7 +1068,6 @@ def q_events_window(sf_dir: str):
     """Hourly tumbling-window aggregate per event_type with exact
     distinct users (two-phase: per-batch (hour, type, user) partial
     counts -> bucketed final sum + nunique)."""
-    import ray.data as rd
 
     ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "user_id"]
@@ -1127,7 +1117,6 @@ def q_events_top100(sf_dir: str):
     partials reduce in one final group — no all-to-all sort of the full
     table (a global ``ds.sort`` on the same input measured ~30x slower
     at sf0.01)."""
-    import ray.data as rd
 
     ds = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_id", "value"]
@@ -1176,7 +1165,6 @@ def q_balanced_sample(sf_dir: str):
     with replacement to a 1:1 ratio via the deterministic per-key LCG
     draw (stages/balance.py) — keys without a positive are dropped
     (outer-join + dropna semantics)."""
-    import ray.data as rd
 
     from ..stages.balance import balance_stage
 

@@ -276,12 +276,10 @@ def read_pages(
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    ).map_batches(
-        # strip the b'pandas' schema metadata: it makes pa.Schema
-        # unhashable and every downstream block concat warns + slow-paths
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
     )
+    from ..stages.common import strip_pandas_metadata
+
+    ds = strip_pandas_metadata(ds)
     if shard is not None:
         # shard (k, n): deterministic doc_id slice — the unit of
         # partition-granular checkpointed resume (run_kg_sharded).  At

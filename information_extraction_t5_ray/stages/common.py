@@ -65,3 +65,15 @@ def bucket_of(keys, num_buckets: int) -> np.ndarray:
         return (arr.astype(np.int64) % num_buckets).astype(np.int32)
     h = pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy()
     return (h % np.uint64(num_buckets)).astype(np.int32)
+
+
+def strip_pandas_metadata(ds):
+    """Drop Arrow schema metadata at a Dataset boundary (zero-copy, fuses
+    with the next map stage).  Owns the repo invariant: no unhashable
+    b'pandas' metadata dict (embedded by pandas-written parquet and by
+    ``pa.Table.from_pandas``) may enter a shuffle — Ray's block concat
+    would log 'Failed to hash the schemas' and fall back to the slow
+    schema-unify path on every multi-block concat."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )

@@ -1315,8 +1315,12 @@ def connected_components(
         batch_format="pyarrow",
     ).materialize()
     if edges.count() <= local_threshold:
+        # batch_size=None pins whole-block batches: _local_cc is only
+        # correct on the COMPLETE edge set, and a future default that
+        # splits blocks into fixed-size batches would silently
+        # mis-cluster anything larger than one batch
         return edges.repartition(1).map_batches(
-            _local_cc, batch_format="pyarrow"
+            _local_cc, batch_format="pyarrow", batch_size=None
         )
     prev = None
     for _ in range(max_rounds):
@@ -1370,12 +1374,15 @@ def apply_dedup_clusters(docs_ds, pairs_ds, num_partitions: int | None = None,
 
     drops = clusters.map_batches(non_roots, batch_format="pandas")
     if n_clusters <= broadcast_threshold:
-        ids = np.sort(drops.to_pandas()[id_col].to_numpy().astype(np.int64))
+        # no dtype cast: id_col may be string/any — np.sort/np.isin
+        # handle object arrays, and the distributed join fallback below
+        # is type-agnostic, so the two paths must accept the same ids
+        ids = np.sort(drops.to_pandas()[id_col].to_numpy())
         ids_ref = ray.put(ids)
 
         def keep(batch: pa.Table) -> pa.Table:
             drop_ids = ray.get(ids_ref)
-            col = batch[id_col].to_numpy().astype(np.int64)
+            col = batch[id_col].to_numpy(zero_copy_only=False)
             return batch.filter(
                 pa.array(~np.isin(col, drop_ids, assume_unique=False))
             )

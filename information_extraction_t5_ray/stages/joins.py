@@ -111,9 +111,9 @@ def _as_arrow(ds):
     Schema metadata is stripped: pandas-written parquet embeds a
     b'pandas' dict that makes pa.Schema unhashable, so Ray's block
     concat warns and falls back to the slow schema-unify path."""
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
-    )
+    from .common import strip_pandas_metadata
+
+    return strip_pandas_metadata(ds)
 
 
 def _ext_mapper(t):

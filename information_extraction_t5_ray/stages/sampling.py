@@ -228,6 +228,11 @@ def data_mixture(
         .sum()
     )
     toks = {int(t): int(v) for t, v in partials.items()}
+    if not any(t in toks for t in weights):
+        raise ValueError(
+            f"no corpus tier matches weights keys {sorted(weights)}; "
+            f"tiers present: {sorted(toks)}"
+        )
     T = min(toks[t] * B // w for t, w in weights.items() if t in toks)
     rates = {
         t: T * w * 10000 // (B * toks[t])
@@ -239,10 +244,15 @@ def data_mixture(
     def keep(batch: pa.Table) -> pa.Table:
         r = ray.get(rates_ref)
         tiers = batch["tier"].to_numpy()
-        lut = np.zeros(max(r.keys(), default=0) + 1, dtype=np.int64)
+        # tiers absent from `weights` (new source scheme, negative ids)
+        # sample at rate 0 — dropped, never mis-indexed
+        hi = max([int(tiers.max(initial=0))] + list(r.keys()))
+        lut = np.zeros(hi + 2, dtype=np.int64)
         for t, v in r.items():
-            lut[t] = v
-        rate = lut[tiers]
+            if 0 <= t <= hi:
+                lut[t] = v
+        in_range = (tiers >= 0) & (tiers <= hi)
+        rate = np.where(in_range, lut[np.clip(tiers, 0, hi)], 0)
         h = lcg_bucket(batch["doc_id"].to_numpy(), denom=10000)
         return batch.filter(pa.array(h < rate)).select(
             ["doc_id", "source", "tier", "n_tokens"]

@@ -409,6 +409,7 @@ def batch_word_ngrams(batch: pa.Table, n: int):
 # --- count-based LM fluency (CCNet-shaped scoring loop) ----------------------
 
 LM_MIN_COUNT = 4
+_LM_LUT_CACHE: dict = {}  # per-worker-process LM lookup cache
 
 
 def _ngram_count_partial(batch: pa.Table, n: int, num_buckets: int) -> pd.DataFrame:
@@ -489,36 +490,35 @@ def lm_score(docs_ds, lm_ref, n: int = 2, batch_size: int = 2048):
     float accumulation, so no sum-order nondeterminism against the
     oracle.  ``lm_ref`` is a ``ray.put`` handle to the (ngram, cnt)
     pandas frame: shipped once per worker, looked up per batch with a
-    C-level hash map (Series.map) — the doc stream never shuffles."""
+    C-level hash map (Series.map); the LUT builds ONCE per worker
+    process (cached by ref id — rebuilding a 100k-string hash index per
+    batch is pure repeated work) — the doc stream never shuffles."""
     import ray
 
+    def _lut_for(ref) -> pd.Series:
+        key = ref.hex()
+        if key not in _LM_LUT_CACHE:
+            lm = ray.get(ref)
+            _LM_LUT_CACHE[key] = pd.Series(
+                lm["cnt"].to_numpy(np.int64), index=lm["ngram"], dtype=np.int64
+            )
+        return _LM_LUT_CACHE[key]
+
     def score(batch: pa.Table) -> pa.Table:
-        lm = ray.get(lm_ref)
-        lut = pd.Series(
-            lm["cnt"].to_numpy(np.int64), index=lm["ngram"], dtype=np.int64
-        )
+        lut = _lut_for(lm_ref)
         nrows = len(batch)
         nb = np.zeros(nrows, dtype=np.int64)
         sumc = np.zeros(nrows, dtype=np.int64)
         known = np.zeros(nrows, dtype=np.int64)
-        d, toks = _exploded_tokens(batch)
-        if len(d) >= n:
-            same = d[n - 1 :] == d[: len(d) - n + 1]
-            if same.any():
-                parts = [
-                    toks.slice(j, len(toks) - n + 1) for j in range(n)
-                ]
-                grams = pc.binary_join_element_wise(*parts, " ").filter(
-                    pa.array(same)
-                )
-                gd = d[: len(d) - n + 1][same]
-                mapped = (
-                    pd.Series(grams.to_pandas().to_numpy()).map(lut).to_numpy()
-                )
-                np.add.at(nb, gd, 1)
-                hit = ~np.isnan(mapped)
-                np.add.at(known, gd[hit], 1)
-                np.add.at(sumc, gd[hit], mapped[hit].astype(np.int64))
+        gd, _, grams = batch_word_ngrams(batch, n)
+        if len(gd):
+            mapped = (
+                pd.Series(grams.to_pandas().to_numpy()).map(lut).to_numpy()
+            )
+            np.add.at(nb, gd, 1)
+            hit = ~np.isnan(mapped)
+            np.add.at(known, gd[hit], 1)
+            np.add.at(sumc, gd[hit], mapped[hit].astype(np.int64))
         nz = nb > 0
         lm_s = np.zeros(nrows, dtype=np.float64)
         oov = np.zeros(nrows, dtype=np.float64)

@@ -106,9 +106,15 @@ class ShardedDedupIndex:
     def filter_new(self, docs_ds, batch_size: int = 4096):
         """Admit the not-yet-seen rows of ``docs_ds`` (by exact text
         content) and update the index.  Returns the surviving rows with
-        their full schema.  Consume the result fully before calling
-        again if cross-call ordering matters (calls race per-shard
-        atomically otherwise)."""
+        their full schema, MATERIALIZED: admission mutates shared state,
+        so the map must run exactly once — a lazy result re-executed by
+        a second ``.count()``/``.to_pandas()`` would re-check its own
+        keys against the now-populated index and silently drop every
+        row.  (A mid-map task retry after its admissions landed has the
+        same hazard — an at-most-once loss bounded to the retried batch;
+        production ingest should checkpoint admitted batches, see
+        ``save``.)  Consume the result before the next ``filter_new``
+        call if cross-call ordering matters."""
         import ray
 
         shards = self.shards
@@ -130,7 +136,7 @@ class ShardedDedupIndex:
 
         return docs_ds.map_batches(
             admit, batch_format="pyarrow", batch_size=batch_size
-        )
+        ).materialize()
 
     def size(self) -> int:
         """Total distinct keys admitted so far."""
