@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": c.q_curate_corpus,  # quality -> exact -> near dedup
         "web_curation": c.q_web_curation,  # pii -> quality -> line/exact dedup -> pack
         "line_dedup": c.q_line_dedup,  # CCNet-style duplicated-line removal
+        "boilerplate_strip": c.q_boilerplate_strip,  # high-df line removal
         "incremental_dedup": c.q_incremental_dedup,  # new crawl vs snapshot
         "length_histogram": c.q_length_histogram,
         "length_quantiles": c.q_length_quantiles,  # exact counting-sort quantiles
@@ -200,6 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": oc.curate_corpus_sql(),
         "web_curation": oc.web_curation_sql(),
         "line_dedup": oc.line_dedup_sql(),
+        "boilerplate_strip": oc.boilerplate_strip_sql(),
         "incremental_dedup": oc.incremental_dedup_sql(),
         "length_histogram": oc.length_histogram_sql(),
         "length_quantiles": oc.length_quantiles_sql(),

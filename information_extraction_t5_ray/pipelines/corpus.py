@@ -271,6 +271,13 @@ def q_line_dedup(sf_dir: str):
     return dedup_ops.line_dedup(dup_corpus(sf_dir))
 
 
+def q_boilerplate_strip(sf_dir: str):
+    """C4-style boilerplate removal over the dup corpus: lines present
+    in more than 2 distinct documents vanish everywhere (the planted
+    exact copies push shared lines over the threshold)."""
+    return dedup_ops.boilerplate_strip(dup_corpus(sf_dir), max_df=2)
+
+
 def q_decontaminate(sf_dir: str):
     """Eval-set decontamination: flag every training doc sharing a word
     13-gram with the held-out benchmark docs (doc_id % DECONTAM_MOD ==

@@ -203,6 +203,28 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
 FROM kept GROUP BY doc_id"""
 
 
+def boilerplate_strip_sql() -> str:
+    """Frequency-filtered line removal — mirrors
+    ``dedup.boilerplate_strip`` (document frequency = distinct docs)."""
+    return f"""WITH {DUP_CORPUS_CTE},
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM corpus),
+lines AS (
+  SELECT doc_id, unnest(parts) AS line,
+         unnest(range(1, len(parts) + 1)) AS line_no
+  FROM ls
+),
+ne AS (SELECT * FROM lines WHERE line <> ''),
+freq AS (SELECT line, count(DISTINCT doc_id) AS dfreq FROM ne GROUP BY line),
+kept AS (
+  SELECT ne.doc_id, ne.line_no, ne.line
+  FROM ne JOIN freq ON freq.line = ne.line
+  WHERE freq.dfreq <= 2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       string_agg(line, chr(10) ORDER BY line_no) AS text
+FROM kept GROUP BY doc_id"""
+
+
 def decontaminate_sql() -> str:
     """Eval-set decontamination flags — word n-gram overlap of every
     training doc (doc_id % DECONTAM_MOD != 0) against the benchmark docs

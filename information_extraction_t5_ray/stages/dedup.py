@@ -261,6 +261,43 @@ def line_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 1024):
     return kept.groupby("dbucket").map_groups(reassemble, batch_format="pandas")
 
 
+def boilerplate_strip(docs_ds, max_df: int = 2, num_buckets: int | None = None,
+                      batch_size: int = 1024):
+    """C4-style boilerplate removal: a non-empty line appearing in MORE
+    than ``max_df`` documents (navigation chrome, cookie banners,
+    'citation needed') is removed from EVERY document — unlike
+    :func:`line_dedup`, which keeps the first occurrence.
+
+    (doc_id, text) -> (doc_id, n_lines, text) for docs with >= 1
+    surviving line.  Same two narrow shuffles as line_dedup (lines
+    bucketed by content for the distinct-doc count, survivors bucketed
+    by doc for reassembly); the exchange carries one row per line
+    occurrence, never whole docs."""
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def df_filter(df: pd.DataFrame) -> pd.DataFrame:
+        # document frequency = DISTINCT docs containing the line
+        dfreq = df.groupby("line", sort=False)["doc_id"].nunique()
+        keep = df[df["line"].map(dfreq) <= max_df]
+        out = keep[["doc_id", "line_no", "line"]].copy()
+        out["dbucket"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
+        return out
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "line_no"], kind="stable")
+        g = df.groupby("doc_id", sort=False)
+        out = g.agg(n_lines=("line", "size"), text=("line", "\n".join))
+        return out.reset_index()[["doc_id", "n_lines", "text"]]
+
+    lines = docs_ds.map_batches(
+        lambda b: _explode_lines(b, num_buckets),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    kept = lines.groupby("bucket").map_groups(df_filter, batch_format="pandas")
+    return kept.groupby("dbucket").map_groups(reassemble, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (n-gram overlap against a broadcast eval set)
 # ---------------------------------------------------------------------------

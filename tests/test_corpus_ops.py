@@ -781,3 +781,58 @@ def test_batch_word_ngrams_random_property():
         assert len(h) == len(want)
 
     check()
+
+
+def test_boilerplate_strip_removes_high_df_lines(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 1, "text": "COOKIE BANNER\nunique one"},
+        {"doc_id": 2, "text": "COOKIE BANNER\nunique two\nshared pair"},
+        {"doc_id": 3, "text": "COOKIE BANNER\nshared pair"},
+        {"doc_id": 4, "text": "COOKIE BANNER"},  # only boilerplate
+    ]
+    out = (
+        dd.boilerplate_strip(rd.from_items(rows).repartition(3), max_df=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # banner (df=4) gone everywhere; 'shared pair' (df=2) kept in BOTH
+    assert out.loc[1, "text"] == "unique one"
+    assert out.loc[2, "text"] == "unique two\nshared pair"
+    assert out.loc[3, "text"] == "shared pair"
+    assert 4 not in out.index  # fully boilerplate doc vanishes
+    # df counts DISTINCT docs: a line repeated in one doc is not pushed
+    # over the threshold
+    rows2 = [
+        {"doc_id": 1, "text": "rep\nrep\nrep\nkeep me"},
+        {"doc_id": 2, "text": "rep"},
+    ]
+    out2 = (
+        dd.boilerplate_strip(rd.from_items(rows2), max_df=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out2.loc[1, "text"] == "rep\nrep\nrep\nkeep me"
+
+
+def test_data_mixture_unknown_tier_dropped(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.sampling import data_mixture
+
+    rows = [
+        {"doc_id": i, "source": f"src{i % 4}", "text": "w " * 20}
+        for i in range(200)
+    ]
+
+    def tier_of(col):
+        return np.array([int(s[3:]) for s in col.to_pylist()], np.int32)
+
+    # weights only cover tiers 0-2; tier 3 must be dropped, not crash
+    out = data_mixture(
+        rd.from_items(rows).repartition(4), tier_of, {0: 500, 1: 300, 2: 200}
+    ).to_pandas()
+    assert (out["tier"] != 3).all()
+    assert len(out) > 0
