@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_histogram": c.q_length_histogram,
         "length_quantiles": c.q_length_quantiles,  # exact counting-sort quantiles
         "pack_sequences": c.q_pack_sequences,  # concat-then-chunk packing
+        "pack_texts": c.q_pack_texts,  # materialized training sequences
         "pii_redact": c.q_pii_redact,  # C4-style scrubbing
         "data_mixture": c.q_data_mixture,  # token-budget mixing
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "length_histogram": oc.length_histogram_sql(),
         "length_quantiles": oc.length_quantiles_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
+        "pack_texts": oc.pack_texts_sql(),
         "pii_redact": oc.pii_redact_sql(),
         "data_mixture": oc.data_mixture_sql(),
         "media_meta": oc.media_meta_sql(),

@@ -465,6 +465,14 @@ def q_pack_sequences(sf_dir: str):
     return pack_sequences(_read_docs(sf_dir), budget=512)
 
 
+def q_pack_texts(sf_dir: str):
+    """Materialized 512-token training sequences (docs split across
+    pack boundaries at the token level)."""
+    from ..stages.packing import pack_texts
+
+    return pack_texts(_read_docs(sf_dir), budget=512)
+
+
 def q_lm_score(sf_dir: str):
     """Count-LM fluency scoring (CCNet shape): distributed exact
     frequent-bigram counts -> bounded table broadcast once via ray.put

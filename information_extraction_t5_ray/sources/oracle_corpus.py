@@ -443,6 +443,43 @@ SELECT doc_id, n_tokens,
 FROM s"""
 
 
+def pack_texts_sql() -> str:
+    """Materialized packed sequences — mirrors ``packing.pack_texts``:
+    per-doc covered-pack explosion, 1-based inclusive list slicing,
+    position-ordered assembly."""
+    return """WITH t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n
+  FROM documents
+),
+s AS (
+  SELECT doc_id, w, n,
+         CAST(coalesce(sum(n) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT) AS strt
+  FROM t
+),
+covered AS (
+  SELECT w, n, strt,
+         unnest(range(strt // 512, (strt + n - 1) // 512 + 1)) AS p
+  FROM s WHERE n > 0
+),
+pieces AS (
+  SELECT p AS pack_id,
+         strt + greatest(0, p * 512 - strt) AS pos,
+         least(n, (p + 1) * 512 - strt)
+           - greatest(0, p * 512 - strt) AS cnt,
+         array_to_string(
+           w[greatest(0, p * 512 - strt) + 1
+             : least(n, (p + 1) * 512 - strt)], ' ') AS piece
+  FROM covered
+)
+SELECT CAST(pack_id AS BIGINT) AS pack_id,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       string_agg(piece, ' ' ORDER BY pos) AS text
+FROM pieces GROUP BY pack_id"""
+
+
 def length_quantiles_sql() -> str:
     """Exact per-language token-length quantiles — mirrors
     ``aggregates.grouped_quantiles_counting`` (rank = ceil(q*n),

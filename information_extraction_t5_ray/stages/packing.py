@@ -116,3 +116,75 @@ def pack_sequences(
         return out
 
     return counted.groupby("rng").map_groups(scan, batch_format="pandas")
+
+
+def pack_texts(docs_ds, budget: int = 2048, num_ranges: int | None = None,
+               batch_size: int = 4096):
+    """Materialize the packed TRAINING SEQUENCES themselves: the global
+    doc_id-ordered token stream cut every ``budget`` tokens, each pack
+    assembled from the (possibly partial) documents that overlap it —
+    the export half of :func:`pack_sequences` (which only labels where
+    each doc STARTS).
+
+    (doc_id, text) -> (pack_id, n_tokens, text): every pack except the
+    last carries exactly ``budget`` tokens; documents spanning a pack
+    boundary are split at the token level.
+
+    Shape: the prefix scan runs once (shared helper), the doc stream
+    re-joins its global offset by doc_id (hash join — the only
+    text-bearing exchange), each doc emits one piece row per overlapped
+    pack (≤ n_tokens/budget + 1 rows), and one groupby assembles packs
+    ordered by global position.  No task ever holds more than a pack's
+    worth of final text plus its input block.
+    """
+    import ray  # noqa: F401  (parity with pack_sequences' env needs)
+
+    from .joins import hash_join
+
+    assign = pack_sequences(
+        docs_ds, budget=budget, num_ranges=num_ranges, batch_size=batch_size
+    )
+    joined = hash_join(docs_ds, assign, on="doc_id")
+
+    def pieces(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        strt = (
+            batch["pack_id"].to_numpy() * budget
+            + batch["pack_off"].to_numpy()
+        )
+        out_p, out_pos, out_piece, out_n = [], [], [], []
+        for t, s in zip(texts, strt.tolist()):
+            w = t.split()
+            n = len(w)
+            if n == 0:
+                continue
+            p0, p1 = s // budget, (s + n - 1) // budget
+            for p in range(p0, p1 + 1):
+                a = max(0, p * budget - s)
+                b = min(n, (p + 1) * budget - s)
+                out_p.append(p)
+                out_pos.append(s + a)
+                out_piece.append(" ".join(w[a:b]))
+                out_n.append(b - a)
+        return pd.DataFrame(
+            {
+                "pack_id": pd.Series(out_p, dtype=np.int64),
+                "pos": pd.Series(out_pos, dtype=np.int64),
+                "piece": pd.Series(out_piece, dtype=str),
+                "n": pd.Series(out_n, dtype=np.int64),
+            }
+        )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("pos", kind="stable")
+        g = df.groupby("pack_id", sort=False)
+        out = g.agg(n_tokens=("n", "sum"), text=("piece", " ".join))
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out.reset_index()[["pack_id", "n_tokens", "text"]]
+
+    piece_rows = joined.map_batches(
+        pieces, batch_format="pyarrow", batch_size=batch_size
+    )
+    return piece_rows.groupby("pack_id").map_groups(
+        assemble, batch_format="pandas"
+    )

@@ -836,3 +836,25 @@ def test_data_mixture_unknown_tier_dropped(ray_session):
     ).to_pandas()
     assert (out["tier"] != 3).all()
     assert len(out) > 0
+
+
+def test_pack_texts_exact_budget_windows(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.packing import pack_texts
+
+    # global stream: doc0 = w0..w4, doc1 = w5..w12, doc2 = w13 (budget 6)
+    rows = [
+        {"doc_id": 0, "text": "w0 w1 w2 w3 w4"},
+        {"doc_id": 1, "text": "w5 w6 w7 w8 w9 w10 w11 w12"},
+        {"doc_id": 2, "text": "w13"},
+    ]
+    out = (
+        pack_texts(rd.from_items(rows).repartition(2), budget=6, num_ranges=2)
+        .to_pandas()
+        .set_index("pack_id")
+        .sort_index()
+    )
+    assert out.loc[0, "text"] == "w0 w1 w2 w3 w4 w5"  # doc1 split mid-doc
+    assert out.loc[1, "text"] == "w6 w7 w8 w9 w10 w11"
+    assert out.loc[2, "text"] == "w12 w13"
+    assert out["n_tokens"].tolist() == [6, 6, 2]  # full budget except last
