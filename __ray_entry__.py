@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": c.q_decontaminate,  # eval-set n-gram overlap flags
         "streaming_dedup": c.q_streaming_dedup,  # rows-only (arrival order)
         "minhash_dupes": c.q_minhash_dupes,  # rows-only (approximate)
+        "approx_users_by_type": c.q_approx_users_by_type,  # rows-only (HLL)
         "simhash_dupes": c.q_simhash_dupes,  # rows-only (approximate)
         "embedding_dupes": c.q_embedding_dupes,
         "semdedup": c.q_semdedup,  # rows-only (k-means partition)

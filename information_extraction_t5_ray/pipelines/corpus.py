@@ -837,6 +837,17 @@ def q_approx_distinct_users(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
 
 
+def q_approx_users_by_type(sf_dir: str):
+    """Per-event-type HLL user cardinality (approximate -> rows-only;
+    3-sigma accuracy vs exact asserted in tests)."""
+    from ..stages.aggregates import grouped_approx_distinct
+
+    ev = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return grouped_approx_distinct(ev, "event_type", "user_id")
+
+
 def q_median_qty(sf_dir: str):
     """Exact per-returnflag median quantity via counting-sort partials
     (lower-median definition; integral, interpolation-free)."""

@@ -173,6 +173,58 @@ def approx_distinct(ds, key_col: str, batch_size: int = 8192) -> float:
     return hll_estimate(merged)
 
 
+def grouped_approx_distinct(
+    ds,
+    group_col: str,
+    key_col: str,
+    out_col: str = "approx_distinct",
+    num_buckets: int | None = None,
+    batch_size: int = 8192,
+):
+    """Per-group approximate COUNT(DISTINCT key): one HLL register array
+    per (group, batch) partial, max-merged in a bucketed groupby — the
+    grouped generalization of :func:`approx_distinct`.  Exchange volume
+    is O(groups x batches x 4 KiB), independent of row count; registers
+    are order- and partition-insensitive, so the estimate is
+    deterministic for a given batching.  Returns (group, approx_distinct
+    float64); rows-only at the driver gate (the estimator is
+    approximate by construction), accuracy pytest-checked at 3 sigma."""
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            rows.append(
+                {
+                    group_col: g,
+                    "regs": hll_register_batch(
+                        sub[key_col].to_numpy()
+                    ).tobytes(),
+                }
+            )
+        out = pd.DataFrame(rows, columns=[group_col, "regs"])
+        out["_bucket"] = bucket_of(out[group_col], num_buckets)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            merged = np.zeros(_HLL_M, dtype=np.uint8)
+            for b in sub["regs"]:
+                merged = np.maximum(
+                    merged, np.frombuffer(b, dtype=np.uint8)
+                )
+            rows.append({group_col: g, out_col: hll_estimate(merged)})
+        return pd.DataFrame(rows, columns=[group_col, out_col])
+
+    partials = ds.map_batches(
+        partial, batch_format="pandas", batch_size=batch_size
+    )
+    return partials.groupby("_bucket").map_groups(
+        final, batch_format="pandas"
+    )
+
+
 def grouped_topk(
     ds,
     group_col: str,

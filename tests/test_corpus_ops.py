@@ -858,3 +858,27 @@ def test_pack_texts_exact_budget_windows(ray_session):
     assert out.loc[1, "text"] == "w6 w7 w8 w9 w10 w11"
     assert out.loc[2, "text"] == "w12 w13"
     assert out["n_tokens"].tolist() == [6, 6, 2]  # full budget except last
+
+
+def test_grouped_approx_distinct_within_3_sigma(ray_session):
+    import duckdb
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        c.q_approx_users_by_type(sf)
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
+    want = (
+        duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id) n FROM "
+            f"read_parquet('{sf}/events.parquet') GROUP BY event_type"
+        )
+        .df()
+        .set_index("event_type")["n"]
+    )
+    assert set(got.index) == set(want.index)
+    for et in want.index:
+        n = want[et]
+        sigma = 1.04 / np.sqrt(4096) * n  # HLL std error at p=12
+        assert abs(got[et] - n) <= 3 * sigma + 2, (et, got[et], n)
