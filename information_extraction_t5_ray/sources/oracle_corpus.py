@@ -943,7 +943,10 @@ FROM events"""
 
 
 def shuffle_shards_sql() -> str:
+    # shard = high bits of the 31-bit LCG state (low bits of an affine
+    # LCG are periodic mod a power-of-two shard count)
     return """SELECT
-  CAST(((doc_id * 1103515245 + 12345) % 2147483648) % 16 AS BIGINT) AS shard,
+  CAST(((doc_id * 1103515245 + 12345) % 2147483648) * 16 // 2147483648
+       AS BIGINT) AS shard,
   count(*) AS n_docs
 FROM documents GROUP BY 1"""

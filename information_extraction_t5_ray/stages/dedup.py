@@ -51,7 +51,6 @@ grouped head(1); key-set dedup ``:196-199``) lifted to corpus scale.
 from __future__ import annotations
 
 import hashlib
-import zlib
 from typing import Optional
 
 import numpy as np
@@ -224,6 +223,15 @@ def _explode_lines(batch: pa.Table, num_buckets: int) -> pa.Table:
     return t.append_column("bucket", pa.array(buckets))
 
 
+def _reassemble_docs(df: pd.DataFrame) -> pd.DataFrame:
+    """Surviving (doc_id, line_no, line) rows -> (doc_id, n_lines, text)
+    — the shared reassembly tail of line_dedup and boilerplate_strip."""
+    df = df.sort_values(["doc_id", "line_no"], kind="stable")
+    g = df.groupby("doc_id", sort=False)
+    out = g.agg(n_lines=("line", "size"), text=("line", "\n".join))
+    return out.reset_index()[["doc_id", "n_lines", "text"]]
+
+
 def line_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 1024):
     """Corpus-level duplicated-line removal (the CCNet/C4 paragraph-dedup
     analog): every non-empty line keeps only its FIRST occurrence across
@@ -246,19 +254,15 @@ def line_dedup(docs_ds, num_buckets: int | None = None, batch_size: int = 1024):
         out["dbucket"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
         return out
 
-    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "line_no"], kind="stable")
-        g = df.groupby("doc_id", sort=False)
-        out = g.agg(n_lines=("line", "size"), text=("line", "\n".join))
-        return out.reset_index()[["doc_id", "n_lines", "text"]]
-
     lines = docs_ds.map_batches(
         lambda b: _explode_lines(b, num_buckets),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     kept = lines.groupby("bucket").map_groups(keep_first, batch_format="pandas")
-    return kept.groupby("dbucket").map_groups(reassemble, batch_format="pandas")
+    return kept.groupby("dbucket").map_groups(
+        _reassemble_docs, batch_format="pandas"
+    )
 
 
 def boilerplate_strip(docs_ds, max_df: int = 2, num_buckets: int | None = None,
@@ -283,19 +287,15 @@ def boilerplate_strip(docs_ds, max_df: int = 2, num_buckets: int | None = None,
         out["dbucket"] = (out["doc_id"].to_numpy() % num_buckets).astype(np.int32)
         return out
 
-    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "line_no"], kind="stable")
-        g = df.groupby("doc_id", sort=False)
-        out = g.agg(n_lines=("line", "size"), text=("line", "\n".join))
-        return out.reset_index()[["doc_id", "n_lines", "text"]]
-
     lines = docs_ds.map_batches(
         lambda b: _explode_lines(b, num_buckets),
         batch_format="pyarrow",
         batch_size=batch_size,
     )
     kept = lines.groupby("bucket").map_groups(df_filter, batch_format="pandas")
-    return kept.groupby("dbucket").map_groups(reassemble, batch_format="pandas")
+    return kept.groupby("dbucket").map_groups(
+        _reassemble_docs, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -683,9 +683,24 @@ def jaccard_pairs_verified(
         uncertain.map_batches(ids_of, batch_format="pandas"), ["doc_id"]
     )
     # Ray's hash join raises when a partition receives zero left rows
-    # (distinct keys sparser than partitions); ~256 pairs per partition
-    # keeps every partition occupied while still scaling with volume
-    n_parts = max(1, min(num_partitions, n_unc // 256))
+    # (distinct keys sparser than partitions).  Pair VOLUME is the
+    # wrong proxy under skew — a hub doc can put all uncertain pairs
+    # on one key — so clamp to the true distinct-key counts of both
+    # join sides (one cheap distinct-fold pass over the narrow pair
+    # columns; `ids` above bounds neither side tightly)
+    n_i = distinct_rows(
+        uncertain.map_batches(
+            lambda df: df[["i"]].drop_duplicates(), batch_format="pandas"
+        ),
+        ["i"],
+    ).count()
+    n_j = distinct_rows(
+        uncertain.map_batches(
+            lambda df: df[["j"]].drop_duplicates(), batch_format="pandas"
+        ),
+        ["j"],
+    ).count()
+    n_parts = max(1, min(num_partitions, n_unc // 256, n_i, n_j))
 
     def doc_shingles(batch: pa.Table) -> pa.Table:
         # arrays ride as binary: Arrow hash joins reject tensor/list
@@ -1062,6 +1077,41 @@ def simhash64(text: str) -> int:
     return out
 
 
+def simhash64_batch(texts) -> np.ndarray:
+    """uint64 SimHash per text, batch-wide: token crc hashes computed in
+    ONE flat pass, bits unpacked for the whole batch at once, per-doc
+    sign folds via ``np.add.reduceat`` over doc boundaries — removes the
+    per-doc (n_tokens x 64) temporaries and 64-iteration Python bit
+    loops of :func:`simhash64` (equivalence property-tested).  Same
+    treatment that fixed the MinHash stage's per-doc wall-time."""
+    import zlib
+
+    toks_per = [t.split() for t in texts]
+    counts = np.array([len(w) for w in toks_per], dtype=np.int64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    th = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for w in toks_per for t in w),
+        dtype=np.uint64,
+        count=total,
+    )
+    h64 = (th * np.uint64(0x9E3779B97F4A7C15)) ^ (th << np.uint64(31))
+    bits = np.unpackbits(
+        h64.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    ).astype(np.int64)  # (total, 64); column k = bit k (little-endian)
+    nz = counts > 0
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    ones = np.add.reduceat(bits, bounds[:-1][nz], axis=0)  # (docs, 64)
+    fp_bits = (2 * ones - counts[nz][:, None]) > 0  # v = sum(2b-1) > 0
+    packed = np.packbits(
+        fp_bits.astype(np.uint8), axis=1, bitorder="little"
+    )
+    out[nz] = packed.view(np.uint64).ravel()
+    return out
+
+
 def simhash_pairs(
     docs_ds,
     max_hamming: int = 3,
@@ -1074,25 +1124,32 @@ def simhash_pairs(
     Band partition: 4 x 16-bit bands — any pair within hamming 3 agrees
     exactly on >= 1 band (pigeonhole), so grouping by (band_id, band
     value) finds all of them; the exact popcount check runs inside the
-    group (fingerprints ride with the rows)."""
+    group (fingerprints ride with the rows).
+
+    The pigeonhole guarantee needs bands > max_hamming: with the fixed
+    4 bands, ``max_hamming > 3`` would silently miss pairs differing by
+    one bit in every band, so larger radii are rejected outright."""
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band pigeonhole "
+            "guarantee (radius <= 3); widen the band count to raise it"
+        )
 
     num_buckets = resolve_parallelism(num_buckets)
     def to_bands(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
-        texts = batch["text"].to_pylist()
-        bkey, ids, fps = [], [], []
-        for d, t in zip(doc_ids, texts):
-            fp = simhash64(t)
-            for bi in range(4):
-                band_val = (fp >> (16 * bi)) & 0xFFFF
-                bkey.append((bi << 16) | band_val)
-                ids.append(d)
-                fps.append(fp - (1 << 63))  # store as int64
+        ids = batch["doc_id"].to_numpy().astype(np.int64)
+        fp = simhash64_batch(batch["text"].to_pylist())  # uint64[n]
+        bkeys, out_ids, out_fps = [], [], []
+        for bi in range(4):  # 4 band slices, each fully vectorized
+            band_val = (fp >> np.uint64(16 * bi)) & np.uint64(0xFFFF)
+            bkeys.append((band_val.astype(np.int64)) | (bi << 16))
+            out_ids.append(ids)
+            out_fps.append((fp - np.uint64(1 << 63)).view(np.int64))
         return pa.table(
             {
-                "band_key": pa.array(bkey, pa.int64()),
-                "doc_id": pa.array(ids, pa.int64()),
-                "fp": pa.array(fps, pa.int64()),
+                "band_key": pa.array(np.concatenate(bkeys)),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+                "fp": pa.array(np.concatenate(out_fps)),
             }
         )
 
@@ -1184,7 +1241,6 @@ def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int | None = Non
     hash dedups across batches.  Shuffle volume is the per-batch
     distinct set, not the input."""
     num_buckets = resolve_parallelism(num_buckets)
-    import zlib
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         use = cols or list(df.columns)
@@ -1388,6 +1444,10 @@ def apply_dedup_clusters(docs_ds, pairs_ds, num_partitions: int | None = None,
     """Transitive keep-first dedup: survivors are the per-component
     minimum ids of :func:`connected_components` plus every doc in no
     pair.
+
+    Ids must be INTEGER: :func:`connected_components` casts the pair
+    columns to int64 (string ids would need a factorize-to-int pass
+    first).  The hybrid below is type-agnostic only downstream of that.
 
     Hybrid drop-side handling (same posture as ``bloom_semi_join``):
     the cluster table is bounded by the pair-graph node set — tiny next

@@ -69,15 +69,22 @@ def pack_sequences(
         counts, batch_format="pyarrow", batch_size=batch_size
     ).materialize()
     if max_doc_id is None:
-        max_doc_id = int(slim.max("doc_id"))
+        probed = slim.max("doc_id")
+        if probed is None:
+            raise ValueError("pack_sequences: empty input dataset")
+        max_doc_id = int(probed)
     span = max_doc_id + 1
     width = -(-span // num_ranges)  # ceil
 
     def add_range(batch: pa.Table) -> pa.Table:
-        rng = pc.cast(
-            pc.divide(pc.cast(batch["doc_id"], pa.int64()), width),
-            pa.int32(),
-        )
+        ids = pc.cast(batch["doc_id"], pa.int64())
+        top = pc.max(ids).as_py()
+        if top is not None and top > max_doc_id:
+            raise ValueError(
+                f"pack_sequences: doc_id {top} exceeds max_doc_id="
+                f"{max_doc_id} — stale caller-supplied bound"
+            )
+        rng = pc.cast(pc.divide(ids, width), pa.int32())
         return batch.append_column("rng", rng)
 
     counted = slim.map_batches(add_range, batch_format="pyarrow")
@@ -147,14 +154,23 @@ def pack_texts(docs_ds, budget: int = 2048, num_ranges: int | None = None,
     joined = hash_join(docs_ds, assign, on="doc_id")
 
     def pieces(batch: pa.Table) -> pd.DataFrame:
-        texts = batch["text"].to_pylist()
+        # tokenize with the SAME kernel that produced the offsets
+        # (textstats._exploded_tokens splits on the RE2 whitespace class
+        # behind TOKEN_RE) — Python str.split() disagrees on \xa0/\x0b
+        # and would write tokens onto positions budgeted for other docs
+        from .textstats import _exploded_tokens
+
+        d, toks = _exploded_tokens(batch)
+        toks_np = toks.to_pandas().to_numpy()
+        per_row = np.bincount(d, minlength=len(batch))
+        bounds = np.concatenate(([0], np.cumsum(per_row)))
         strt = (
             batch["pack_id"].to_numpy() * budget
             + batch["pack_off"].to_numpy()
         )
         out_p, out_pos, out_piece, out_n = [], [], [], []
-        for t, s in zip(texts, strt.tolist()):
-            w = t.split()
+        for i, s in enumerate(strt.tolist()):
+            w = toks_np[bounds[i] : bounds[i + 1]]
             n = len(w)
             if n == 0:
                 continue

@@ -135,9 +135,14 @@ def assign_shuffle_shards(
         batch = batch.append_column(
             "_shuffle_rank", pa.array(r, pa.int64())
         )
-        return batch.append_column(
-            shard_col, pa.array((r % num_shards).astype(np.int32))
-        )
+        # shard from the HIGH bits: an affine LCG's value mod a
+        # power-of-two num_shards collapses to (a*key + c) mod shards —
+        # a purely periodic function of the key that can correlate with
+        # structured id strides.  (r * shards) >> 31 uses the
+        # well-mixed top of the 31-bit state instead (and stays a
+        # single BIGINT expression in the SQL mirror).
+        shard = ((r * num_shards) // _LCG_M).astype(np.int32)
+        return batch.append_column(shard_col, pa.array(shard))
 
     return ds.map_batches(tag, batch_format="pyarrow")
 

@@ -499,6 +499,10 @@ def lm_score(docs_ds, lm_ref, n: int = 2, batch_size: int = 2048):
         key = ref.hex()
         if key not in _LM_LUT_CACHE:
             lm = ray.get(ref)
+            # keep only the newest table: a long-lived worker scoring
+            # successive corpus slices must not accumulate one ~100k-
+            # string index per superseded ref until OOM
+            _LM_LUT_CACHE.clear()
             _LM_LUT_CACHE[key] = pd.Series(
                 lm["cnt"].to_numpy(np.int64), index=lm["ngram"], dtype=np.int64
             )

@@ -882,3 +882,56 @@ def test_grouped_approx_distinct_within_3_sigma(ray_session):
         n = want[et]
         sigma = 1.04 / np.sqrt(4096) * n  # HLL std error at p=12
         assert abs(got[et] - n) <= 3 * sigma + 2, (et, got[et], n)
+
+
+def test_pack_texts_unicode_whitespace_consistency(ray_session):
+    """The pack offsets come from the RE2 \\S+ count; the text split
+    must use the SAME tokenizer — \\xa0 (NBSP) is NOT whitespace for
+    RE2 but IS for Python str.split(), which silently shifted packs."""
+    import duckdb
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.packing import pack_texts
+
+    rows = [
+        {"doc_id": 0, "text": "a\xa0b c"},      # RE2: 2 tokens
+        {"doc_id": 1, "text": "d e f g h"},     # 5 tokens
+        {"doc_id": 2, "text": "i\x0bj k l"},    # RE2: \x0b not ws -> 3
+    ]
+    out = (
+        pack_texts(rd.from_items(rows), budget=4)
+        .to_pandas()
+        .sort_values("pack_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents_df", __import__("pandas").DataFrame(rows))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_df")
+    import __ray_entry__ as em
+
+    sql = em.oracle_sql()["pack_texts"].replace("// 512", "// 4").replace(
+        "* 512", "* 4").replace("(p + 1) * 4 - strt", "(p + 1) * 4 - strt")
+    want = con.execute(sql).df().sort_values("pack_id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        out[sorted(out.columns)], want[sorted(want.columns)], check_dtype=False
+    )
+    # every pack but the last exactly 4 tokens under the RE2 count
+    assert out["n_tokens"].tolist()[:-1] == [4] * (len(out) - 1)
+
+
+def test_simhash64_batch_equals_scalar_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcxyz", min_size=1, max_size=5)
+    doc = st.lists(word, min_size=0, max_size=25).map(" ".join)
+
+    @settings(max_examples=150, deadline=None)
+    @given(docs=st.lists(doc, min_size=1, max_size=8))
+    def check(docs):
+        got = dd.simhash64_batch(docs)
+        want = np.array([dd.simhash64(t) for t in docs], dtype=np.uint64)
+        assert np.array_equal(got, want), (docs, got, want)
+
+    check()
