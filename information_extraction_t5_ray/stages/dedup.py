@@ -445,6 +445,7 @@ def jaccard_pairs(
     num_buckets: int | None = None,
     batch_size: int = 512,
     parallelism=None,
+    max_df_frac: float | None = None,
 ):
     """Pairs (i < j) with word-k-gram Jaccard >= num/den, exact.
 
@@ -458,9 +459,21 @@ def jaccard_pairs(
     sf0.1/32cpu: 512 runs 2x faster than 2048 end-to-end and beats an
     explicit re-scatter, which pays a full extra exchange —
     ``parallelism``/:func:`maybe_scatter` remains for narrow inputs).
+
+    ``max_df_frac``: opt-in CORPUS-RELATIVE stop-shingle cap —
+    ``max_df = max(max_df, ceil(frac * n_docs))`` via one extra count
+    pass.  The fixed default cap's documented failure mode is a
+    duplicate-heavy corpus where EVERY shingle's df exceeds it (16x
+    duplication zeroed recall at cap 64); a fraction scales the cap
+    with the corpus so uniform duplication can't starve the index.
+    The cap remains a recall/cost dial — :func:`jaccard_pairs_verified`
+    is the tool that stays exact under ANY cap.
     """
 
     num_buckets = resolve_parallelism(num_buckets)
+    if max_df_frac is not None:
+        n_docs = docs_ds.count()
+        max_df = max(max_df, int(np.ceil(max_df_frac * n_docs)))
     nd = threshold_num + threshold_den
 
     def final_pairs(bucket_df: pd.DataFrame) -> pd.DataFrame:

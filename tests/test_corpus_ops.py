@@ -935,3 +935,24 @@ def test_simhash64_batch_equals_scalar_property():
         assert np.array_equal(got, want), (docs, got, want)
 
     check()
+
+
+def test_jaccard_corpus_relative_cap_recovers_uniform_duplication(ray_session):
+    """The fixed max_df cap's documented failure: at heavy uniform
+    duplication every shingle's df exceeds it and recall drops to zero.
+    The opt-in corpus-relative cap scales with the corpus and recovers
+    the pairs."""
+    import ray.data as rd
+
+    # 30 distinct docs, each duplicated 8x -> every shingle df >= 8
+    rows = []
+    for i in range(30):
+        base = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        for r in range(8):
+            rows.append({"doc_id": i * 100 + r, "text": base})
+    ds = rd.from_items(rows).repartition(4)
+    fixed = dd.jaccard_pairs(ds, k=3, max_df=4).count()
+    assert fixed == 0, "fixed cap must exhibit the documented recall cliff"
+    scaled = dd.jaccard_pairs(ds, k=3, max_df=4, max_df_frac=0.05).count()
+    # every duplicate group contributes C(8,2)=28 pairs
+    assert scaled == 30 * 28
