@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": c.q_doc_stats,
         "rep_signals": c.q_rep_signals,  # Gopher repetition fractions
         "lm_score": c.q_lm_score,  # CCNet-shaped count-LM fluency
+        "ccnet_buckets": c.q_ccnet_buckets,  # head/middle/tail terciles
         "lang_id": c.q_lang_id,
         "quality_score": c.q_quality_score,  # Gopher/C4-style gates
         "tfidf_top_terms": c.q_tfidf_top_terms,  # term weighting
@@ -219,6 +220,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": oc.doc_stats_sql(),
         "rep_signals": oc.rep_signals_sql(),
         "lm_score": oc.lm_score_sql(),
+        "ccnet_buckets": oc.ccnet_buckets_sql(),
         "lang_id": oc.lang_id_sql(),
         "quality_score": oc.quality_score_sql(),
         "tfidf_top_terms": oc.tfidf_top_terms_sql(),

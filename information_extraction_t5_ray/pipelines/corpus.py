@@ -457,6 +457,55 @@ def q_data_mixture(sf_dir: str):
     return data_mixture(docs, tier_of, MIX_WEIGHTS)
 
 
+CCNET_Q1 = 1 / 3
+CCNET_Q2 = 2 / 3
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet's head/middle/tail split by LM fluency terciles (Wenzek et
+    al. 2020 §4.3, with the KenLM perplexity replaced by the count-LM
+    score so every step stays SQL-mirrorable): scores bin to integers
+    (floor — bounded domain), tercile thresholds come from the exact
+    counting-sort quantile operator, and docs bucket by comparing their
+    bin to the broadcast thresholds.  Higher score = more fluent, so
+    'head' is the TOP tercile."""
+    import ray
+
+    from ..stages.aggregates import grouped_quantiles_counting
+
+    def binned(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score_bin": pc.cast(
+                    pc.floor(batch["lm_score"]), pa.int64()
+                ),
+                "g": pa.array(np.zeros(len(batch), np.int32)),
+            }
+        )
+
+    scores = q_lm_score(sf_dir).map_batches(
+        binned, batch_format="pyarrow"
+    ).materialize()  # consumed by the tercile aggregate AND the bucketing
+    terc = grouped_quantiles_counting(
+        scores, "g", "score_bin", {"t1": CCNET_Q1, "t2": CCNET_Q2}
+    ).to_pandas()
+    t1, t2 = int(terc["t1"].iloc[0]), int(terc["t2"].iloc[0])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        sb = batch["score_bin"].to_numpy()
+        bucket = np.where(sb >= t2, "head", np.where(sb >= t1, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "score_bin": batch["score_bin"],
+                "bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scores.map_batches(bucketize, batch_format="pyarrow")
+
+
 def q_pack_sequences(sf_dir: str):
     """GPT-style concat-then-chunk sequence packing (512-token packs)
     via the distributed ordered prefix scan."""

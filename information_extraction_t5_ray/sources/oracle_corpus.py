@@ -443,6 +443,28 @@ SELECT doc_id, n_tokens,
 FROM s"""
 
 
+def ccnet_buckets_sql() -> str:
+    """CCNet tercile buckets — mirrors ``q_ccnet_buckets``: floor-binned
+    lm_score, quantile_disc terciles (same float q literals as the
+    Python side), threshold comparisons."""
+    from ..pipelines.corpus import CCNET_Q1, CCNET_Q2
+
+    return f"""WITH b AS (
+  SELECT doc_id, CAST(floor(lm_score) AS BIGINT) AS score_bin
+  FROM ({lm_score_sql()})
+),
+t AS (
+  SELECT quantile_disc(score_bin, {CCNET_Q1!r}) AS t1,
+         quantile_disc(score_bin, {CCNET_Q2!r}) AS t2
+  FROM b
+)
+SELECT doc_id, score_bin,
+       CASE WHEN score_bin >= t2 THEN 'head'
+            WHEN score_bin >= t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM b, t"""
+
+
 def pack_texts_sql() -> str:
     """Materialized packed sequences — mirrors ``packing.pack_texts``:
     per-doc covered-pack explosion, 1-based inclusive list slicing,
