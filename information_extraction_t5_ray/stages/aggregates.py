@@ -70,10 +70,18 @@ def grouped_quantiles_counting(
 
     ``qs`` maps output column name -> quantile in (0, 1].  Quantile
     definition matches DuckDB's ``quantile_disc`` exactly: the value at
-    1-based rank ``ceil(q * n)`` in sorted order (probed empirically and
-    pinned by the oracle tests) — integral selection, no interpolation,
+    1-based rank ``ceil(q * n)`` with q taken as the EXACT DECIMAL the
+    SQL literal denotes (DuckDB parses '0.28' as DECIMAL, so 0.28*25 is
+    exactly 7 — float64 ceil would round UP to rank 8 whenever q*n is
+    mathematically integral but inexact in binary; probed against ~2700
+    (q, n) pairs).  Ranks are therefore computed with
+    ``Fraction(repr(q))`` — integral selection, no interpolation,
     byte-stable."""
+    import math
+    from fractions import Fraction
+
     num_buckets = resolve_parallelism(num_buckets)
+    q_exact = {name: Fraction(repr(float(q))) for name, q in qs.items()}
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = (
@@ -95,8 +103,8 @@ def grouped_quantiles_counting(
             cum = np.cumsum(g["cnt"].to_numpy())
             n = cum[-1]
             row = {group_col: key}
-            for name, q in qs.items():
-                rank = int(np.ceil(q * n))
+            for name, q in q_exact.items():
+                rank = max(1, math.ceil(q * int(n)))
                 idx = int(np.searchsorted(cum, rank))
                 row[name] = g[val_col].iloc[idx]
             rows.append(row)

@@ -56,6 +56,23 @@ def broadcast_hash_join(
         )
     keys = [on] if isinstance(on, str) else list(on)
     small_df = small.to_pandas() if isinstance(small, pa.Table) else small
+    if how == "left":
+        # pre-convert the small side's int/bool columns to NULLABLE
+        # extension dtypes: a plain left merge promotes them to
+        # float64/object only in batches containing an unmatched key,
+        # so blocks of the same dataset would carry CONFLICTING schemas
+        # (and int64 > 2^53 would silently lose precision) — the same
+        # drift asof_join prevents with _ext_mapper
+        conv = {}
+        for c, dt in small_df.dtypes.items():
+            if c in keys:
+                continue
+            if dt.kind in ("i", "u"):
+                conv[c] = "Int64"
+            elif dt.kind == "b":
+                conv[c] = "boolean"
+        if conv:
+            small_df = small_df.astype(conv)
     ref = ray.put(small_df)
 
     def merge(batch: pd.DataFrame) -> pd.DataFrame:
@@ -345,8 +362,18 @@ def range_join(
         return _assemble(t, {c: c for c in left_cols}, bins, 0)
 
     def tag_right(t: pa.Table) -> pa.Table:
-        lo = to_bin(t[right_lo].to_numpy(zero_copy_only=False).astype(np.float64))
-        hi = to_bin(t[right_hi].to_numpy(zero_copy_only=False).astype(np.float64))
+        lo_f = t[right_lo].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi_f = t[right_hi].to_numpy(zero_copy_only=False).astype(np.float64)
+        # SQL BETWEEN semantics: a reversed (lo > hi) or NaN interval
+        # matches nothing — drop it here instead of letting a negative
+        # span crash np.repeat (opaquely) or a NaN->int64 cast fabricate
+        # astronomically wide bin ranges
+        ok = ~(np.isnan(lo_f) | np.isnan(hi_f)) & (lo_f <= hi_f)
+        if not ok.all():
+            t = t.filter(pa.array(ok))
+            lo_f, hi_f = lo_f[ok], hi_f[ok]
+        lo = to_bin(lo_f)
+        hi = to_bin(hi_f)
         spans = (hi - lo + 1).astype(np.int64)
         idx = np.repeat(np.arange(t.num_rows), spans)
         bins = (
@@ -369,11 +396,20 @@ def range_join(
         vals = group[left_col].to_numpy(zero_copy_only=False)
         los = group[lo_c].to_numpy(zero_copy_only=False)
         his = group[hi_c].to_numpy(zero_copy_only=False)
+        # one argsort by (bin, side) + change-point slicing instead of
+        # per-bin full-length boolean masks (a wide-range group with
+        # thousands of distinct bins paid O(bins x rows) pure masking)
+        order = np.lexsort((side, bins))
+        sb, ss = bins[order], side[order]
+        starts = np.concatenate(
+            ([0], np.flatnonzero(sb[1:] != sb[:-1]) + 1, [len(sb)])
+        )
         li_all, ri_all = [], []
-        for b in np.unique(bins):
-            in_bin = bins == b
-            lf = np.nonzero(in_bin & (side == 0))[0]
-            rf = np.nonzero(in_bin & (side == 1))[0]
+        for si, ei in zip(starts[:-1], starts[1:]):
+            seg = order[si:ei]
+            seg_side = ss[si:ei]
+            split = int(np.searchsorted(seg_side, 1))  # side-sorted
+            lf, rf = seg[:split], seg[split:]
             if len(lf) == 0 or len(rf) == 0:
                 continue
             v = vals[lf].astype(np.float64)
@@ -507,6 +543,14 @@ def bloom_semi_join(
         return batch.filter(pa.array(bloom_contains(b, batch[on].to_numpy())))
 
     filtered = big_ds.map_batches(prefilter, batch_format="pyarrow")
+    # the Bloom-filtered left side carries (approximately) only member
+    # keys, so its distinct-key count is bounded by len(key_rows) —
+    # clamp the exchange width below it or an empty left hash partition
+    # trips the documented Ray ArrowInvalid
     return hash_join(
-        filtered, keys_ds, on=on, how="left_semi", num_partitions=num_partitions
+        filtered,
+        keys_ds,
+        on=on,
+        how="left_semi",
+        num_partitions=max(1, min(num_partitions, len(key_rows))),
     )

@@ -93,13 +93,26 @@ def ann_topk(
     def partial(batch: pa.Table) -> pd.DataFrame:
         qn = ray.get(qn_ref)
         qids = ray.get(qid_ref)
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "neighbor_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64),
+                 "bucket": pd.Series(dtype=np.int32)}
+            )
         cand = _normalize(_mat(batch["embedding"]))
         cand_ids = batch["vec_id"].to_numpy()
         sims = qn @ cand.T  # (Q, B)
         kk = min(k, sims.shape[1])
         out = {"query_id": [], "neighbor_id": [], "sim": []}
-        # per-query partial top-k from this batch
-        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        # per-query partial top-k from this batch; ties at the k
+        # boundary break by ASCENDING neighbor_id (argpartition alone
+        # keeps an arbitrary subset of boundary ties, which would make
+        # the result depend on batch partitioning)
+        order = np.lexsort(
+            (np.broadcast_to(cand_ids, sims.shape), -sims)
+        )  # (Q, B): per-row order by (-sim, neighbor_id)
+        idx = order[:, :kk]
         for qi in range(sims.shape[0]):
             sel = idx[qi]
             out["query_id"].extend([qids[qi]] * len(sel))
@@ -211,6 +224,13 @@ def ann_topk_ivf(
     cq_ref = ray.put(cluster_queries)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:  # _mat can't infer dim from an empty batch
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype=np.int64),
+                 "neighbor_id": pd.Series(dtype=np.int64),
+                 "sim": pd.Series(dtype=np.float64),
+                 "bucket": pd.Series(dtype=np.int32)}
+            )
         cent_m = ray.get(cent_ref)
         qn_m = ray.get(qn_ref)
         qids_m = ray.get(qid_ref)
@@ -226,7 +246,10 @@ def ann_topk_ivf(
             rows = np.flatnonzero(assign == c)
             sims = qn_m[q_idx] @ cand[rows].T  # (q, b)
             kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            # boundary ties break by ascending neighbor_id (see ann_topk)
+            idx = np.lexsort(
+                (np.broadcast_to(cand_ids[rows], sims.shape), -sims)
+            )[:, :kk]
             for qi in range(sims.shape[0]):
                 sel = idx[qi]
                 out_q.append(np.full(len(sel), qids_m[q_idx[qi]], dtype=np.int64))
@@ -286,6 +309,11 @@ def cosine_dup_pairs(
     cid_ref = ray.put(np.asarray(corpus_ids, dtype=np.int64))
 
     def partial(batch: pa.Table) -> pd.DataFrame:
+        if len(batch) == 0:
+            return pd.DataFrame(
+                {"i": pd.Series(dtype=np.int64),
+                 "j": pd.Series(dtype=np.int64)}
+            )
         cn = ray.get(cn_ref)
         cids = ray.get(cid_ref)
         rows = _normalize(_mat(batch["embedding"]))
@@ -312,6 +340,7 @@ def rp_lsh_dup_pairs(
     batch_size: int = 4096,
     dim: Optional[int] = None,
     parallelism: int | None = None,
+    max_bucket_df: int = 1024,
 ):
     """Random-hyperplane LSH near-dup pairs — the no-broadcast scale
     path.  Recall is probabilistic (tested, not oracle-matched); the
@@ -333,6 +362,12 @@ def rp_lsh_dup_pairs(
             self.G = None  # built lazily from the first batch's dim
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {"bkey": pa.array([], pa.int64()),
+                     "vec_id": pa.array([], pa.int64()),
+                     "vec": pa.array([], pa.list_(pa.float64()))}
+                )
             m = _mat(batch["embedding"])
             if self.G is None:
                 self.G = _planes(dim or m.shape[1])
@@ -358,7 +393,13 @@ def rp_lsh_dup_pairs(
 
         df = df.drop_duplicates(["bkey", "vec_id"])
         keys = df["bkey"].to_numpy()
-        order, li, ri = _group_pair_indices(keys, max_df=len(keys))
+        # hot-bucket skew guard: a cluster of near-identical vectors
+        # lands in the SAME bucket of every table, and an uncapped
+        # C(n,2) pair emission there is O(n^2) memory in one task —
+        # the same stop-key cap the shingle index uses (recall note:
+        # members of an over-full bucket usually share other, smaller
+        # buckets across the num_tables tables)
+        order, li, ri = _group_pair_indices(keys, max_df=max_bucket_df)
         if li.size == 0:
             return pd.DataFrame(
                 {"i": pd.Series(dtype=np.int64), "j": pd.Series(dtype=np.int64)}
@@ -448,6 +489,12 @@ def semdedup(
     cent_ref = ray.put(_kmeans_lite(sample, n_clusters, seed=seed))
 
     def assign(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()),
+                 "embedding": batch["embedding"],
+                 "cluster": pa.array([], pa.int32())}
+            )
         cent = ray.get(cent_ref)
         m = _normalize(_mat(batch["embedding"]))
         cl = np.argmax(m @ cent.T, axis=1).astype(np.int32)

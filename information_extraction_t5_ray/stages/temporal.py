@@ -24,6 +24,18 @@ import pandas as pd
 from .common import bucket_of, resolve_parallelism
 
 
+def _guard_reserved(ds, cols=("_bucket",)):
+    """Reject inputs already carrying a reserved internal column — an
+    append_column duplicate would make the groupby ambiguous and the
+    final drop would silently delete the USER's column (same contract
+    as joins.asof_join's reserved-name check)."""
+    names = set(ds.schema().names)
+    hit = sorted(names & set(cols))
+    if hit:
+        raise ValueError(f"input already has reserved column(s) {hit}")
+    return ds
+
+
 def sessionize(
     events_ds,
     key: str,
@@ -41,6 +53,7 @@ def sessionize(
     timestamps can repeat within a key).
     """
     num_buckets = resolve_parallelism(num_buckets)
+    events_ds = _guard_reserved(events_ds)
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -102,6 +115,7 @@ def pivot_counts(
     (batch, key) — the combiner pattern.
     """
     num_buckets = resolve_parallelism(num_buckets)
+    ds = _guard_reserved(ds)
     import pyarrow as pa
 
     cols = [str(c) for c in categories]
@@ -142,6 +156,7 @@ def rolling_window_sum(
     group, vectorized cumsum-difference per key segment.
     """
     num_buckets = resolve_parallelism(num_buckets)
+    ds = _guard_reserved(ds)
     import pyarrow as pa
     import pyarrow.compute as pc
 

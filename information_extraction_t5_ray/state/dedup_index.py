@@ -121,7 +121,20 @@ class ShardedDedupIndex:
         n = self.num_shards
 
         def admit(batch: pa.Table) -> pa.Table:
-            keys = content_keys(batch["text"].to_pylist())
+            texts = batch["text"].to_pylist()
+            nulls = [i for i, t in enumerate(texts) if t is None]
+            if nulls:
+                # null text has no content to dedup on: pass those rows
+                # through UNDEDUPLICATED (never touch the index) rather
+                # than crash on None.encode or silently drop crawl rows
+                keep = np.ones(len(texts), dtype=bool)
+                keep[nulls] = False
+                null_rows = batch.filter(pa.array(~keep))
+                batch = batch.filter(pa.array(keep))
+                texts = [t for t in texts if t is not None]
+            else:
+                null_rows = None
+            keys = content_keys(texts)
             shard_of = (keys % np.uint64(n)).astype(np.int64)
             mask = np.zeros(len(keys), dtype=bool)
             futs, rows_per = [], []
@@ -132,7 +145,10 @@ class ShardedDedupIndex:
                     rows_per.append(rows)
             for rows, got in zip(rows_per, ray.get(futs)):
                 mask[rows] = got
-            return batch.filter(pa.array(mask))
+            out = batch.filter(pa.array(mask))
+            if null_rows is not None and null_rows.num_rows:
+                out = pa.concat_tables([out, null_rows])
+            return out
 
         return docs_ds.map_batches(
             admit, batch_format="pyarrow", batch_size=batch_size

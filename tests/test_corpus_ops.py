@@ -956,3 +956,37 @@ def test_jaccard_corpus_relative_cap_recovers_uniform_duplication(ray_session):
     scaled = dd.jaccard_pairs(ds, k=3, max_df=4, max_df_frac=0.05).count()
     # every duplicate group contributes C(8,2)=28 pairs
     assert scaled == 30 * 28
+
+
+def test_grouped_quantiles_decimal_exact_ranks(ray_session):
+    """q*n integral-in-decimal but inexact-in-binary (0.28*25): float
+    ceil picks rank 8, DuckDB's DECIMAL arithmetic picks 7 — the
+    operator must match DuckDB."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.aggregates import (
+        grouped_quantiles_counting,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = []
+    for g, n in [(0, 25), (1, 50), (2, 100), (3, 37)]:
+        frames.append(pd.DataFrame({"k": g, "v": rng.randint(0, 30, n)}))
+    df = pd.concat(frames, ignore_index=True)
+    got = (
+        grouped_quantiles_counting(
+            rd.from_pandas(df).repartition(5), "k", "v",
+            {"q07": 0.07, "q28": 0.28, "q14": 0.14, "q95": 0.95},
+        )
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    con = duckdb.connect(); con.register("t", df)
+    want = con.execute(
+        "SELECT k, quantile_disc(v, 0.07) q07, quantile_disc(v, 0.28) q28, "
+        "quantile_disc(v, 0.14) q14, quantile_disc(v, 0.95) q95 "
+        "FROM t GROUP BY k ORDER BY k"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
+    )
