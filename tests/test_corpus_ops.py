@@ -990,3 +990,58 @@ def test_grouped_quantiles_decimal_exact_ranks(ray_session):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)], check_dtype=False
     )
+
+
+def test_similarity_stages_survive_empty_blocks(ray_session):
+    """An upstream filter that empties a block must not kill the map
+    task (_mat can't infer dim from an empty batch)."""
+    import ray.data as rd
+    from information_extraction_t5_ray.stages import similarity as sim
+
+    rng = np.random.RandomState(2)
+    rows = [
+        {"vec_id": i, "embedding": rng.randn(8).tolist()} for i in range(40)
+    ]
+    # repartition so some blocks empty out entirely after the filter
+    ds = rd.from_items(rows).repartition(8).filter(
+        lambda r: r["vec_id"] < 5
+    )
+    ids = np.arange(3)
+    mat = np.stack([rows[i]["embedding"] for i in range(3)])
+    assert sim.ann_topk(ds, ids, mat, k=2).count() > 0
+    assert sim.ann_topk_ivf(ds, ids, mat, k=2, n_clusters=2, nprobe=2).count() > 0
+    sim.cosine_dup_pairs(ds, ids, mat, threshold=0.99).count()
+    sim.rp_lsh_dup_pairs(ds, threshold=0.99).count()
+    sim.semdedup(ds, n_clusters=2, threshold=0.999).count()
+
+
+def test_temporal_stages_reject_reserved_bucket_column(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.stages.temporal import sessionize
+
+    ds = rd.from_items(
+        [{"user_id": 1, "ts": 10, "_bucket": 9}]
+    )
+    with pytest.raises(Exception, match="reserved"):
+        sessionize(ds, key="user_id", ts_col="ts", gap=5).count()
+
+
+def test_dedup_index_null_text_passthrough(ray_session):
+    import ray.data as rd
+    from information_extraction_t5_ray.state.dedup_index import (
+        ShardedDedupIndex,
+    )
+
+    idx = ShardedDedupIndex(num_shards=2)
+    out = idx.filter_new(
+        rd.from_items(
+            [
+                {"doc_id": 1, "text": "real"},
+                {"doc_id": 2, "text": None},
+                {"doc_id": 3, "text": "real"},  # dup of 1
+                {"doc_id": 4, "text": None},  # nulls never dedup
+            ]
+        )
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]
+    assert idx.size() == 1  # nulls never touched the index
