@@ -128,7 +128,7 @@ def kg_triples(pages_ds, cfg: Optional[KGConfig] = None):
 
 def kg_entities(triples_ds, cfg: Optional[KGConfig] = None):
     cfg = cfg or KGConfig()
-    return entities_stage(triples_ds)
+    return entities_stage(triples_ds, num_buckets=cfg.num_buckets)
 
 
 def kg_t5_examples(pages_ds, cfg: Optional[KGConfig] = None, **squad_kwargs):

@@ -103,7 +103,8 @@ def _attach_file_labels(best_ds, label_map: Dict[Tuple[str, str, int], str]):
             keep.append(lab is not None)
             labels.append(lab if lab is not None else "")
         out = batch.append_column("label", pa.array(labels, pa.large_string()))
-        return out.filter(pa.array(keep))
+        # typed mask: pa.array([]) is null-typed and Table.filter rejects it
+        return out.filter(pa.array(keep, pa.bool_()))
 
     return best_ds.map_batches(add, batch_format="pyarrow")
 
@@ -161,9 +162,37 @@ def run_predict(
         preds = rd.read_parquet(pred_dir)
 
     labels = squad_label_map(squad_path)
+    # the reference evaluates ONLY the (url, qa, window) triples the
+    # SQuAD file defines (qa_data.py read path); our scorer runs the
+    # full registry on every window, so restrict to the file's pairs
+    # BEFORE the argmax — otherwise the winner can come from a window
+    # the file never asked about and be judged against a different
+    # window's label (silent metric divergence on non-uniform files)
+    import ray
+
+    import pyarrow as pa
+
+    file_keys_ref = ray.put(frozenset(labels.keys()))
+
+    def file_pairs(batch: pa.Table) -> pa.Table:
+        ks = ray.get(file_keys_ref)
+        keep = [
+            (u, q, w) in ks
+            for u, q, w in zip(
+                batch["url"].to_pylist(),
+                batch["qa_id"].to_pylist(),
+                batch["window_id"].to_pylist(),
+            )
+        ]
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    preds = preds.map_batches(file_pairs, batch_format="pyarrow")
     best = best_window_stage(preds, use_fewer_na=use_fewer_na)
     best = _attach_file_labels(best, labels)
-    answers = split_stage(best, registry.type_to_typename)
+    # four consumers follow (metrics, outputs report, example ids, the
+    # pivot) — materialize once or the argmax shuffle + split re-execute
+    # per consumer (Ray re-runs lazy lineage for every consumption)
+    answers = split_stage(best, registry.type_to_typename).materialize()
 
     metrics_ds = eval_stage(answers, id_col="example_id", by=group_by)
     metrics = finalize_eval(metrics_ds.to_pandas())

@@ -28,7 +28,7 @@ from typing import List, Optional
 import pyarrow as pa
 
 from ..registry import QuestionRegistry
-from .chunk import ChunkConfig, LARGEST_QUESTION
+from .chunk import ChunkConfig
 from .score import MockT5Scorer, choose_question
 from ..functions.tokenizer import StubSentencePieceTokenizer
 from ..functions.windows import get_context
@@ -67,10 +67,14 @@ class ExtractBest:
         )
         self.use_fewer_na = use_fewer_na
 
-    def _windows(self, text: str):
+    def _windows(self, text: str, uuid: str = ""):
         cfg = self.cfg
         contexts, offsets = get_context(
             text,
+            uuid=uuid,  # names the offending page in the tokenizer-
+            # offset assertion — at crawl scale 'which document' is
+            # the whole diagnosis (chunk.py passes it; the fused path
+            # must too)
             context_content=cfg.context_content,
             max_size=cfg.max_size,
             use_sentence_id=cfg.use_sentence_id,
@@ -93,7 +97,7 @@ class ExtractBest:
         ):
             if not text:
                 continue
-            contexts = self._windows(text)
+            contexts = self._windows(text, uuid=url)
             n = len(contexts)
             # best per qa_id: (na, -prob) lexicographic, first window wins
             # ties (reference stable sort + head(1))

@@ -138,10 +138,19 @@ def split_compound_batch(
     def sub(s):
         out = memo_sub.get(s)
         if out is None:
+            # the grammar keeps non-numeric [SENTx] ids as strings
+            # (sentences.py:55-74), but ANSWERS_SCHEMA types sent_ids as
+            # list<int32> — a malformed model emission would otherwise
+            # ArrowInvalid the whole split stage.  Coerce those to the
+            # -1 sentinel (count preserved, id marked unparseable).
+            sids = [
+                i if isinstance(i, int) else -1
+                for i in find_ids_of_sent_tokens(s)
+            ]
             out = (
                 get_subanswer_from_subsentence(s),
                 get_raw_answer_from_subsentence(s),
-                find_ids_of_sent_tokens(s),
+                sids,
             )
             memo_sub[s] = out
         return out

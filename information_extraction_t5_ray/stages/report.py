@@ -59,14 +59,22 @@ def save_outputs_report(
             df = df[lab.values != pred.values]
         if group_col and group_col in df.columns:
             grp = df[group_col].astype(str)
-            df = df[~(grp.eq("ORIG") | grp.str.startswith("DISJOINT"))]
-            grp = df[group_col].astype(str)
         else:
             grp = pd.Series([""] * len(df), index=df.index, dtype=str)
+
+        def _win(r):
+            # production answers carry window_ids (winner id repeated,
+            # ANSWERS_SCHEMA); the reference prints that winner id per
+            # row (qa_model.py:357-385).  Scalar window_id kept for
+            # ad-hoc frames.
+            w = r.get("window_ids")
+            if w is not None and len(w):
+                return w[0]
+            return r.get("window_id", "")
+
         lines = [
             _HEADER.format(
-                r["label"], r["prediction"], r["url"], r["prob"],
-                r.get("window_id", ""),
+                r["label"], r["prediction"], r["url"], r["prob"], _win(r),
             )
             for _, r in df.iterrows()
         ]
@@ -160,7 +168,9 @@ def save_sheets_report(
             n_rows += len(batch)
             batch.set_index("url").to_csv(f, header=not wrote_header)
             wrote_header = True
-    if n_rows <= _XLSX_MAX_ROWS and str(path) != csv_path:
+    # n_rows > 0: an empty pivot writes a 0-byte CSV (no header), and
+    # pd.read_csv on it raises EmptyDataError past the ImportError catch
+    if 0 < n_rows <= _XLSX_MAX_ROWS and str(path) != csv_path:
         try:  # pragma: no cover - openpyxl absent in this container
             import openpyxl  # noqa: F401 -- probe BEFORE re-reading the CSV
 

@@ -162,17 +162,24 @@ def canonicalize_obj_stage(linked_ds, batch_size: int | None = None):
 
 
 def entities_stage(
-    triples_ds, num_salts: int = 16, num_buckets: int = 32, batch_size: int = 16384
+    triples_ds, num_salts: int = 16, num_buckets: int | None = None,
+    batch_size: int = 16384
 ):
-    """Canonical entity table (entity_id, n_mentions, n_subjects_est,
-    example_surface) via salted two-phase aggregation.
+    """Canonical entity table (entity_id, n_mentions, example_surface)
+    via salted THREE-phase aggregation.
 
     Phase 1 (map_batches, vectorized): partial counts per
     ``(obj, salt)`` where ``salt = hash(subj) % num_salts`` — a head
     entity's rows split across salts.
-    Phase 2: bucket groupby over the (tiny) partials; each bucket merges
-    its keys vectorized and unsalts.
+    Phase 2: bucket groupby keyed on ``(obj, salt)`` — this is where the
+    salt earns its keep: a head entity's partial rows (one per batch per
+    salt) spread over up to ``num_salts`` reducers instead of one.
+    Phase 3: bucket groupby on ``obj`` alone merges the (at most
+    ``num_salts``) per-salt rows per entity — a tiny final exchange.
     """
+    from .common import resolve_parallelism
+
+    num_buckets = resolve_parallelism(num_buckets)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # crc32 over the distinct subjects only (urls repeat ~#qa_ids
@@ -193,8 +200,23 @@ def entities_stage(
             )
             .reset_index()
         )
-        g["bucket"] = bucket_of(g["obj"], num_buckets)
+        # bucket on (obj, salt) so a hot entity's partials spread
+        g["bucket"] = bucket_of(
+            g["obj"] + "\x1f" + g["salt"].astype(str), num_buckets
+        )
         return g
+
+    def merge_salted(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            bucket_df.groupby(["obj", "salt"], sort=False)
+            .agg(
+                n_mentions=("n_mentions", "sum"),
+                example_surface=("example_surface", "min"),
+            )
+            .reset_index()
+        )
+        out["bucket2"] = bucket_of(out["obj"], num_buckets)
+        return out
 
     def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -211,7 +233,10 @@ def entities_stage(
     partials = triples_ds.map_batches(
         partial, batch_format="pandas", batch_size=batch_size
     )
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    salted = partials.groupby("bucket").map_groups(
+        merge_salted, batch_format="pandas"
+    )
+    return salted.groupby("bucket2").map_groups(final, batch_format="pandas")
 
 
 def write_triples(

@@ -116,3 +116,46 @@ def test_cli_query_list_covers_registry(capsys):
     for name in entry.queries():
         assert name in out
     assert "oracle" in out and "rows-only" in out
+
+
+def test_predict_scores_only_file_defined_pairs(ray_session, tmp_path):
+    """Reference parity: the eval must consider only (url, qa, window)
+    triples the SQuAD file defines — a qa present ONLY on window 0 must
+    have its prediction selected from window 0, even if another window
+    would have scored 'better'."""
+    import json
+
+    from information_extraction_t5_ray.pipelines.predict import run_predict
+
+    squad = {
+        "data": [
+            {
+                "title": "docA",
+                "paragraphs": [
+                    {"context": "ctx zero", "qas": [
+                        {"id": "form.cpf", "question": "Qual o CPF?",
+                         "answers": [{"text": "111", "answer_start": 0}]},
+                    ]},
+                    # window 1 defines a DIFFERENT qa only
+                    {"context": "ctx one", "qas": [
+                        {"id": "form.agencia", "question": "Qual a agência?",
+                         "answers": [{"text": "222", "answer_start": 0}]},
+                    ]},
+                ],
+            }
+        ],
+        "version": "1.1",
+    }
+    p = tmp_path / "eval.json"
+    p.write_text(json.dumps(squad))
+    res = run_predict(str(p), str(tmp_path / "out"), scorer="mock",
+                      only_mispredictions=False, group_by="qa_id")
+    # every evaluated answer must come from a file-defined pair: with
+    # 2 windows x 1 qa each, exactly ONE evaluated row per qa — had the
+    # argmax considered registry qas on windows the file never defines,
+    # extra qa groups (and cross-window labels) would appear
+    m = res["metrics"]
+    qa_groups = {k for k in m if k not in ("all",) and not k.endswith("*")}
+    assert qa_groups == {"form.cpf", "form.agencia"}
+    assert m["form.cpf"]["total"] == 1
+    assert m["form.agencia"]["total"] == 1

@@ -63,3 +63,26 @@ def test_metrics_json(ray_session, answers_df, tmp_path):
     d = json.load(open(p))
     assert d["all"]["total"] == 4
     assert d["form.cpf"]["exact"] == 100.0
+
+
+def test_split_stage_survives_malformed_sent_token(ray_session):
+    """A model emission with a non-numeric [SENTxx] id must coerce to
+    the -1 sentinel, not ArrowInvalid the whole split stage
+    (ANSWERS_SCHEMA types sent_ids as list<int32>)."""
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.postprocess import split_stage
+
+    best = rd.from_items(
+        [
+            {
+                "url": "u1", "qa_id": "form.cpf", "label": "[SENT1] x",
+                "prediction": "broken [SENT01a]", "prob": 0.5,
+                "window_id": 0,
+            }
+        ]
+    )
+    out = split_stage(best, {}).to_pandas()
+    assert len(out) > 0
+    flat = [i for row in out["sent_ids"] if row is not None for i in row]
+    assert -1 in flat
