@@ -195,19 +195,29 @@ def _scaling_pair(sf_dir: str, low: int, high: int, repeat: int) -> dict:
 
 
 def _hw_worker(_):
-    """Fixed per-core CPU workload for the hardware-ceiling probe."""
+    """Fixed per-core CPU workload for the hardware-ceiling probe.
+
+    Deliberately BLAS-free: a matmul here could fan out over a
+    multi-threaded BLAS inside each pool process, violating the
+    'N independent single-core processes' premise and biasing the
+    ceiling low in the high leg.  numpy elementwise kernels are always
+    single-threaded, so the mix below stays one-core-per-process while
+    still exercising both memory bandwidth (streaming elementwise over
+    a 30 MB working set) and fixed-rate compute (crc32)."""
     import zlib
 
     import numpy as np
 
     rng = np.random.RandomState(0)
-    a = rng.rand(400, 400)
-    for _ in range(60):
-        a = a @ a / np.linalg.norm(a)
+    a = rng.rand(4_000_000)  # ~30 MB: larger than LLC slice per core
+    s = 0.0
+    for _ in range(40):
+        a = a * 1.0000001 + 0.1
+        s += float(a[::65536].sum())
     x = bytes(bytearray(2_000_000))
     for _ in range(150):
         zlib.crc32(x)
-    return float(a[0, 0])
+    return s
 
 
 def hw_efficiency(low: int, high: int) -> float:

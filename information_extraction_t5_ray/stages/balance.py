@@ -26,7 +26,7 @@ from typing import List, Optional
 
 import numpy as np
 import pandas as pd
-from .common import resolve_parallelism
+from .common import bucket_of, resolve_parallelism
 
 LCG_MULT = 1103515245
 LCG_INC = 12345
@@ -66,8 +66,18 @@ def balance_stage(
         else:
             import zlib
 
+            # crc32 over the (few) distinct keys only, scattered back —
+            # keys repeat heavily (that is the point of balancing), so
+            # factorize-then-hash-uniques removes the per-row Python
+            # loop (same pattern as triples.project_triples_batch)
             joined = df[key_cols].astype(str).agg("|".join, axis=1)
-            h = joined.map(lambda s: zlib.crc32(s.encode())).to_numpy(np.int64)
+            codes, uniques = pd.factorize(joined, sort=False)
+            uhash = np.fromiter(
+                (zlib.crc32(u.encode()) for u in uniques),
+                np.int64,
+                count=len(uniques),
+            )
+            h = uhash[codes]
         df = df.assign(_key_hash=h, _bucket=(h % num_buckets).astype(np.int32))
         return df
 
@@ -128,10 +138,9 @@ def count_pos_neg_stage(ds, key_cols: List[str], neg_col: str = "is_negative",
             .agg(n_neg=("_neg", "sum"), n_all=("_neg", "size"))
             .reset_index()
         )
-        h = pd.util.hash_pandas_object(
-            g[key_cols].astype(str).agg("|".join, axis=1), index=False
+        g["_bucket"] = bucket_of(
+            g[key_cols].astype(str).agg("|".join, axis=1), num_buckets
         )
-        g["_bucket"] = (h % num_buckets).astype(np.int32)
         return g
 
     def final(df: pd.DataFrame) -> pd.DataFrame:

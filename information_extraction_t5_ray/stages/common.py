@@ -47,14 +47,55 @@ def maybe_scatter(ds, parallelism: int | None):
     return ds.repartition(parallelism)
 
 
+# pd.util.hash_pandas_object of ['graft-bucket-sentinel', ''] under the
+# hash definition every bucketed stage was built against (siphash13 with
+# pandas' fixed key).  pandas only promises these values "for a given
+# pandas version" — the guard below turns any future/mixed-version drift
+# from a silent group-split into a hard error.
+_SIPHASH_SENTINELS = (12556846241667650912, 1760245841805064774)
+_siphash_checked = False
+
+
+def _check_hash_stability() -> None:
+    """Once per process: assert this worker's pandas string hash matches
+    the repo-pinned definition.  On a heterogeneous cluster a worker
+    with a pandas whose siphash values changed would silently route the
+    same key to a DIFFERENT bucket than its peers, splitting the key's
+    group and corrupting every bucketed aggregate/dedup — this guard
+    makes that a loud RuntimeError at the first bucketed stage instead."""
+    global _siphash_checked
+    if _siphash_checked:
+        return
+    import pandas as pd
+
+    got = tuple(
+        int(v)
+        for v in pd.util.hash_pandas_object(
+            pd.Series(["graft-bucket-sentinel", ""]), index=False
+        ).to_numpy()
+    )
+    if got != _SIPHASH_SENTINELS:
+        raise RuntimeError(
+            "bucket_of: this process's pandas string hash "
+            f"(pandas {pd.__version__}) disagrees with the repo-pinned "
+            "sentinel values — a mixed- or changed-version cluster would "
+            "split keys across buckets.  Pin ONE pandas version across "
+            "the cluster (all workers must hash identically), or update "
+            "_SIPHASH_SENTINELS after verifying every node matches."
+        )
+    _siphash_checked = True
+
+
 def bucket_of(keys, num_buckets: int) -> np.ndarray:
     """Deterministic bucket id per key, identical in every worker
     process: integer keys take the modulo path, anything else goes
     through pandas' vectorized fixed-key siphash (C-speed, stable across
-    processes and runs for a given pandas version).  NEVER use Python
-    ``hash()`` here — it is salted per process, and workers are separate
-    processes, so the same key would land in different buckets and split
-    its group.
+    processes and runs for a given pandas version — and guarded by
+    :func:`_check_hash_stability`, which fails loudly if a worker's
+    pandas hashes the sentinel differently, so a mixed-version cluster
+    cannot silently split a key's group).  NEVER use Python ``hash()``
+    here — it is salted per process, and workers are separate processes,
+    so the same key would land in different buckets and split its group.
 
     Accepts a numpy array or pandas Series; returns int32 ndarray.
     """
@@ -63,6 +104,7 @@ def bucket_of(keys, num_buckets: int) -> np.ndarray:
     arr = np.asarray(keys)
     if np.issubdtype(arr.dtype, np.integer):
         return (arr.astype(np.int64) % num_buckets).astype(np.int32)
+    _check_hash_stability()
     h = pd.util.hash_pandas_object(pd.Series(arr), index=False).to_numpy()
     return (h % np.uint64(num_buckets)).astype(np.int32)
 

@@ -1429,13 +1429,24 @@ def connected_components(
             _local_cc, batch_format="pyarrow", batch_size=None
         )
     prev = None
+    converged = False
     for _ in range(max_rounds):
         edges = run_round(edges, "large")
         edges = run_round(edges, "small").materialize()
         cur = checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # star contraction converges in O(log^2 n) rounds, so 32 covers
+        # any realistic near-dup graph — but finalizing an unconverged
+        # edge set would emit a silently wrong clustering, so fail loud
+        raise RuntimeError(
+            f"connected_components: edge contraction did not converge "
+            f"within max_rounds={max_rounds} (checksum still moving); "
+            "raise max_rounds rather than trusting a partial clustering"
+        )
 
     # star edges (member -> root) + the roots themselves; roots repeat
     # across batches/buckets, so close with a two-phase global distinct

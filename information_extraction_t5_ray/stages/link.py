@@ -63,6 +63,9 @@ class EntityLinker:
         self.surfaces = surfaces
         self.matrix = np.stack([char_ngram_embedding(s, dim) for s in surfaces])
         self.dim = dim
+        # per-actor memo: distinct obj surfaces repeat heavily across
+        # batches (bounded by the linkable-value vocabulary, small)
+        self._memo: Dict[str, str] = {}
 
     def link_one(self, pred_leaf: str, value: str) -> str:
         if pred_leaf not in UF_PRED_LEAVES or not value:
@@ -87,13 +90,57 @@ class EntityLinker:
         sims = self.matrix[cands] @ qv
         return self.surface_to_id[self.surfaces[cands[int(np.argmax(sims))]]]
 
+    def _link_value(self, value) -> str:
+        """link_one for a known-UF row, memoized on the surface form
+        (the leaf only gates UF membership; linking itself is
+        leaf-independent)."""
+        if not value:
+            return value
+        hit = self._memo.get(value)
+        if hit is None:
+            hit = self.link_one(next(iter(UF_PRED_LEAVES)), value)
+            self._memo[value] = hit
+        return hit
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = batch["pred"].to_pylist()
-        objs = batch["obj_surface"].to_pylist()
-        linked = [
-            self.link_one(p.rsplit(".", 1)[-1], v) for p, v in zip(preds, objs)
-        ]
-        return batch.append_column("obj_linked", pa.array(linked, pa.string()))
+        """Dictionary-encoded linking: both ``pred`` and ``obj_surface``
+        repeat heavily, so the per-row work is two integer gathers —
+        ``rsplit``/``normalize_answer``/fuzzy run once per DISTINCT value
+        (same pattern as triples.project_triples_batch's url crc)."""
+        preds = batch["pred"]
+        if isinstance(preds, pa.ChunkedArray):
+            preds = preds.combine_chunks()
+        objs = batch["obj_surface"]
+        if isinstance(objs, pa.ChunkedArray):
+            objs = objs.combine_chunks()
+
+        pred_enc = preds.dictionary_encode()
+        pred_vals = pred_enc.dictionary.to_pylist()
+        uf_leaf = np.fromiter(
+            (
+                p is not None and p.rsplit(".", 1)[-1] in UF_PRED_LEAVES
+                for p in pred_vals
+            ),
+            bool,
+            count=len(pred_vals),
+        )
+        uf_mask = uf_leaf[np.asarray(pred_enc.indices)] if len(pred_vals) else (
+            np.zeros(len(batch), bool)
+        )
+
+        obj_enc = objs.dictionary_encode()
+        obj_vals = np.asarray(obj_enc.dictionary.to_pylist(), dtype=object)
+        obj_idx = np.asarray(obj_enc.indices) if len(obj_vals) else (
+            np.zeros(len(batch), np.int64)
+        )
+        if uf_mask.any():
+            linked_vals = obj_vals.copy()
+            for i in np.unique(obj_idx[uf_mask]):
+                linked_vals[i] = self._link_value(obj_vals[i])
+            out = np.where(uf_mask, linked_vals[obj_idx], obj_vals[obj_idx])
+        else:
+            out = obj_vals[obj_idx] if len(obj_vals) else np.zeros(0, object)
+        return batch.append_column("obj_linked", pa.array(out, pa.string()))
 
 
 def link_stage(

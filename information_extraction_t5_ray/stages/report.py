@@ -41,14 +41,32 @@ def save_outputs_report(
     only_mispredictions: bool = False,
     normalize_outputs: bool = True,
     group_col: Optional[str] = "example_id",
+    document_classes: tuple = ("form",),
 ):
     """answers Dataset -> ``outputs.txt``-style grouped dump (reference
     _save_outputs).  The misprediction filter and line rendering run as
     distributed ``map_batches``; a distributed sort puts groups
     contiguous; the driver streams batches to the file and only tracks
-    the current group header."""
+    the current group header.
+
+    Parity notes (qa_model.py:351-386): sections for ``ORIG``,
+    ``DISJOINT*`` and bare document-class groups are skipped outright
+    (metrics-only groups, :372-374); rows within a group keep document
+    order — the sort key is (group, url, window), a stable row key, NOT
+    the rendered line text; a group whose rows are all filtered by the
+    misprediction filter still gets its section header (the reference
+    writes the header before the row loop)."""
+
+    def _skip_group(g: str) -> bool:
+        return g == "ORIG" or g.startswith("DISJOINT") or g in document_classes
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
+        if group_col and group_col in df.columns:
+            grp = df[group_col].astype(str)
+        else:
+            grp = pd.Series([""] * len(df), index=df.index, dtype=str)
+        keep = ~grp.map(_skip_group).to_numpy(bool)
+        df, grp = df[keep], grp[keep]
         if only_mispredictions:
             lab = df["label"].map(normalize_answer) if normalize_outputs else df["label"]
             pred = (
@@ -56,11 +74,8 @@ def save_outputs_report(
                 if normalize_outputs
                 else df["prediction"]
             )
-            df = df[lab.values != pred.values]
-        if group_col and group_col in df.columns:
-            grp = df[group_col].astype(str)
-        else:
-            grp = pd.Series([""] * len(df), index=df.index, dtype=str)
+            mism = lab.values != pred.values
+            df, grp = df[mism], grp[mism]
 
         def _win(r):
             # production answers carry window_ids (winner id repeated,
@@ -68,31 +83,65 @@ def save_outputs_report(
             # row (qa_model.py:357-385).  Scalar window_id kept for
             # ad-hoc frames.
             w = r.get("window_ids")
-            if w is not None and len(w):
-                return w[0]
+            if w is not None and not isinstance(w, str) and hasattr(w, "__len__"):
+                return w[0] if len(w) else ""
             return r.get("window_id", "")
 
-        lines = [
-            _HEADER.format(
-                r["label"], r["prediction"], r["url"], r["prob"], _win(r),
+        lines, wins = [], []
+        for _, r in df.iterrows():
+            w = _win(r)
+            wins.append(str(w))
+            lines.append(
+                _HEADER.format(r["label"], r["prediction"], r["url"], r["prob"], w)
             )
-            for _, r in df.iterrows()
-        ]
-        return pd.DataFrame({"grp": grp.to_numpy(), "line": lines})
+        return pd.DataFrame(
+            {
+                "grp": grp.to_numpy(),
+                "url": df["url"].astype(str).to_numpy(),
+                "win": wins,
+                "line": lines,
+            }
+        )
 
     rendered = answers_ds.map_batches(render, batch_format="pandas").sort(
-        ["grp", "line"]
+        ["grp", "url", "win"]
     )
+    # the reference writes every (non-skipped) group's section header even
+    # when the misprediction filter leaves it empty; with the filter on,
+    # the group universe must come from the UNFILTERED input
+    empty_groups: list = []
+    if only_mispredictions and group_col:
+        try:
+            universe = sorted(
+                str(g)
+                for g in answers_ds.unique(group_col)
+                if not _skip_group(str(g)) and str(g) != ""
+            )
+        except Exception:
+            universe = []
+        empty_groups = universe  # consumed in order below
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     current = None
+    ptr = 0
     with open(path, "w") as f:
         f.write(_HEADER.format("label", "prediction", "uuid", "prob", "window"))
         for batch in rendered.iter_batches(batch_format="pandas"):
             for g, line in zip(batch["grp"], batch["line"]):
-                if group_col and g != current:
+                if group_col and g != "" and g != current:
+                    # headers of row-less groups sorting before g
+                    while ptr < len(empty_groups) and empty_groups[ptr] < g:
+                        f.write(
+                            f"===============\n{empty_groups[ptr]}\n===============\n"
+                        )
+                        ptr += 1
+                    if ptr < len(empty_groups) and empty_groups[ptr] == g:
+                        ptr += 1
                     f.write(f"===============\n{g}\n===============\n")
                     current = g
                 f.write(line)
+        while ptr < len(empty_groups):
+            f.write(f"===============\n{empty_groups[ptr]}\n===============\n")
+            ptr += 1
     return path
 
 

@@ -72,8 +72,10 @@ def project_triples_batch(batch: pa.Table, num_partitions: int = 64) -> pa.Table
     preds_col = rows["prediction"]
     # tail after the last ']' (greedy .* eats to the final bracket); a
     # bracketless string passes through whole — same run the scalar
-    # regex yields last
-    tail = pc.replace_substring_regex(preds_col, r"^.*\]", "")
+    # regex yields last.  (?s) so '.' crosses embedded newlines: RE2 '.'
+    # stops at \n by default, which would leave '[a]: x\n[b]: y' as
+    # 'x\n[b] y' instead of the scalar grammar's 'y'
+    tail = pc.replace_substring_regex(preds_col, r"(?s)^.*\]", "")
     value = pc.utf8_trim_whitespace(pc.replace_substring(tail, ":", ""))
     # fallback rows: blank tail but non-blank prediction with earlier runs
     blank = pc.equal(value, "")
