@@ -62,6 +62,45 @@ def test_run_predict_cached_reuses_predictions(ray_session, squad_file, tmp_path
     assert first["metrics"] == second["metrics"]
 
 
+def test_run_predict_recompute_replaces_stale_cache(ray_session, tmp_path):
+    """Recomputing into an existing out_dir must OVERWRITE the prediction
+    cache: Ray's write_parquet appends into an existing directory, and a
+    union of stale + fresh predictions would let a stale row win the
+    per-(url, qa_id) argmax downstream."""
+    import json
+
+    import pandas as pd
+
+    def squad_for(doc):
+        return {
+            "data": [
+                {
+                    "title": doc,
+                    "paragraphs": [
+                        {"context": "ctx zero", "qas": [
+                            {"id": "form.cpf", "question": "Qual o CPF?",
+                             "answers": [{"text": "111", "answer_start": 0}]},
+                        ]},
+                    ],
+                }
+            ],
+            "version": "1.1",
+        }
+
+    out = str(tmp_path / "out")
+    p1 = tmp_path / "a.json"
+    p1.write_text(json.dumps(squad_for("docA")))
+    run_predict(str(p1), out, only_mispredictions=False, group_by="qa_id")
+    # changed input, SAME out_dir, cache not requested -> full recompute
+    p2 = tmp_path / "b.json"
+    p2.write_text(json.dumps(squad_for("docB")))
+    res = run_predict(str(p2), out, only_mispredictions=False, group_by="qa_id")
+    cached = pd.read_parquet(res["paths"]["predictions"])
+    assert set(cached["url"].unique()) == {"docB"}, (
+        "stale docA predictions survived the recompute"
+    )
+
+
 def test_cli_parser_covers_reference_workflow():
     p = build_parser()
     a = p.parse_args(
