@@ -37,14 +37,13 @@ DECONTAM_MOD = 97  # docs with doc_id % 97 == 0 form the "benchmark" set
 DECONTAM_N = 13  # GPT-3-style 13-gram overlap window
 
 
-def _read_pq(*args, **kwargs):
-    """read_parquet + ``common.strip_pandas_metadata`` (see there for
-    the unhashable-b'pandas'-metadata invariant)."""
-    import ray.data as rd
+def _read_pq(path, *, columns=None, **kwargs):
+    """read_parquet with the b'pandas' metadata stripped AT the read
+    task (``common.clean_read_schema``): a post-read strip still left
+    'Failed to hash the schemas' warnings inside read/split stages."""
+    from ..stages.common import read_parquet_clean
 
-    from ..stages.common import strip_pandas_metadata
-
-    return strip_pandas_metadata(rd.read_parquet(*args, **kwargs))
+    return read_parquet_clean(path, columns=columns, **kwargs)
 
 
 def _read_docs(sf_dir: str):

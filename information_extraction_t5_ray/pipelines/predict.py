@@ -126,14 +126,14 @@ def run_predict(
 
     Returns {"metrics": eval dict, "paths": {artifact: path}}.
     """
-    import ray.data as rd
+    from ..stages.common import read_parquet_clean
 
     registry = registry or QuestionRegistry.default()
     os.makedirs(out_dir, exist_ok=True)
     pred_dir = os.path.join(out_dir, "predictions")
 
     if use_cached_predictions and os.path.isdir(pred_dir):
-        preds = rd.read_parquet(pred_dir)
+        preds = read_parquet_clean(pred_dir)
     else:
         windows = read_squad_windows(squad_path)
         kwargs = dict(scorer_kwargs or {})
@@ -159,7 +159,7 @@ def run_predict(
         if os.path.isdir(pred_dir):
             shutil.rmtree(pred_dir)
         preds.write_parquet(pred_dir, min_rows_per_file=100_000)
-        preds = rd.read_parquet(pred_dir)
+        preds = read_parquet_clean(pred_dir)
 
     labels = squad_label_map(squad_path)
     # the reference evaluates ONLY the (url, qa, window) triples the

@@ -274,12 +274,14 @@ def read_pages(
     import ray
     import ray.data as rd
 
-    ds = rd.read_parquet(
+    from ..stages.common import read_parquet_clean
+
+    # schema= override strips the file's b'pandas' metadata AT the read
+    # task — a post-read strip left 'Failed to hash the schemas'
+    # warnings (and the slow schema-unify path) inside the read itself
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    from ..stages.common import strip_pandas_metadata
-
-    ds = strip_pandas_metadata(ds)
     if shard is not None:
         # shard (k, n): deterministic doc_id slice — the unit of
         # partition-granular checkpointed resume (run_kg_sharded).  At

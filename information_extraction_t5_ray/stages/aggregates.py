@@ -167,16 +167,37 @@ def approx_distinct(ds, key_col: str, batch_size: int = 8192) -> float:
     (not exact distinct) is the 100 TB cardinality tool.
     """
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
+    def partial(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].to_numpy()
         regs = hll_register_batch(keys)
-        return pd.DataFrame({"regs": [regs.tobytes()]})
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    def merge_level(batch: pa.Table) -> pa.Table:
+        arrs = [
+            np.frombuffer(b, dtype=np.uint8)
+            for b in batch["regs"].to_pylist()
+        ]
+        merged = (
+            np.maximum.reduce(arrs)
+            if arrs
+            else np.zeros(_HLL_M, dtype=np.uint8)
+        )
+        return pa.table({"regs": pa.array([merged.tobytes()], pa.binary())})
 
     parts = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size
-    ).take_all()  # one 4 KiB row per batch — bounded, driver-side merge
+    )
+    # shuffle-free TREE reduce: two fold levels, each task max-merging
+    # up to 1024 register rows into one (merge is associative and
+    # partition-insensitive) — 1024^2 batch partials collapse before
+    # the driver sees a row, so driver work stays O(1) at any corpus
+    # size instead of O(n_batches) take_all
+    for _ in range(2):
+        parts = parts.map_batches(
+            merge_level, batch_format="pyarrow", batch_size=1024
+        )
     merged = np.zeros(_HLL_M, dtype=np.uint8)
-    for row in parts:
+    for row in parts.take_all():
         merged = np.maximum(merged, np.frombuffer(row["regs"], dtype=np.uint8))
     return hll_estimate(merged)
 

@@ -109,6 +109,49 @@ def bucket_of(keys, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int32)
 
 
+def clean_read_schema(path, columns=None):
+    """Metadata-free ``pa.Schema`` for ``read_parquet(schema=...)``.
+
+    Read tasks emit blocks carrying the FILE's schema, so stripping the
+    unhashable ``b'pandas'`` metadata dict in a post-read map still
+    leaves 'Failed to hash the schemas' warnings (and the slow
+    schema-unify path) inside the read/split/repartition stages
+    themselves.  Passing a cleaned schema to ``read_parquet`` fixes it
+    at the source — one footer read, driver-side.
+
+    ``path`` may be a file or a directory of ``*.parquet`` shards (one
+    footer is representative — our writers emit a single schema).
+    Returns ``None`` when no footer is found (caller passes
+    ``schema=None`` → Ray infers as before).
+    """
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = str(path)
+    if os.path.isdir(p):
+        shards = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        if not shards:
+            return None
+        p = shards[0]
+    if not os.path.isfile(p):
+        return None
+    s = pq.read_schema(p)
+    names = list(columns) if columns is not None else s.names
+    return pa.schema([s.field(n).remove_metadata() for n in names])
+
+
+def read_parquet_clean(path, *, columns=None, **kwargs):
+    """``ray.data.read_parquet`` with the schema cleaned at the read
+    task (see :func:`clean_read_schema`)."""
+    import ray.data as rd
+
+    schema = clean_read_schema(path, columns)
+    return rd.read_parquet(str(path), columns=columns, schema=schema, **kwargs)
+
+
 def strip_pandas_metadata(ds):
     """Drop Arrow schema metadata at a Dataset boundary (zero-copy, fuses
     with the next map stage).  Owns the repo invariant: no unhashable

@@ -443,6 +443,9 @@ def rp_lsh_dup_pairs(
     return cand.groupby("pbucket").map_groups(dedup, batch_format="pandas")
 
 
+_SEMDEDUP_MAX_SUB = 4096  # gkey stride; must exceed the sub_k cap below
+
+
 def semdedup(
     embeddings_ds,
     n_clusters: int = 16,
@@ -452,6 +455,7 @@ def semdedup(
     batch_size: int = 4096,
     chunk: int = 2048,
     id_col: str = "vec_id",
+    max_cluster_rows: int | None = None,
 ):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by k-means partition + within-cluster exact cosine.
@@ -476,6 +480,16 @@ def semdedup(
     k-means partition IS the approximation; scale ``n_clusters`` with
     the corpus (paper: ~sqrt(N) clusters) to bound cluster sizes.
 
+    ``max_cluster_rows`` bounds the rows any single ``map_groups``
+    worker must hold: clusters whose ESTIMATED size (sample fraction x
+    corpus count — no extra corpus pass) exceeds the cap are sub-split
+    by a second k-means trained on the sample's members of that
+    cluster, and the groupby key becomes (cluster, sub) while the
+    OUTPUT cluster id stays the coarse one.  Duplicates split across
+    sub-clusters are missed — the same approximation the coarse
+    partition already makes, now with a bounded per-worker footprint
+    (the VERDICT r2 scale caveat).
+
     Returns survivors (id_col, cluster) — approximate (k-means
     assignment is not SQL-expressible), so rows-only at the driver
     gate; recall against the exact broadcast path is pytest-checked.
@@ -486,23 +500,52 @@ def semdedup(
 
     sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
     sample = np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64)
-    cent_ref = ray.put(_kmeans_lite(sample, n_clusters, seed=seed))
+    cent = _kmeans_lite(sample, n_clusters, seed=seed)
+
+    sub_cents: dict[int, np.ndarray] = {}
+    if max_cluster_rows:
+        n_total = embeddings_ds.count()
+        sm = _normalize(sample)
+        scl = np.argmax(sm @ cent.T, axis=1)
+        frac = np.bincount(scl, minlength=len(cent)) / max(1, len(scl))
+        est = frac * float(n_total)
+        for c in np.nonzero(est > max_cluster_rows)[0]:
+            members = sample[scl == c]
+            # 2x headroom over the point estimate; stride-capped
+            sub_k = int(
+                min(
+                    np.ceil(2.0 * est[c] / max_cluster_rows),
+                    _SEMDEDUP_MAX_SUB - 1,
+                )
+            )
+            if len(members) >= 2 and sub_k >= 2:
+                sub_cents[int(c)] = _kmeans_lite(
+                    members, sub_k, seed=seed + 1 + int(c)
+                )
+    cent_ref = ray.put((cent, sub_cents))
 
     def assign(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return pa.table(
                 {id_col: pa.array([], pa.int64()),
                  "embedding": batch["embedding"],
-                 "cluster": pa.array([], pa.int32())}
+                 "cluster": pa.array([], pa.int32()),
+                 "gkey": pa.array([], pa.int64())}
             )
-        cent = ray.get(cent_ref)
+        cent, sub_cents = ray.get(cent_ref)
         m = _normalize(_mat(batch["embedding"]))
         cl = np.argmax(m @ cent.T, axis=1).astype(np.int32)
+        gkey = cl.astype(np.int64) * _SEMDEDUP_MAX_SUB
+        for c, sc in sub_cents.items():
+            mask = cl == c
+            if mask.any():
+                gkey[mask] += np.argmax(m[mask] @ sc.T, axis=1)
         return pa.table(
             {
                 id_col: batch[id_col],
                 "embedding": batch["embedding"],
                 "cluster": pa.array(cl),
+                "gkey": pa.array(gkey),
             }
         )
 
@@ -539,6 +582,6 @@ def semdedup(
     assigned = embeddings_ds.map_batches(
         assign, batch_format="pyarrow", batch_size=batch_size
     )
-    return assigned.groupby("cluster").map_groups(
+    return assigned.groupby("gkey").map_groups(
         dedup_group, batch_format="pandas"
     )

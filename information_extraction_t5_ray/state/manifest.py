@@ -126,11 +126,11 @@ def checkpointed(
     case the stage is skipped entirely and its Parquet is read back.
 
     Returns (dataset, skipped: bool)."""
-    import ray.data as rd
+    from ..stages.common import read_parquet_clean
 
     out = Path(out_dir)
     if is_complete(out_dir, fp):
-        return rd.read_parquet(str(out)), True
+        return read_parquet_clean(str(out)), True
 
     # stale/partial output from a previous failed attempt: clear it so
     # the rewrite is clean (write_parquet appends new files otherwise)
@@ -155,8 +155,8 @@ def checkpointed(
     wall = time.perf_counter() - t0
     schema_str = ""
     try:
-        schema_str = str(rd.read_parquet(str(out)).schema())
+        schema_str = str(read_parquet_clean(str(out)).schema())
     except Exception:
         pass
     write_manifest(out_dir, stage, fp, schema_str, wall_sec=wall)
-    return rd.read_parquet(str(out)), False
+    return read_parquet_clean(str(out)), False

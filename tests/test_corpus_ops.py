@@ -531,6 +531,29 @@ def test_semdedup_keeps_min_id_per_duplicate_group(ray_session):
     assert sorted(out["vec_id"]) == list(range(40))
 
 
+def test_semdedup_cluster_cap_subsplits_hot_cluster(ray_session):
+    """Forced 1-cluster config + a row cap: the sub-split must bound
+    per-group size while still collapsing planted exact duplicates
+    (identical vectors share an argmax, so they land in the same
+    sub-cluster by construction)."""
+    import ray.data as rd
+    from information_extraction_t5_ray.stages import similarity as sim
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(60, 8)
+    rows = [
+        {"vec_id": i, "embedding": base[i % 60].tolist()} for i in range(180)
+    ]  # every vector appears 3x
+    ds = rd.from_items(rows).repartition(4)
+    out = sim.semdedup(
+        ds, n_clusters=1, threshold=0.999, max_cluster_rows=30
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == list(range(60))
+    # coarse cluster id is preserved in the output even though the
+    # groupby ran on sub-split keys
+    assert set(out["cluster"]) == {0}
+
+
 def test_incremental_dedup_drops_snapshot_content(ray_session):
     import ray.data as rd
 
