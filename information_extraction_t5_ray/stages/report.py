@@ -10,9 +10,10 @@ answers table is.  The reference gathers everything into driver pandas
 (qa_model.py:190-204) — that is exactly what dies at crawl scale, so
 these sinks never call ``to_pandas()`` on an unbounded dataset.
 
-The xlsx writer needs openpyxl (not in this container) and is inherently
-a single-file driver-side render, so it is only attempted for small
-result sets; everything else streams to CSV with identical cells.
+The xlsx sink uses the stdlib SpreadsheetML writer (functions/xlsx.py —
+no openpyxl needed) and is inherently a single-file driver-side render,
+so it is only attempted for small result sets; everything else streams
+to CSV with identical cells.
 """
 
 from __future__ import annotations
@@ -218,16 +219,20 @@ def save_sheets_report(
             batch.set_index("url").to_csv(f, header=not wrote_header)
             wrote_header = True
     # n_rows > 0: an empty pivot writes a 0-byte CSV (no header), and
-    # pd.read_csv on it raises EmptyDataError past the ImportError catch
+    # pd.read_csv on it raises EmptyDataError
     if 0 < n_rows <= _XLSX_MAX_ROWS and str(path) != csv_path:
-        try:  # pragma: no cover - openpyxl absent in this container
-            import openpyxl  # noqa: F401 -- probe BEFORE re-reading the CSV
+        # stdlib SpreadsheetML writer (functions/xlsx.py) — the
+        # reference's _save_sheets xlsx sink (qa_model.py:388-436)
+        # without the openpyxl dependency; bounded by _XLSX_MAX_ROWS so
+        # the re-read stays driver-small
+        from ..functions.xlsx import write_xlsx
 
-            small = pd.read_csv(csv_path).set_index("url")
-            small.to_excel(path)
-            return path
-        except (ImportError, ModuleNotFoundError):
-            pass
+        small = pd.read_csv(csv_path)
+        write_xlsx(
+            path,
+            {"sheet": (list(small.columns), small.itertuples(index=False))},
+        )
+        return path
     return csv_path
 
 

@@ -49,10 +49,48 @@ def test_sheets_report(ray_session, answers_df, tmp_path):
     import ray.data as rd
 
     p = save_sheets_report(rd.from_pandas(answers_df), str(tmp_path / "sheet.xlsx"))
-    # openpyxl absent -> CSV fallback with the pivot cells
-    df = pd.read_csv(p)
-    flat = df.to_csv()
-    assert "form.cpf" in flat and "Ana" in flat
+    # small pivot -> real xlsx via the stdlib SpreadsheetML writer
+    assert p.endswith(".xlsx")
+    from information_extraction_t5_ray.functions.xlsx import read_xlsx_cells
+
+    cells = read_xlsx_cells(p)
+    rows = cells["sheet"]
+    header = rows[0]
+    assert any("form.cpf" in str(h) for h in header)
+    flat = str(rows)
+    assert "Ana" in flat
+    # the streamed CSV twin carries identical cells
+    csv_df = pd.read_csv(p[: -len(".xlsx")] + ".csv")
+    assert len(csv_df) == len(rows) - 1
+    assert list(map(str, csv_df.columns)) == [str(h) for h in header]
+
+
+def test_xlsx_writer_roundtrip(tmp_path):
+    """functions/xlsx.py round-trip: strings (escaped), ints, floats,
+    None/NaN blanks, multiple sheets in insertion order (reference
+    _save_sheets writes one sheet per document_class)."""
+    from information_extraction_t5_ray.functions.xlsx import (
+        read_xlsx_cells,
+        write_xlsx,
+    )
+
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(
+        path,
+        {
+            "m": (
+                ["doc", "f1", "note"],
+                [["d<1>", 0.5, "a & b"], ["d2", 1.0, None]],
+            ),
+            "n": (["k"], [[3]]),
+        },
+    )
+    cells = read_xlsx_cells(path)
+    assert list(cells) == ["m", "n"]
+    assert cells["m"][0] == ["doc", "f1", "note"]
+    assert cells["m"][1] == ["d<1>", 0.5, "a & b"]
+    assert cells["m"][2] == ["d2", 1.0, None]
+    assert cells["n"] == [["k"], [3.0]]
 
 
 def test_metrics_json(ray_session, answers_df, tmp_path):
