@@ -206,6 +206,84 @@ def oracle_triples_sql() -> str:
     return " UNION ALL ".join(selects)
 
 
+def _graph_cte() -> str:
+    """Shared CTE prefix for the KG graph oracles: triples -> DISTINCT
+    (subj, obj) over the graph predicates -> a<b co-mention edges ->
+    symmetric edges -> per-node out-weights.  Mirrors
+    stages/graph.cooccur_edges(symmetric=True) + the pagerank
+    out-weight aggregate."""
+    from ..stages.graph import GRAPH_PREDS
+
+    preds = ",".join(f"'{p}'" for p in GRAPH_PREDS)
+    return f"""WITH t AS ({oracle_triples_sql()}),
+g AS (SELECT DISTINCT subj, obj FROM t WHERE pred IN ({preds})),
+e0 AS (SELECT x.obj AS a, y.obj AS b, CAST(count(*) AS BIGINT) AS cnt
+       FROM g x JOIN g y ON x.subj = y.subj AND x.obj < y.obj
+       GROUP BY x.obj, y.obj),
+e AS (SELECT a, b, cnt FROM e0 UNION ALL SELECT b, a, cnt FROM e0),
+w AS (SELECT a AS node, CAST(SUM(cnt) AS BIGINT) AS w FROM e GROUP BY a)"""
+
+
+def kg_degree_sql() -> str:
+    """(node, out_degree, in_degree) over the full triples table."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+o AS (SELECT subj AS node, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY subj),
+i AS (SELECT obj AS node, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY obj)
+SELECT COALESCE(o.node, i.node) AS node,
+       COALESCE(o.c, 0) AS out_degree,
+       COALESCE(i.c, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.node = i.node"""
+
+
+def kg_cooccur_sql() -> str:
+    """a<b co-mention edge list with document counts."""
+    return f"{_graph_cte()} SELECT a, b, cnt FROM e0"
+
+
+def kg_pagerank_sql(n_iters: int = 5) -> str:
+    """Integer-exact weighted PageRank, bit-identical to
+    stages/graph.pagerank: r0 = SCALE; r_(k+1)(v) = TELEPORT +
+    (85 * sum((r_k(u) * w_uv) // W(u))) // 100, all BIGINT."""
+    from ..stages.graph import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_SCALE,
+    )
+
+    teleport = (
+        PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+    ) // PAGERANK_DAMP_DEN
+    parts = [_graph_cte()]
+    parts.append(
+        f", r0 AS (SELECT node, CAST({PAGERANK_SCALE} AS BIGINT) AS rank FROM w)"
+    )
+    for k in range(1, n_iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f""", r{k} AS (
+SELECT w.node,
+       CAST({teleport} + ({PAGERANK_DAMP_NUM} * COALESCE(s.c, 0))
+            // {PAGERANK_DAMP_DEN} AS BIGINT) AS rank
+FROM w LEFT JOIN (
+    SELECT e.b AS node, SUM((p.rank * e.cnt) // w2.w) AS c
+    FROM e JOIN {prev} p ON e.a = p.node JOIN w w2 ON w2.node = e.a
+    GROUP BY e.b
+) s ON s.node = w.node)"""
+        )
+    parts.append(f" SELECT node, rank AS rank_int FROM r{n_iters}")
+    return "".join(parts)
+
+
+def kg_neighbors_sql(k: int = 3) -> str:
+    """Top-k co-mentioned neighbors per node, (cnt desc, neighbor asc)."""
+    return f"""{_graph_cte()}
+SELECT a AS node, rnk AS rank, b AS neighbor, cnt FROM (
+    SELECT a, b, cnt,
+           row_number() OVER (PARTITION BY a ORDER BY cnt DESC, b) AS rnk
+    FROM e
+) WHERE rnk <= {k}"""
+
+
 def oracle_entities_sql() -> str:
     """Expected canonical entity table: mention counts per normalized
     object over the triples oracle (checks the SALTED two-phase

@@ -1,0 +1,367 @@
+"""KG graph analytics over the materialized triples table.
+
+The north star materializes (subj, pred, obj) edge lists; these
+operators are the downstream graph-construction consumers a KG
+pipeline needs: node degrees, entity co-mention edges, entity
+importance (PageRank) and per-entity neighbor rankings.
+
+Scale posture (all stages follow the repo's two-phase pattern):
+
+* ``node_degrees`` — per-batch ``value_counts`` partials, one row per
+  (batch, node) on the wire, bucketed merge; never ships raw triples
+  into a shuffle.
+* ``cooccur_edges`` — per-document entity pairs need the document
+  co-located, so ONE ``groupby(subj)`` shuffle of the (pred-filtered,
+  column-pruned) triples; pair emission is vectorized inside the
+  group, then partial counts collapse per batch before the small
+  final merge (pair vocabulary << pair occurrences).
+* ``pagerank`` — INTEGER-exact power iteration with the rank vector
+  broadcast via ``ray.put`` and edges streamed through
+  ``map_batches``; per iteration the exchange is one bounded partial
+  aggregation (one row per distinct dst per batch), never an
+  edge-by-rank join shuffle.  Assumes the node vocabulary (entity
+  surface forms) is object-store-small even when the EDGE/mention
+  volume is crawl-scale — the realistic entity-graph regime.  All
+  arithmetic is int64 (contributions floor-divide, damping is
+  ``*85 // 100``), so results are bit-exact and order-independent:
+  the DuckDB oracle hashes equal (no float accumulation drift).
+* ``neighbor_topk`` — grouped top-k over the co-mention edges with
+  deterministic (cnt desc, neighbor asc) ties.
+
+Reference analog: none (the reference stops at flat answer tables);
+cited design inputs are the north star's "canonicalization /
+materialize (subj, pred, obj) edge lists" stage and the repo-wide
+salted two-phase aggregation pattern (stages/triples.py).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .common import bucket_of, resolve_parallelism
+
+# default entity predicates for the co-mention graph: closed-vocabulary
+# fields (places, issuing organs) — the graph's nodes are ENTITIES, not
+# per-document literals like CPF digits
+GRAPH_PREDS = (
+    "form.endereco.cidade",
+    "form.endereco.estado",
+    "form.endereco.bairro",
+    "form.orgao_emissor",
+)
+
+PAGERANK_SCALE = 10**12  # initial integer rank mass per node
+PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100  # 0.85 as a ratio
+
+
+def node_degrees(triples_ds, num_buckets: Optional[int] = None):
+    """(node, out_degree, in_degree) over subj/obj endpoints.
+
+    Two-phase: per-batch value_counts -> bucketed sum merge.  Output
+    BIGINT degrees; nodes appearing only as subj (documents) have
+    in_degree 0 and vice versa.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        out_c = pd.Series(batch["subj"].to_pandas()).value_counts()
+        in_c = pd.Series(batch["obj"].to_pandas()).value_counts()
+        df = pd.concat(
+            [out_c.rename("out_degree"), in_c.rename("in_degree")], axis=1
+        ).fillna(0)
+        res = pd.DataFrame(
+            {
+                "node": df.index.astype(str),
+                "out_degree": df["out_degree"].to_numpy(np.int64),
+                "in_degree": df["in_degree"].to_numpy(np.int64),
+            }
+        )
+        res["_bucket"] = bucket_of(res["node"], num_buckets)
+        return res
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)[
+            ["out_degree", "in_degree"]
+        ].sum()
+        g["out_degree"] = g["out_degree"].astype(np.int64)
+        g["in_degree"] = g["in_degree"].astype(np.int64)
+        return g[["node", "out_degree", "in_degree"]]
+
+    partials = triples_ds.select_columns(["subj", "obj"]).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+
+
+def cooccur_edges(
+    triples_ds,
+    preds: Sequence[str] = GRAPH_PREDS,
+    num_buckets: Optional[int] = None,
+    symmetric: bool = False,
+):
+    """Entity co-mention edges: (a, b, cnt) counting documents whose
+    triple set mentions both entities, over the ``preds`` predicates,
+    with ``a < b`` lexicographically (or both directions when
+    ``symmetric`` — the PageRank input).
+
+    One groupby(subj) co-locates each document's (few) graph-predicate
+    objects; pair emission is a vectorized cross-product per document
+    (bounded by len(preds)); per-batch partial counts collapse the
+    pair stream before the final bucketed merge.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    pred_set = set(preds)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["pred"], value_set=pa.array(sorted(pred_set)))
+        return batch.filter(mask).select(["subj", "obj"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # df holds one or more COMPLETE documents (groupby subj)
+        rows_a: List[np.ndarray] = []
+        rows_b: List[np.ndarray] = []
+        for _, sub in df.groupby("subj", sort=False):
+            vals = np.unique(sub["obj"].to_numpy(dtype=object).astype(str))
+            n = len(vals)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            rows_a.append(vals[iu])
+            rows_b.append(vals[ju])
+        if not rows_a:
+            return pd.DataFrame({"a": pd.Series(dtype=str),
+                                 "b": pd.Series(dtype=str),
+                                 "cnt": pd.Series(dtype=np.int64),
+                                 "_bucket": pd.Series(dtype=np.int32)})
+        a = np.concatenate(rows_a)
+        b = np.concatenate(rows_b)
+        part = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("cnt")
+            .reset_index()
+        )
+        part["cnt"] = part["cnt"].astype(np.int64)
+        part["_bucket"] = bucket_of(part["a"] + "\x1f" + part["b"], num_buckets)
+        return part
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False, as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g[["a", "b", "cnt"]]
+
+    edges = (
+        triples_ds.map_batches(keep, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("subj")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )
+    if not symmetric:
+        return edges
+
+    def mirror(batch: pa.Table) -> pa.Table:
+        rev = pa.table(
+            {"a": batch["b"], "b": batch["a"], "cnt": batch["cnt"]}
+        )
+        return pa.concat_tables([batch.select(["a", "b", "cnt"]), rev])
+
+    return edges.map_batches(mirror, batch_format="pyarrow")
+
+
+def _pagerank_iterate_local(
+    a_idx: np.ndarray,
+    b_idx: np.ndarray,
+    w: np.ndarray,
+    outw: np.ndarray,
+    n_iters: int,
+    teleport: int,
+) -> np.ndarray:
+    """One-worker power iteration, arithmetic-identical to the
+    distributed path: per-dst int64 contribution sums (``np.add.at`` —
+    exact, unlike float ``bincount``), then ``(sum * 85) // 100``."""
+    ranks = np.full(len(outw), PAGERANK_SCALE, dtype=np.int64)
+    for _ in range(n_iters):
+        c = (ranks[a_idx] * w) // outw[a_idx]
+        sums = np.zeros(len(outw), dtype=np.int64)
+        np.add.at(sums, b_idx, c)
+        ranks = teleport + (sums * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+    return ranks
+
+
+def pagerank(
+    edges_ds,
+    n_iters: int = 5,
+    num_buckets: Optional[int] = None,
+    local_edge_threshold: int = 4_000_000,
+):
+    """Integer-exact weighted PageRank over a SYMMETRIC weighted edge
+    list (a, b, cnt).
+
+    r_0(v) = SCALE; r_{t+1}(v) = TELEPORT + 85 * (sum over in-edges of
+    r_t(u) * w(u,v) // W(u)) // 100, all int64 — bit-exact in any
+    engine and under any partitioning (integer sums commute).  The
+    rank vector broadcasts via ``ray.put`` each iteration; edges
+    stream through ``map_batches`` emitting per-batch partial dst
+    sums, merged by a bounded bucketed groupby (one row per distinct
+    dst per batch on the wire).  Node vocabulary must fit the object
+    store (entity-graph regime); edge volume is unbounded.
+
+    Every symmetric edge gives W(u) >= 1, so there are no dangling
+    nodes by construction.
+    """
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    teleport = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+                ) // PAGERANK_DAMP_DEN
+
+    # the edge list is consumed n_iters + 1 times (out-weights + one
+    # pass per iteration); lazy lineage would re-execute the WHOLE
+    # upstream pipeline (triples -> cooccur shuffle) per consumer, so
+    # pin the (pair-vocabulary-sized, far smaller than the corpus)
+    # edge blocks in the object store once
+    edges_ds = edges_ds.materialize()
+
+    # small graphs: each Ray pass costs ~1-2 s of fixed pipeline
+    # overhead, so below the same edge bound dedup's _local_cc uses,
+    # iterate on one worker — arithmetic-identical (integer ops) to
+    # the distributed path, which stays for crawl-scale edge volumes
+    if edges_ds.count() <= local_edge_threshold:
+        import ray.data as rd
+
+        edf = edges_ds.to_pandas()
+        nodes = np.unique(edf["a"].to_numpy(dtype=object).astype(str))
+        idx = {n: i for i, n in enumerate(nodes)}
+        a_idx = edf["a"].astype(str).map(idx).to_numpy(np.int64)
+        b_idx = edf["b"].astype(str).map(idx).to_numpy(np.int64)
+        w = edf["cnt"].to_numpy(np.int64)
+        outw = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(outw, a_idx, w)
+        ranks = _pagerank_iterate_local(
+            a_idx, b_idx, w, outw, n_iters, teleport
+        )
+        out = pa.table(
+            {
+                "node": pa.array(nodes.tolist(), pa.string()),
+                "rank_int": pa.array(ranks.tolist(), pa.int64()),
+            }
+        )
+        return rd.from_arrow(out)
+
+    # out-weight per node: small two-phase aggregate (node vocab rows)
+    def outw_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "node": batch["a"].to_pandas().astype(str),
+                "w": batch["cnt"].to_pandas().astype(np.int64),
+            }
+        )
+        g = df.groupby("node", sort=False, as_index=False)["w"].sum()
+        g["_bucket"] = bucket_of(g["node"], num_buckets)
+        return g
+
+    def outw_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["w"].sum()
+        return g
+
+    outw_rows = (
+        edges_ds.map_batches(outw_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(outw_final, batch_format="pandas")
+        .to_pandas()
+    )
+    nodes = outw_rows["node"].to_numpy(dtype=object).astype(str)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    outw = outw_rows["w"].to_numpy(np.int64)[order]
+    node_idx = {n: i for i, n in enumerate(nodes)}
+    ranks = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
+
+    for _ in range(n_iters):
+        state = ray.put((node_idx, ranks, outw))
+
+        def contrib(batch: pa.Table) -> pd.DataFrame:
+            idx, r, w_out = ray.get(state)
+            a = batch["a"].to_pandas().astype(str).map(idx).to_numpy(np.int64)
+            b = batch["b"].to_pandas().astype(str).map(idx).to_numpy(np.int64)
+            w = batch["cnt"].to_pandas().to_numpy(np.int64)
+            c = (r[a] * w) // w_out[a]
+            g = (
+                pd.DataFrame({"dst": b, "c": c})
+                .groupby("dst", sort=False, as_index=False)["c"]
+                .sum()
+            )
+            g["_bucket"] = (g["dst"].to_numpy(np.int64) % 16).astype(np.int32)
+            return g
+
+        def merge(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("dst", sort=False, as_index=False)["c"].sum()
+
+        sums = (
+            edges_ds.map_batches(contrib, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(merge, batch_format="pandas")
+            .to_pandas()
+        )
+        new = np.full(len(nodes), teleport, dtype=np.int64)
+        dst = sums["dst"].to_numpy(np.int64)
+        new[dst] += (
+            sums["c"].to_numpy(np.int64) * PAGERANK_DAMP_NUM
+        ) // PAGERANK_DAMP_DEN
+        ranks = new
+
+    import ray.data as rd
+
+    out = pa.table(
+        {
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "rank_int": pa.array(ranks.tolist(), pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)
+
+
+def neighbor_topk(
+    edges_ds,
+    k: int = 3,
+    num_buckets: Optional[int] = None,
+):
+    """Per-entity top-k co-mentioned neighbors: (node, rank, neighbor,
+    cnt) with deterministic ordering (cnt desc, neighbor asc).  Input
+    is the SYMMETRIC edge list so every node ranks all its neighbors.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(
+            pd.Series(batch["a"].to_pandas().astype(str)), num_buckets
+        )
+        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["a", "cnt", "b"], ascending=[True, False, True], kind="stable"
+        )
+        top = df.groupby("a", sort=False).head(k).copy()
+        top["rank"] = top.groupby("a", sort=False).cumcount() + 1
+        out = top.rename(columns={"a": "node", "b": "neighbor"})[
+            ["node", "rank", "neighbor", "cnt"]
+        ]
+        out["rank"] = out["rank"].astype(np.int64)
+        out["cnt"] = out["cnt"].astype(np.int64)
+        return out
+
+    return (
+        edges_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(topk, batch_format="pandas")
+    )

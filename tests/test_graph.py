@@ -1,0 +1,156 @@
+"""KG graph analytics (stages/graph.py): distributed-vs-local parity
+and kernel unit checks.  Oracle parity for all four queries runs in
+tests/test_oracle.py (kg_degrees / kg_cooccur / kg_pagerank /
+kg_neighbors vs the DuckDB CTEs in sources/oracle.py)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from information_extraction_t5_ray.stages import graph as G
+
+
+def _triples(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+CITY = "form.endereco.cidade"
+UF = "form.endereco.estado"
+FIXTURE = [
+    ("d1", CITY, "recife"),
+    ("d1", UF, "pe"),
+    ("d1", "form.nome", "ana"),  # non-graph pred: excluded from edges
+    ("d2", CITY, "recife"),
+    ("d2", UF, "pe"),
+    ("d3", CITY, "natal"),
+    ("d3", UF, "rn"),
+    ("d4", CITY, "recife"),  # singleton doc: no pairs
+    ("d5", CITY, "recife"),
+    ("d5", UF, "pb"),  # second in-source for recife (rank separation)
+]
+
+
+def test_node_degrees(ray_session):
+    got = (
+        G.node_degrees(_triples(FIXTURE))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    row = got.set_index("node")
+    assert row.loc["d1", "out_degree"] == 3
+    assert row.loc["d1", "in_degree"] == 0
+    assert row.loc["recife", "out_degree"] == 0
+    assert row.loc["recife", "in_degree"] == 4
+    assert row.loc["ana", "in_degree"] == 1
+
+
+def test_cooccur_edges_counts_documents(ray_session):
+    got = (
+        G.cooccur_edges(_triples(FIXTURE))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "a": ["natal", "pb", "pe"],
+            "b": ["rn", "recife", "recife"],
+            "cnt": np.array([1, 1, 2], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_cooccur_symmetric_mirrors(ray_session):
+    got = G.cooccur_edges(_triples(FIXTURE), symmetric=True).to_pandas()
+    fwd = got[got["a"] < got["b"]].sort_values(["a", "b"]).reset_index(drop=True)
+    rev = got[got["a"] > got["b"]].rename(columns={"a": "b", "b": "a"})
+    rev = rev[["a", "b", "cnt"]].sort_values(["a", "b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fwd, rev)
+
+
+def test_pagerank_distributed_matches_local(ray_session):
+    """The distributed power iteration (broadcast rank vector, per-batch
+    partial dst sums) must be bit-identical to the local int64 fast
+    path — integer arithmetic commutes, so any divergence is a bug."""
+    sym = G.cooccur_edges(_triples(FIXTURE), symmetric=True).materialize()
+    local = (
+        G.pagerank(sym).to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    dist = (
+        G.pagerank(sym, local_edge_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    assert local["rank_int"].dtype == np.int64
+    # conservation sanity: teleport floor below every rank
+    assert (local["rank_int"] >= 15 * G.PAGERANK_SCALE // 100).all()
+    # recife (in 2-doc edges) must outrank natal (1-doc component)
+    r = local.set_index("node")["rank_int"]
+    assert r["recife"] > r["natal"]
+
+
+def test_pagerank_local_kernel_exact():
+    """Hand-computed 2-node symmetric graph: a<->b, w=1 each side.
+    W(a)=W(b)=1, so each iteration r' = teleport + 85*r//100 for both
+    nodes (symmetric), converging toward SCALE."""
+    a = np.array([0, 1], np.int64)
+    b = np.array([1, 0], np.int64)
+    w = np.ones(2, np.int64)
+    outw = np.ones(2, np.int64)
+    teleport = (
+        G.PAGERANK_SCALE * (G.PAGERANK_DAMP_DEN - G.PAGERANK_DAMP_NUM)
+    ) // G.PAGERANK_DAMP_DEN
+    r = np.full(2, G.PAGERANK_SCALE, np.int64)
+    for _ in range(5):
+        r = teleport + (r * 1 // 1) * 85 // 100
+    got = G._pagerank_iterate_local(a, b, w, outw, 5, teleport)
+    assert (got == r).all()
+
+
+def test_neighbor_topk_ties_and_k(ray_session):
+    edges = pd.DataFrame(
+        {
+            "a": ["x"] * 4,
+            "b": ["n1", "n2", "n3", "n4"],
+            "cnt": np.array([5, 5, 9, 1], np.int64),
+        }
+    )
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.Table.from_pandas(edges, preserve_index=False))
+    got = (
+        G.neighbor_topk(ds, k=3)
+        .to_pandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    # cnt desc, neighbor asc on ties; k=3 cuts n4
+    assert list(got["neighbor"]) == ["n3", "n1", "n2"]
+    assert list(got["rank"]) == [1, 2, 3]
+    assert "n4" not in set(got["neighbor"])
+
+
+def test_graph_preds_filter(ray_session):
+    """Non-graph predicates (per-document literals) never become nodes."""
+    got = G.cooccur_edges(_triples(FIXTURE), symmetric=True).to_pandas()
+    assert "ana" not in set(got["a"]) | set(got["b"])
