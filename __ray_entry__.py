@@ -121,6 +121,54 @@ def _q_kg_neighbors(sf_dir: str):
     return neighbor_topk(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_crawl_latest(sf_dir: str):
+    """Newest snapshot per url over the multi-snapshot crawl set."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.stages.crawl import latest_snapshot
+
+    return latest_snapshot(read_crawl(sf_dir))
+
+
+def _q_domain_stats(sf_dir: str):
+    """Per-domain inventory (exact distinct urls, page counts)."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.stages.crawl import domain_stats
+
+    return domain_stats(read_crawl(sf_dir))
+
+
+def _q_blocklist_filter(sf_dir: str):
+    """Broadcast host-blocklist gating of the crawl stream."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.sources.oracle_crawl import (
+        BLOCKED_SOURCES,
+    )
+    from information_extraction_t5_ray.stages.crawl import blocklist_filter
+
+    blocked = [f"{s}.example.org" for s in BLOCKED_SOURCES]
+    return blocklist_filter(read_crawl(sf_dir), blocked)
+
+
+def _q_recrawl_changes(sf_dir: str):
+    """Per-url content-change detection across snapshots."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.stages.crawl import recrawl_changes
+
+    return recrawl_changes(read_crawl(sf_dir))
+
+
+def _q_host_quota(sf_dir: str):
+    """Per-host crawl-budget cap over the latest-snapshot set."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.sources.oracle_crawl import HOST_QUOTA_K
+    from information_extraction_t5_ray.stages.crawl import (
+        host_quota,
+        latest_snapshot,
+    )
+
+    return host_quota(latest_snapshot(read_crawl(sf_dir)), k=HOST_QUOTA_K)
+
+
 def _q_eval_by_document(sf_dir: str):
     from information_extraction_t5_ray.pipelines.kg import kg_eval_metrics
 
@@ -145,6 +193,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur": _q_kg_cooccur,  # new r3: co-mention edge list
         "kg_pagerank": _q_kg_pagerank,  # new r3: integer-exact PageRank
         "kg_neighbors": _q_kg_neighbors,  # new r3: per-entity top-k
+        # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
+        "crawl_latest": _q_crawl_latest,  # newest snapshot per url
+        "domain_stats": _q_domain_stats,  # per-domain inventory
+        "blocklist_filter": _q_blocklist_filter,  # broadcast host gate
+        "recrawl_changes": _q_recrawl_changes,  # per-url change detection
+        "host_quota": _q_host_quota,  # per-host crawl-budget cap
         # E1 training-data production + balancing + eval harness
         "t5_examples": _q_t5_examples,
         "balanced_examples": _q_balanced_examples,
@@ -188,12 +242,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_texts": c.q_pack_texts,  # materialized training sequences
         "pii_redact": c.q_pii_redact,  # C4-style scrubbing
         "data_mixture": c.q_data_mixture,  # token-budget mixing
-        "embedding_dupes": c.q_embedding_dupes,
-        "ann_topk_ivf": c.q_ann_topk_ivf,  # nprobe=all -> oracle-exact
-        "quality_score": c.q_quality_score,  # Gopher/C4-style gates
-        "lm_score": c.q_lm_score,  # CCNet-shaped count-LM fluency
-        "media_meta": c.q_media_meta,  # decode round-trip, oracle-checked
         # ==== past the ~50-entry driver window: all green r2 or r1 ====
+        "embedding_dupes": c.q_embedding_dupes,  # green r2
+        "ann_topk_ivf": c.q_ann_topk_ivf,  # green r2 (nprobe=all exact)
+        "quality_score": c.q_quality_score,  # green r2
+        "lm_score": c.q_lm_score,  # green r2
+        "media_meta": c.q_media_meta,  # green r2
         "jaccard_dupes": c.q_jaccard_dupes,  # green r2
         "dedup_apply": c.q_dedup_apply,  # green r2
         "length_histogram": c.q_length_histogram,  # green r2
@@ -234,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         oracle_eval_by_typename_sql,
     )
 
+    from information_extraction_t5_ray.sources import oracle_crawl as ocr
     from information_extraction_t5_ray.sources.oracle import (
         kg_cooccur_sql,
         kg_degree_sql,
@@ -248,6 +303,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccur": kg_cooccur_sql(),
         "kg_pagerank": kg_pagerank_sql(),
         "kg_neighbors": kg_neighbors_sql(),
+        "crawl_latest": ocr.crawl_latest_sql(),
+        "domain_stats": ocr.domain_stats_sql(),
+        "blocklist_filter": ocr.blocklist_filter_sql(),
+        "recrawl_changes": ocr.recrawl_changes_sql(),
+        "host_quota": ocr.host_quota_sql(),
         "balanced_sample": oc.balanced_sample_sql(),
         "eval_by_qaid": oracle_eval_by_qaid_sql(),
         "eval_by_typename": oracle_eval_by_typename_sql(),

@@ -1,0 +1,80 @@
+"""DuckDB oracles for the crawl-intake operators (stages/crawl.py).
+
+The crawl table is closed-form in ``doc_id`` (sources/crawl.py), so
+every operator's expected output is one SQL query over the driver's
+``documents`` view.  The CTE below is BUILT from the same constants
+the generator uses (SNAPSHOT_MOD / CONTENT_CHANGE_MOD / host suffix),
+so generator and oracle cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from .crawl import CONTENT_CHANGE_MOD, CRAWL_HOST_SUFFIX, SNAPSHOT_MOD
+
+BLOCKED_SOURCES = ("src3", "src7", "src13")
+HOST_QUOTA_K = 10
+
+
+def _crawl_cte() -> str:
+    m = SNAPSHOT_MOD
+    cm = CONTENT_CHANGE_MOD
+    return f"""WITH c AS (
+  SELECT d.doc_id, d.source, d.lang,
+         'https://'||d.source||'{CRAWL_HOST_SUFFIX}/p/'||lpad(CAST(d.doc_id AS VARCHAR),8,'0') AS url,
+         d.source||'{CRAWL_HOST_SUFFIX}' AS host,
+         TIMESTAMP '2020-01-01' + d.doc_id * INTERVAL 1 MINUTE + g.r * INTERVAL 1 DAY AS warc_ts,
+         CAST(d.doc_id*16 + CASE WHEN d.doc_id%{cm}=0 THEN g.r ELSE 0 END AS BIGINT) AS content_id,
+         CAST(d.n_chars + 7*g.r AS BIGINT) AS n_bytes
+  FROM documents d CROSS JOIN generate_series(0, {m - 1}) AS g(r)
+  WHERE g.r <= d.doc_id % {m}
+)"""
+
+
+def _latest_cte() -> str:
+    return f"""{_crawl_cte()},
+latest AS (
+  SELECT url, host, warc_ts, content_id, n_bytes FROM (
+    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    FROM c
+  ) WHERE rn = 1
+)"""
+
+
+def crawl_latest_sql() -> str:
+    return f"{_latest_cte()} SELECT url, warc_ts, content_id, n_bytes FROM latest"
+
+
+def domain_stats_sql() -> str:
+    return f"""{_crawl_cte()}
+SELECT host,
+       CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       max(warc_ts) AS last_crawl
+FROM c GROUP BY host"""
+
+
+def blocklist_filter_sql() -> str:
+    blocked = ",".join(f"'{s}'" for s in BLOCKED_SOURCES)
+    return f"""{_crawl_cte()}
+SELECT url, warc_ts, content_id, lang FROM c WHERE source NOT IN ({blocked})"""
+
+
+def recrawl_changes_sql() -> str:
+    return f"""{_crawl_cte()}
+SELECT url,
+       CAST(count(*) AS BIGINT) AS n_snapshots,
+       CAST(SUM(CASE WHEN content_id <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes
+FROM (
+  SELECT url, content_id,
+         lag(content_id) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+  FROM c
+) GROUP BY url"""
+
+
+def host_quota_sql(k: int = HOST_QUOTA_K) -> str:
+    return f"""{_latest_cte()}
+SELECT host, url, warc_ts FROM (
+  SELECT host, url, warc_ts,
+         row_number() OVER (PARTITION BY host ORDER BY warc_ts, url) AS rn
+  FROM latest
+) WHERE rn <= {k}"""

@@ -1,0 +1,231 @@
+"""Crawl-recency / per-domain operators over multi-snapshot page sets.
+
+The web-scale pipeline sees each URL many times (recrawls); these are
+the standard curation steps between "raw WARC listing" and "corpus the
+extractor reads": keep the newest snapshot per URL, per-domain
+inventory stats, broadcast blocklist gating, recrawl change detection,
+and per-host crawl-budget quotas.
+
+All stages follow the repo's two-phase pattern: vectorized per-batch
+partials (one row per (batch, key) on the wire), then a bucketed merge
+whose width follows ``resolve_parallelism``.  Group-wise steps bucket
+by key hash and run ONE pandas groupby per bucket (C-speed) — never a
+Python call per key.  The host parse is Arrow ``split_pattern`` on the
+zero-copy url column.
+
+Reference analog: none (the reference starts from a ready corpus);
+the operators implement the north rule's "Common-Crawl-style web
+pages" intake stage.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .common import bucket_of, resolve_parallelism
+
+
+def _host_array(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized host extraction: 'https://HOST/path' -> HOST."""
+    parts = pc.split_pattern(urls, pattern="/")
+    return pc.list_element(parts, 2)
+
+
+def latest_snapshot(crawl_ds, num_buckets: Optional[int] = None):
+    """Newest snapshot per url: (url, warc_ts, content_id, n_bytes).
+
+    Two-phase argmax: per-batch pandas groupby tail(1) on
+    (url, warc_ts)-sorted rows, then the same merge per url bucket —
+    one candidate row per (batch, url) crosses the wire, never the
+    full snapshot stream.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    cols = ["url", "warc_ts", "content_id", "n_bytes"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(cols).to_pandas()
+        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        top = df.groupby("url", sort=False).tail(1).copy()
+        top["_bucket"] = bucket_of(top["url"], num_buckets)
+        return top
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        return df.groupby("url", sort=False).tail(1)[cols]
+
+    return (
+        crawl_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def domain_stats(crawl_ds, num_buckets: Optional[int] = None):
+    """Per-domain inventory: (host, n_urls, n_pages, last_crawl).
+
+    ``n_urls`` is an EXACT distinct count, so the reduction runs in two
+    exchanges: (1) distinct (host, url) with additive page counts,
+    bucketed BY URL (the unbounded key — hosts are skewed, urls are
+    not); (2) a per-host rollup whose partial rows are one per
+    (batch, host): the host vocabulary is web-domain-sized, far
+    smaller than the url space, so the final merge is tiny.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def url_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "host": _host_array(batch["url"]).to_pandas().astype(str),
+                "url": batch["url"].to_pandas().astype(str),
+                "warc_ts": batch["warc_ts"].to_pandas(),
+            }
+        )
+        g = df.groupby(["host", "url"], sort=False).agg(
+            n_pages=("url", "size"), last_crawl=("warc_ts", "max")
+        ).reset_index()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        g["_bucket"] = bucket_of(g["url"], num_buckets)
+        return g
+
+    def url_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["host", "url"], sort=False).agg(
+            n_pages=("n_pages", "sum"), last_crawl=("last_crawl", "max")
+        ).reset_index()
+        # per-bucket host partial: one row per host per bucket
+        h = g.groupby("host", sort=False).agg(
+            n_urls=("url", "size"),
+            n_pages=("n_pages", "sum"),
+            last_crawl=("last_crawl", "max"),
+        ).reset_index()
+        h["n_urls"] = h["n_urls"].astype(np.int64)
+        h["n_pages"] = h["n_pages"].astype(np.int64)
+        h["_bucket2"] = bucket_of(h["host"], 16)
+        return h
+
+    def host_final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False).agg(
+            n_urls=("n_urls", "sum"),
+            n_pages=("n_pages", "sum"),
+            last_crawl=("last_crawl", "max"),
+        ).reset_index()
+        g["n_urls"] = g["n_urls"].astype(np.int64)
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        return g[["host", "n_urls", "n_pages", "last_crawl"]]
+
+    return (
+        crawl_ds.map_batches(url_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(url_merge, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(host_final, batch_format="pandas")
+    )
+
+
+def blocklist_filter(crawl_ds, blocked_hosts: Iterable[str]):
+    """Drop snapshots whose url host is on the (broadcast) blocklist.
+
+    The blocklist is a closure constant — shipped once per task via the
+    plan, never re-read per batch; the filter itself is a zero-copy
+    Arrow mask (shuffle-free, embarrassingly parallel).
+    Output: (url, warc_ts, content_id, lang) survivors.
+    """
+    blocked = pa.array(sorted(set(blocked_hosts)), pa.string())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(_host_array(batch["url"]), value_set=blocked))
+        return batch.filter(mask).select(
+            ["url", "warc_ts", "content_id", "lang"]
+        )
+
+    return crawl_ds.map_batches(keep, batch_format="pyarrow")
+
+
+def recrawl_changes(crawl_ds, num_buckets: Optional[int] = None):
+    """Per-url recrawl diffing: (url, n_snapshots, n_changes) where a
+    change is a content_id differing from the PREVIOUS snapshot in
+    warc_ts order.
+
+    Needs each url's snapshots co-located + ordered, so: ONE bucketed
+    exchange on url hash, then a single vectorized pandas pass per
+    bucket (sort by (url, warc_ts); a change is a row whose url equals
+    the previous row's AND content differs — no Python per-url loop).
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch["url"].to_pandas().astype(str), num_buckets)
+        return batch.select(["url", "warc_ts", "content_id"]).append_column(
+            "_bucket", pa.array(b, pa.int32())
+        )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        url = df["url"].to_numpy(dtype=object)
+        content = df["content_id"].to_numpy(np.int64)
+        same_url = np.empty(len(df), dtype=bool)
+        same_url[0] = False
+        same_url[1:] = url[1:] == url[:-1]
+        changed = np.empty(len(df), dtype=bool)
+        changed[0] = False
+        changed[1:] = content[1:] != content[:-1]
+        g = pd.DataFrame(
+            {"url": url, "chg": (same_url & changed).astype(np.int64)}
+        ).groupby("url", sort=False)
+        out = g.agg(n_snapshots=("chg", "size"), n_changes=("chg", "sum"))
+        out = out.reset_index()
+        out["n_snapshots"] = out["n_snapshots"].astype(np.int64)
+        out["n_changes"] = out["n_changes"].astype(np.int64)
+        return out
+
+    return (
+        crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(diff, batch_format="pandas")
+    )
+
+
+def host_quota(
+    latest_ds,
+    k: int = 10,
+    num_buckets: Optional[int] = None,
+):
+    """Per-host crawl-budget cap (politeness quota): over the LATEST
+    snapshot set, keep each host's first ``k`` urls by (warc_ts, url).
+    Output: (host, url, warc_ts).
+
+    Grouped head-k is reduction-friendly: each batch's per-host top-k
+    is a superset of its contribution to the global top-k, so the
+    partial keeps ≤ k rows per (batch, host) and the bucketed merge
+    re-ranks only candidates.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "host": _host_array(batch["url"]).to_pandas().astype(str),
+                "url": batch["url"].to_pandas().astype(str),
+                "warc_ts": batch["warc_ts"].to_pandas(),
+            }
+        )
+        df = df.sort_values(["host", "warc_ts", "url"], kind="stable")
+        top = df.groupby("host", sort=False).head(k).copy()
+        top["_bucket"] = bucket_of(top["host"], num_buckets)
+        return top
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["host", "warc_ts", "url"], kind="stable")
+        return df.groupby("host", sort=False).head(k)[
+            ["host", "url", "warc_ts"]
+        ]
+
+    return (
+        latest_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

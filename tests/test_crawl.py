@@ -1,0 +1,137 @@
+"""Crawl-intake operators (stages/crawl.py): kernel edge cases.
+End-to-end oracle parity runs in tests/test_oracle.py (crawl_latest /
+domain_stats / blocklist_filter / recrawl_changes / host_quota)."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from information_extraction_t5_ray.sources import crawl as C
+from information_extraction_t5_ray.stages import crawl as S
+
+
+def _crawl_ds(rows, blocks=1):
+    """rows: (url, ts_sec, content_id, n_bytes, lang); split into
+    ``blocks`` single-batch datasets unioned so per-batch partials see
+    DIFFERENT batches (the reduction-correctness edge)."""
+    import ray.data as rd
+
+    def tbl(chunk):
+        return pa.table(
+            {
+                "url": pa.array([r[0] for r in chunk], pa.string()),
+                "warc_ts": pa.array(
+                    np.array([r[1] for r in chunk], "datetime64[s]").astype(
+                        "datetime64[us]"
+                    )
+                ),
+                "content_id": pa.array([r[2] for r in chunk], pa.int64()),
+                "n_bytes": pa.array([r[3] for r in chunk], pa.int64()),
+                "lang": pa.array([r[4] for r in chunk], pa.string()),
+            }
+        )
+
+    per = max(1, len(rows) // blocks)
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    ds = rd.from_arrow(tbl(chunks[0]))
+    for ch in chunks[1:]:
+        ds = ds.union(rd.from_arrow(tbl(ch)))
+    return ds
+
+
+U1 = "https://a.example.org/p/1"
+U2 = "https://b.example.org/p/2"
+
+
+def test_documents_to_crawl_explosion_counts():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 5], pa.int64()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            "lang": pa.array(["pt"] * 5, pa.string()),
+            "n_chars": pa.array([10] * 5, pa.int64()),
+        }
+    )
+    out = C.documents_to_crawl(batch)
+    # snapshots = 1 + d % 3 -> 1+2+3+1+3 = 10
+    assert out.num_rows == 10
+    df = out.to_pandas()
+    # content changes per revision only for d % 5 == 0
+    d0 = df[df["url"].str.endswith("00000000")]
+    assert list(d0["content_id"]) == [0]  # one snapshot, rev 0
+    d5 = df[df["url"].str.endswith("00000005")]
+    assert list(d5["content_id"]) == [80, 81, 82]
+    d2 = df[df["url"].str.endswith("00000002")]
+    assert list(d2["content_id"]) == [32, 32, 32]  # stable content
+    # later revision -> strictly later timestamp
+    assert d5["warc_ts"].is_monotonic_increasing
+
+
+def test_latest_snapshot_across_batches(ray_session):
+    """The url's newest row lives in a DIFFERENT batch than its older
+    rows — the per-batch partial must not discard the global winner."""
+    rows = [
+        (U1, 100, 1, 10, "pt"),
+        (U2, 50, 7, 20, "pt"),
+        (U1, 500, 2, 11, "pt"),  # newest for U1, second batch
+        (U2, 40, 8, 21, "pt"),
+    ]
+    got = (
+        S.latest_snapshot(_crawl_ds(rows, blocks=2))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["content_id"]) == [2, 7]
+    assert got["warc_ts"].dt.second.tolist() == [20, 50]  # 500s, 50s
+
+
+def test_blocklist_filter_parses_host(ray_session):
+    rows = [(U1, 1, 1, 1, "pt"), (U2, 2, 2, 2, "en")]
+    got = S.blocklist_filter(
+        _crawl_ds(rows), ["a.example.org"]
+    ).to_pandas()
+    assert list(got["url"]) == [U2]
+    assert list(got.columns) == ["url", "warc_ts", "content_id", "lang"]
+
+
+def test_recrawl_changes_boundary_between_urls(ray_session):
+    """Consecutive rows from DIFFERENT urls must not count as a change
+    even when their content differs (the same_url mask edge)."""
+    rows = [
+        (U1, 10, 1, 0, "pt"),
+        (U1, 20, 1, 0, "pt"),  # same content: no change
+        (U1, 30, 9, 0, "pt"),  # changed
+        (U2, 40, 777, 0, "pt"),  # different url, different content
+    ]
+    got = (
+        S.recrawl_changes(_crawl_ds(rows))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(got["n_snapshots"]) == [3, 1]
+    assert list(got["n_changes"]) == [1, 0]
+    assert got["n_changes"].dtype == np.int64
+
+
+def test_host_quota_order_and_cap(ray_session):
+    rows = [
+        (f"https://h.example.org/p/{i}", 1000 - i, i, 0, "pt")
+        for i in range(5)
+    ]
+    got = S.host_quota(_crawl_ds(rows), k=3).to_pandas()
+    # first 3 by warc_ts asc = the LAST generated urls (ts = 1000-i)
+    assert len(got) == 3
+    assert got["warc_ts"].is_monotonic_increasing
+    assert list(got["url"]) == [
+        "https://h.example.org/p/4",
+        "https://h.example.org/p/3",
+        "https://h.example.org/p/2",
+    ]
