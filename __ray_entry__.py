@@ -169,6 +169,23 @@ def _q_host_quota(sf_dir: str):
     return host_quota(latest_snapshot(read_crawl(sf_dir)), k=HOST_QUOTA_K)
 
 
+def _q_snapshot_intervals(sf_dir: str):
+    """SCD-2 temporal compaction: content validity intervals per url."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.stages.crawl import snapshot_intervals
+
+    return snapshot_intervals(read_crawl(sf_dir))
+
+
+def _q_url_frontier(sf_dir: str):
+    """Recrawl frontier: per-host top-k by change rate then staleness."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.sources.oracle_crawl import HOST_QUOTA_K
+    from information_extraction_t5_ray.stages.crawl import url_frontier
+
+    return url_frontier(read_crawl(sf_dir), k=HOST_QUOTA_K)
+
+
 def _q_eval_by_document(sf_dir: str):
     from information_extraction_t5_ray.pipelines.kg import kg_eval_metrics
 
@@ -199,6 +216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": _q_blocklist_filter,  # broadcast host gate
         "recrawl_changes": _q_recrawl_changes,  # per-url change detection
         "host_quota": _q_host_quota,  # per-host crawl-budget cap
+        "snapshot_intervals": _q_snapshot_intervals,  # SCD-2 compaction
+        "url_frontier": _q_url_frontier,  # recrawl scheduling top-k
         # E1 training-data production + balancing + eval harness
         "t5_examples": _q_t5_examples,
         "balanced_examples": _q_balanced_examples,
@@ -308,6 +327,8 @@ def oracle_sql() -> dict[str, str]:
         "blocklist_filter": ocr.blocklist_filter_sql(),
         "recrawl_changes": ocr.recrawl_changes_sql(),
         "host_quota": ocr.host_quota_sql(),
+        "snapshot_intervals": ocr.snapshot_intervals_sql(),
+        "url_frontier": ocr.url_frontier_sql(),
         "balanced_sample": oc.balanced_sample_sql(),
         "eval_by_qaid": oracle_eval_by_qaid_sql(),
         "eval_by_typename": oracle_eval_by_typename_sql(),

@@ -71,6 +71,46 @@ FROM (
 ) GROUP BY url"""
 
 
+def snapshot_intervals_sql() -> str:
+    """Gaps-and-islands: run_id = running count of content changes."""
+    return f"""{_crawl_cte()}
+SELECT url, content_id,
+       min(warc_ts) AS valid_from,
+       max(warc_ts) AS valid_to,
+       CAST(count(*) AS BIGINT) AS n_snaps
+FROM (
+  SELECT url, content_id, warc_ts,
+         SUM(CASE WHEN prev IS NULL OR prev <> content_id THEN 1 ELSE 0 END)
+           OVER (PARTITION BY url ORDER BY warc_ts
+                 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM (
+    SELECT url, content_id, warc_ts,
+           lag(content_id) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+    FROM c
+  )
+) GROUP BY url, content_id, run_id"""
+
+
+def url_frontier_sql(k: int = HOST_QUOTA_K) -> str:
+    return f"""{_crawl_cte()},
+rollup_ AS (
+  SELECT url, host,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> content_id
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         max(warc_ts) AS last_crawl
+  FROM (
+    SELECT url, host, content_id, warc_ts,
+           lag(content_id) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+    FROM c
+  ) GROUP BY url, host
+)
+SELECT host, url, n_changes, last_crawl FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY host ORDER BY n_changes DESC, last_crawl, url) AS rn
+  FROM rollup_
+) WHERE rn <= {k}"""
+
+
 def host_quota_sql(k: int = HOST_QUOTA_K) -> str:
     return f"""{_latest_cte()}
 SELECT host, url, warc_ts FROM (

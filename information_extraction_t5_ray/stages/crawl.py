@@ -189,6 +189,138 @@ def recrawl_changes(crawl_ds, num_buckets: Optional[int] = None):
     )
 
 
+def snapshot_intervals(crawl_ds, num_buckets: Optional[int] = None):
+    """Temporal compaction (SCD-2 style): collapse each url's
+    consecutive equal-content snapshots into validity intervals
+    ``(url, content_id, valid_from, valid_to, n_snaps)`` — the
+    KG-temporal primitive ("this page version was observed over
+    [valid_from, valid_to]").
+
+    A gaps-and-islands windowed aggregate: one bucketed exchange on
+    url hash co-locates + orders each url's snapshots, then a single
+    vectorized pass per bucket detects run boundaries (first row of a
+    url OR content differing from the previous row) and reduces each
+    run with one pandas groupby — no Python per-url loop.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch["url"].to_pandas().astype(str), num_buckets)
+        return batch.select(["url", "warc_ts", "content_id"]).append_column(
+            "_bucket", pa.array(b, pa.int32())
+        )
+
+    def compact(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        url = df["url"].to_numpy(dtype=object)
+        content = df["content_id"].to_numpy(np.int64)
+        new_run = np.ones(len(df), dtype=bool)
+        new_run[1:] = (url[1:] != url[:-1]) | (content[1:] != content[:-1])
+        run_id = np.cumsum(new_run)
+        g = pd.DataFrame(
+            {
+                "url": url,
+                "content_id": content,
+                "warc_ts": df["warc_ts"].to_numpy(),
+                "_run": run_id,
+            }
+        ).groupby("_run", sort=False)
+        out = g.agg(
+            url=("url", "first"),
+            content_id=("content_id", "first"),
+            valid_from=("warc_ts", "min"),
+            valid_to=("warc_ts", "max"),
+            n_snaps=("warc_ts", "size"),
+        ).reset_index(drop=True)
+        out["n_snaps"] = out["n_snaps"].astype(np.int64)
+        return out[["url", "content_id", "valid_from", "valid_to", "n_snaps"]]
+
+    return (
+        crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(compact, batch_format="pandas")
+    )
+
+
+def url_frontier(
+    crawl_ds,
+    k: int = 10,
+    num_buckets: Optional[int] = None,
+):
+    """Recrawl-frontier scheduling: rank each host's urls by observed
+    change rate (descending) then staleness (oldest ``last_crawl``
+    first) and keep the top ``k`` per host — the crawl-budget
+    allocation step that decides what to fetch next.
+    Output: ``(host, url, n_changes, last_crawl)``.
+
+    Two exchanges, both bounded: (1) per-url change/recency rollup
+    bucketed on url hash (same vectorized diff pass as
+    ``recrawl_changes``); (2) per-host top-k where each bucket's
+    partial already holds ≤ k rows per (bucket, host), so the merge
+    re-ranks only candidates.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch["url"].to_pandas().astype(str), num_buckets)
+        return batch.select(["url", "warc_ts", "content_id"]).append_column(
+            "_bucket", pa.array(b, pa.int32())
+        )
+
+    def url_rollup(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        url = df["url"].to_numpy(dtype=object)
+        content = df["content_id"].to_numpy(np.int64)
+        same_url = np.empty(len(df), dtype=bool)
+        same_url[0] = False
+        same_url[1:] = url[1:] == url[:-1]
+        changed = np.empty(len(df), dtype=bool)
+        changed[0] = False
+        changed[1:] = content[1:] != content[:-1]
+        g = pd.DataFrame(
+            {
+                "url": url,
+                "chg": (same_url & changed).astype(np.int64),
+                "warc_ts": df["warc_ts"].to_numpy(),
+            }
+        ).groupby("url", sort=False)
+        out = g.agg(
+            n_changes=("chg", "sum"), last_crawl=("warc_ts", "max")
+        ).reset_index()
+        out["n_changes"] = out["n_changes"].astype(np.int64)
+        out["host"] = (
+            out["url"].str.split("/", n=3).str[2].astype(str)
+        )
+        # per-bucket per-host head-k partial: each url appears in
+        # exactly one url bucket, so this keeps every global candidate
+        out = out.sort_values(
+            ["host", "n_changes", "last_crawl", "url"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        top = out.groupby("host", sort=False).head(k).copy()
+        top["_bucket2"] = bucket_of(top["host"], 16)
+        return top[["host", "url", "n_changes", "last_crawl", "_bucket2"]]
+
+    def host_merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["host", "n_changes", "last_crawl", "url"],
+            ascending=[True, False, True, True],
+            kind="stable",
+        )
+        return df.groupby("host", sort=False).head(k)[
+            ["host", "url", "n_changes", "last_crawl"]
+        ]
+
+    return (
+        crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(url_rollup, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(host_merge, batch_format="pandas")
+    )
+
+
 def host_quota(
     latest_ds,
     k: int = 10,

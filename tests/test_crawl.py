@@ -121,6 +121,52 @@ def test_recrawl_changes_boundary_between_urls(ray_session):
     assert got["n_changes"].dtype == np.int64
 
 
+def test_snapshot_intervals_runs_and_batch_split(ray_session):
+    """Runs must survive the url's snapshots being split across batches
+    (the bucketed exchange re-co-locates them), and a content value
+    reappearing later must open a NEW interval, not extend the old."""
+    rows = [
+        (U1, 10, 1, 0, "pt"),
+        (U1, 20, 1, 0, "pt"),  # same run as ts=10
+        (U1, 30, 2, 0, "pt"),  # new run
+        (U1, 40, 1, 0, "pt"),  # content 1 reappears -> THIRD run
+        (U2, 50, 9, 0, "pt"),
+    ]
+    got = (
+        S.snapshot_intervals(_crawl_ds(rows, blocks=3))
+        .to_pandas()
+        .sort_values(["url", "valid_from"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == 4
+    u1 = got[got["url"] == U1]
+    assert list(u1["content_id"]) == [1, 2, 1]
+    assert list(u1["n_snaps"]) == [2, 1, 1]
+    assert u1.iloc[0]["valid_from"].second == 10
+    assert u1.iloc[0]["valid_to"].second == 20
+    assert got["n_snaps"].dtype == np.int64
+
+
+def test_url_frontier_rank_and_cap(ray_session):
+    """Changers outrank stable urls; staleness breaks ties; k caps."""
+    rows = [
+        # u_a: 2 changes, last crawl t=30
+        ("https://h.example.org/p/a", 10, 1, 0, "pt"),
+        ("https://h.example.org/p/a", 20, 2, 0, "pt"),
+        ("https://h.example.org/p/a", 30, 3, 0, "pt"),
+        # u_b: 1 change, last crawl t=25
+        ("https://h.example.org/p/b", 15, 7, 0, "pt"),
+        ("https://h.example.org/p/b", 25, 8, 0, "pt"),
+        # u_c: 0 changes, stale (t=5)  |  u_d: 0 changes, fresh (t=99)
+        ("https://h.example.org/p/c", 5, 4, 0, "pt"),
+        ("https://h.example.org/p/d", 99, 6, 0, "pt"),
+    ]
+    got = S.url_frontier(_crawl_ds(rows, blocks=2), k=3).to_pandas()
+    assert list(got["url"].str[-1]) == ["a", "b", "c"]
+    assert list(got["n_changes"]) == [2, 1, 0]
+    assert got["n_changes"].dtype == np.int64
+
+
 def test_host_quota_order_and_cap(ray_session):
     rows = [
         (f"https://h.example.org/p/{i}", 1000 - i, i, 0, "pt")
