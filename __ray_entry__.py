@@ -121,6 +121,20 @@ def _q_kg_neighbors(sf_dir: str):
     return neighbor_topk(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components over the co-mention graph (min-string
+    labels via the hashed star-contraction + relabel)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        kg_components,
+    )
+
+    # a<b edges suffice: CC is undirected, the symmetric mirror would
+    # only double the pair volume through the contraction rounds
+    return kg_components(cooccur_edges(run_kg(sf_dir)))
+
+
 def _q_crawl_latest(sf_dir: str):
     """Newest snapshot per url over the multi-snapshot crawl set."""
     from information_extraction_t5_ray.sources.crawl import read_crawl
@@ -210,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccur": _q_kg_cooccur,  # new r3: co-mention edge list
         "kg_pagerank": _q_kg_pagerank,  # new r3: integer-exact PageRank
         "kg_neighbors": _q_kg_neighbors,  # new r3: per-entity top-k
+        "kg_components": _q_kg_components,  # new r3: entity clusters (CC)
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -311,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
     from information_extraction_t5_ray.sources.oracle import (
         kg_cooccur_sql,
         kg_degree_sql,
+        kg_components_sql,
         kg_neighbors_sql,
         kg_pagerank_sql,
     )
@@ -322,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccur": kg_cooccur_sql(),
         "kg_pagerank": kg_pagerank_sql(),
         "kg_neighbors": kg_neighbors_sql(),
+        "kg_components": kg_components_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

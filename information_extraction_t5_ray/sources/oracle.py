@@ -292,3 +292,17 @@ def oracle_entities_sql() -> str:
         f"SELECT obj AS entity_id, CAST(count(*) AS BIGINT) AS n_mentions "
         f"FROM ({oracle_triples_sql()}) GROUP BY obj"
     )
+
+
+def kg_components_sql() -> str:
+    """Min-string label per co-mention-graph node (transitive closure
+    over the symmetric edge CTE) — ground truth for
+    stages/graph.kg_components' hashed star contraction + relabel."""
+    cte = _graph_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{cte},
+cc AS (
+  SELECT a AS node, a AS label FROM e
+  UNION
+  SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
+)
+SELECT node AS entity, min(label) AS component FROM cc GROUP BY node"""

@@ -365,3 +365,118 @@ def neighbor_topk(
         .groupby("_bucket")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def _blake2b_ids(values: np.ndarray) -> np.ndarray:
+    """Collision-safe 63-bit node ids over UNIQUE surface forms (the
+    factorize-over-uniques pattern of stages/triples.py): blake2b is
+    version/platform-independent, unlike pandas' siphash, so the same
+    entity maps to the same id on every worker of a heterogeneous
+    cluster.  The top bit is cleared to stay nonnegative in int64."""
+    import hashlib
+
+    uniq, inv = np.unique(values.astype(str), return_inverse=True)
+    ids = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(u.encode("utf-8"), digest_size=8).digest(),
+                "big",
+            )
+            >> 1
+            for u in uniq
+        ),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    return ids[inv]
+
+
+def kg_components(edges_ds, num_buckets: Optional[int] = None):
+    """Connected components over the a<b co-mention edge list:
+    ``(entity, component)`` where ``component`` is the component's
+    lexicographic-min member — the entity-cluster primitive (which
+    places/organs form one connected context group).
+
+    Reuses the dedup engine's large/small-star contraction
+    (stages/dedup.connected_components) by mapping surface forms to
+    63-bit blake2b ids; the hash only routes the contraction — the
+    OUTPUT is re-labelled to the min STRING per component with two
+    bucketed merges, so results are hash-independent (a collision has
+    ~n²/2⁶⁴ odds and would merge two clusters, never crash).
+
+    Exchanges: the CC rounds (edge-bounded) + one node-id join + one
+    per-root relabel; the edge list is materialized ONCE (it is
+    pair-bounded, far smaller than the corpus) so the two consumers
+    (pair stream, node map) do not re-execute upstream lineage.
+    """
+    from .dedup import connected_components
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "i": pa.array(_blake2b_ids(a), pa.int64()),
+                "j": pa.array(_blake2b_ids(b), pa.int64()),
+            }
+        )
+
+    # both union sides carry the SAME (entity, node_id, root_id, _bucket)
+    # schema with int64 sentinels (root_id = -1 marks the name side,
+    # entity = "" the cc side) — 63-bit ids must never pass through a
+    # NaN-bearing float64 column (53-bit mantissa would corrupt them)
+    def node_map(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        df = pd.DataFrame({"entity": vals, "node_id": _blake2b_ids(vals)})
+        df["root_id"] = np.int64(-1)
+        df["_bucket"] = (df["node_id"] % num_buckets).astype(np.int32)
+        return df[["entity", "node_id", "root_id", "_bucket"]]
+
+    cc = connected_components(edges.map_batches(to_pairs, batch_format="pyarrow"))
+
+    def cc_bucket(batch: pa.Table) -> pd.DataFrame:
+        df = batch.to_pandas()
+        df = df.rename(columns={"doc_id": "node_id", "cluster_id": "root_id"})
+        df["entity"] = ""
+        df["_bucket"] = (df["node_id"] % num_buckets).astype(np.int32)
+        return df[["entity", "node_id", "root_id", "_bucket"]]
+
+    # join (entity -> node_id) with (node_id -> root_id): both sides are
+    # node-bounded; co-locate on node_id hash and pd.merge per bucket
+    nodes = edges.map_batches(node_map, batch_format="pyarrow")
+    tagged = nodes.union(cc.map_batches(cc_bucket, batch_format="pyarrow"))
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["root_id"] < 0][["entity", "node_id"]]
+        left = left.drop_duplicates("node_id")
+        right = df[df["root_id"] >= 0][["node_id", "root_id"]]
+        right = right.drop_duplicates("node_id")
+        j = left.merge(right, on="node_id", how="inner")
+        out = j[["entity", "root_id"]].copy()
+        out["root_id"] = out["root_id"].astype(np.int64)
+        out["_bucket2"] = (out["root_id"] % 64).astype(np.int32)
+        return out
+
+    def relabel(df: pd.DataFrame) -> pd.DataFrame:
+        # all members of a root share its bucket; label = min entity
+        lab = df.groupby("root_id", sort=False)["entity"].min()
+        out = df[["entity", "root_id"]].copy()
+        out["component"] = out["root_id"].map(lab)
+        return out[["entity", "component"]]
+
+    return (
+        tagged.groupby("_bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("_bucket2")
+        .map_groups(relabel, batch_format="pandas")
+    )

@@ -154,3 +154,66 @@ def test_graph_preds_filter(ray_session):
     """Non-graph predicates (per-document literals) never become nodes."""
     got = G.cooccur_edges(_triples(FIXTURE), symmetric=True).to_pandas()
     assert "ana" not in set(got["a"]) | set(got["b"])
+
+
+def _edges(rows, blocks=1):
+    """rows: (a, b, cnt); split across ``blocks`` unioned datasets so
+    per-batch partials see different batches."""
+    import ray.data as rd
+
+    def tbl(chunk):
+        return pa.table(
+            {
+                "a": pa.array([r[0] for r in chunk], pa.string()),
+                "b": pa.array([r[1] for r in chunk], pa.string()),
+                "cnt": pa.array([r[2] for r in chunk], pa.int64()),
+            }
+        )
+
+    per = max(1, len(rows) // blocks)
+    chunks = [rows[i : i + per] for i in range(0, len(rows), per)]
+    ds = rd.from_arrow(tbl(chunks[0]))
+    for ch in chunks[1:]:
+        ds = ds.union(rd.from_arrow(tbl(ch)))
+    return ds
+
+
+def test_kg_components_chain_across_batches(ray_session):
+    """A chain whose edges live in different batches must still fuse
+    into ONE component, labelled by the lexicographic-min member (NOT
+    the min-hash root the contraction engine picks internally)."""
+    rows = [
+        ("m", "z", 1),   # component {m, z, a, q}: chain m-z, z-a? no:
+        ("a", "m", 1),   # a-m links a into {m, z}
+        ("a", "q", 1),   # q too -> component label 'a'
+        ("x", "y", 2),   # separate component label 'x'
+    ]
+    got = (
+        G.kg_components(_edges(rows, blocks=3))
+        .to_pandas()
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+    assert list(got["entity"]) == ["a", "m", "q", "x", "y", "z"]
+    assert list(got["component"]) == ["a", "a", "a", "x", "x", "a"]
+
+
+def test_kg_components_singleton_edge(ray_session):
+    got = G.kg_components(_edges([("b", "c", 1)])).to_pandas()
+    assert sorted(got["entity"]) == ["b", "c"]
+    assert set(got["component"]) == {"b"}
+
+
+def test_blake2b_ids_stable_and_distinct():
+    vals = np.array(["recife", "pe", "recife", "sp"], dtype=object)
+    ids = G._blake2b_ids(vals)
+    assert ids[0] == ids[2]
+    assert len({ids[0], ids[1], ids[3]}) == 3
+    assert (ids >= 0).all()
+    # version-independent: pinned golden value (blake2b-8 of 'recife')
+    import hashlib
+
+    exp = int.from_bytes(
+        hashlib.blake2b(b"recife", digest_size=8).digest(), "big"
+    ) >> 1
+    assert ids[0] == exp
