@@ -135,6 +135,17 @@ def _q_kg_components(sf_dir: str):
     return kg_components(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Per-entity triangle counts (degree-ordered wedge join)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        triangle_counts,
+    )
+
+    return triangle_counts(cooccur_edges(run_kg(sf_dir)))
+
+
 def _q_crawl_latest(sf_dir: str):
     """Newest snapshot per url over the multi-snapshot crawl set."""
     from information_extraction_t5_ray.sources.crawl import read_crawl
@@ -225,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,  # new r3: integer-exact PageRank
         "kg_neighbors": _q_kg_neighbors,  # new r3: per-entity top-k
         "kg_components": _q_kg_components,  # new r3: entity clusters (CC)
+        "kg_triangles": _q_kg_triangles,  # new r3: triangle counts
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -328,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         kg_degree_sql,
         kg_components_sql,
         kg_neighbors_sql,
+        kg_triangles_sql,
         kg_pagerank_sql,
     )
 
@@ -339,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": kg_pagerank_sql(),
         "kg_neighbors": kg_neighbors_sql(),
         "kg_components": kg_components_sql(),
+        "kg_triangles": kg_triangles_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

@@ -57,7 +57,43 @@ def _bench_queries(sf_dir: str):
     def kg_triples() -> int:
         return run_kg(sf_dir, cfg=KGConfig()).count()
 
-    out = {"kg_triples": kg_triples}
+    def kg_pagerank() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            cooccur_edges,
+            pagerank,
+        )
+
+        return pagerank(cooccur_edges(run_kg(sf_dir), symmetric=True)).count()
+
+    def kg_components() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            cooccur_edges,
+            kg_components as cc,
+        )
+
+        return cc(cooccur_edges(run_kg(sf_dir))).count()
+
+    def crawl_latest() -> int:
+        from information_extraction_t5_ray.sources.crawl import read_crawl
+        from information_extraction_t5_ray.stages.crawl import latest_snapshot
+
+        return latest_snapshot(read_crawl(sf_dir)).count()
+
+    def url_frontier() -> int:
+        from information_extraction_t5_ray.sources.crawl import read_crawl
+        from information_extraction_t5_ray.stages.crawl import (
+            url_frontier as uf,
+        )
+
+        return uf(read_crawl(sf_dir)).count()
+
+    out = {
+        "kg_triples": kg_triples,
+        "kg_pagerank": kg_pagerank,
+        "kg_components": kg_components,
+        "crawl_latest": crawl_latest,
+        "url_frontier": url_frontier,
+    }
     for name, fn in corpus.bench_queries(sf_dir).items():
         out[name] = fn
     return out

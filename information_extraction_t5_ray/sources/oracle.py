@@ -306,3 +306,26 @@ cc AS (
   SELECT e.a, cc.label FROM e JOIN cc ON cc.node = e.b
 )
 SELECT node AS entity, min(label) AS component FROM cc GROUP BY node"""
+
+
+def kg_triangles_sql() -> str:
+    """Per-node triangle counts over the a<b edge CTE (each triangle
+    x<y<z is the unique row pattern (x,y)+(y,z)+(x,z) in e0) — ground
+    truth for stages/graph.triangle_counts' degree-ordered wedge join."""
+    return f"""{_graph_cte()},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT n.node AS entity,
+       CAST(COALESCE(t.c, 0) AS BIGINT) AS n_triangles
+FROM w n LEFT JOIN (
+  SELECT node, count(*) AS c FROM corners GROUP BY node
+) t ON t.node = n.node"""

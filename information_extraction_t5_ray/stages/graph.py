@@ -480,3 +480,193 @@ def kg_components(edges_ds, num_buckets: Optional[int] = None):
         .groupby("_bucket2")
         .map_groups(relabel, batch_format="pandas")
     )
+
+
+def triangle_counts(edges_ds, num_buckets: Optional[int] = None):
+    """Per-entity triangle counts over the a<b co-mention edge list:
+    ``(entity, n_triangles)`` for every edge-endpoint node (zeros
+    included) — the clustering/community primitive.
+
+    Degree-ordered orientation (the classic O(E^1.5) wedge bound):
+    every edge points from its lower-(degree, name) endpoint to the
+    higher, so a node's out-neighborhood is bounded by sqrt(E) even at
+    head entities; wedges are emitted per apex and confirmed against
+    the oriented edge set with one bucketed co-group.  The degree/rank
+    map is node-bounded and broadcast once via ``ray.put`` — the same
+    "entity vocabulary is object-store-small" posture as
+    :func:`pagerank` (documented there); edge/wedge streams never
+    gather on the driver.
+
+    Exchanges: degree partial-count (node-bounded) + wedge groupby
+    (apex-bucketed) + wedge-vs-edge confirm (pair-key-bucketed) +
+    corner count (node-bounded).
+    """
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+
+    # -- node degrees (two-phase, node-bounded result) ----------------
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        ab = np.concatenate(
+            [
+                batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                batch["b"].to_numpy(zero_copy_only=False).astype(str),
+            ]
+        )
+        vals, cnt = np.unique(ab, return_counts=True)
+        df = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
+        df["_bucket"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    deg = (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(deg_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    # total order: (degree, name); rank = position
+    deg = deg.sort_values(["c", "node"], kind="stable").reset_index(drop=True)
+    rank_ref = ray.put(dict(zip(deg["node"], range(len(deg)))))
+
+    # -- orient edges low-rank -> high-rank ---------------------------
+    def orient(batch: pa.Table) -> pd.DataFrame:
+        rank = ray.get(rank_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+        ra = np.fromiter((rank[x] for x in a), np.int64, len(a))
+        rb = np.fromiter((rank[x] for x in b), np.int64, len(b))
+        swap = ra > rb
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        rlo = np.where(swap, rb, ra)
+        rhi = np.where(swap, ra, rb)
+        df = pd.DataFrame(
+            {"lo": lo, "hi": hi, "rlo": rlo, "rhi": rhi}
+        ).drop_duplicates(["lo", "hi"])
+        df["_bucket"] = bucket_of(df["lo"], num_buckets)
+        return df
+
+    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # -- wedges per apex (out-neighbors sorted by rank) ----------------
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        outs: List[np.ndarray] = []
+        o1: List[np.ndarray] = []
+        o2: List[np.ndarray] = []
+        apex: List[np.ndarray] = []
+        for lo, sub in df.groupby("lo", sort=False):
+            sub = sub.sort_values("rhi", kind="stable")
+            nb = sub["hi"].to_numpy(dtype=object)
+            n = len(nb)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            o1.append(nb[iu])
+            o2.append(nb[ju])
+            apex.append(np.full(len(iu), lo, dtype=object))
+        if not o1:
+            return pd.DataFrame(
+                {
+                    "n1": pd.Series(dtype=str),
+                    "n2": pd.Series(dtype=str),
+                    "apex": pd.Series(dtype=str),
+                    "_is_edge": pd.Series(dtype=np.int8),
+                    "_bucket2": pd.Series(dtype=np.int32),
+                }
+            )
+        out = pd.DataFrame(
+            {
+                "n1": np.concatenate(o1),
+                "n2": np.concatenate(o2),
+                "apex": np.concatenate(apex),
+            }
+        )
+        out["_is_edge"] = np.int8(0)
+        out["_bucket2"] = bucket_of(
+            out["n1"].astype(str) + "\x1f" + out["n2"].astype(str), num_buckets
+        )
+        return out
+
+    wedge_rows = (
+        oriented.groupby("_bucket")
+        .map_groups(wedges, batch_format="pandas")
+    )
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(["lo", "hi"]).to_pandas()
+        out = pd.DataFrame(
+            {
+                "n1": df["lo"].astype(str),
+                "n2": df["hi"].astype(str),
+                "apex": "",
+            }
+        )
+        out["_is_edge"] = np.int8(1)
+        out["_bucket2"] = bucket_of(
+            out["n1"] + "\x1f" + out["n2"], num_buckets
+        )
+        return out
+
+    tagged = wedge_rows.union(
+        oriented.map_batches(edge_rows, batch_format="pyarrow")
+    )
+
+    # -- confirm wedges against the edge set; emit 3 corners ----------
+    def confirm(df: pd.DataFrame) -> pd.DataFrame:
+        is_e = df["_is_edge"] == 1
+        eset = df[is_e][["n1", "n2"]]
+        w = df[~is_e]
+        tri = w.merge(eset, on=["n1", "n2"], how="inner")
+        if len(tri) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=str), "c": pd.Series(dtype=np.int64),
+                 "_bucket3": pd.Series(dtype=np.int32)}
+            )
+        corners = np.concatenate(
+            [
+                tri["apex"].to_numpy(dtype=object),
+                tri["n1"].to_numpy(dtype=object),
+                tri["n2"].to_numpy(dtype=object),
+            ]
+        )
+        vals, cnt = np.unique(corners.astype(str), return_counts=True)
+        out = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
+        out["_bucket3"] = bucket_of(out["node"], num_buckets)
+        return out
+
+    counts = (
+        tagged.groupby("_bucket2")
+        .map_groups(confirm, batch_format="pandas")
+    )
+
+    # -- final per-node sum, zeros for triangle-free nodes ------------
+    def zeros(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        df = pd.DataFrame({"node": vals, "c": np.int64(0)})
+        df["_bucket3"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+        out = g.rename(columns={"node": "entity", "c": "n_triangles"})
+        out["n_triangles"] = out["n_triangles"].astype(np.int64)
+        return out[["entity", "n_triangles"]]
+
+    return (
+        counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
+        .groupby("_bucket3")
+        .map_groups(final, batch_format="pandas")
+    )

@@ -217,3 +217,32 @@ def test_blake2b_ids_stable_and_distinct():
         hashlib.blake2b(b"recife", digest_size=8).digest(), "big"
     ) >> 1
     assert ids[0] == exp
+
+
+def test_triangle_counts_basic(ray_session):
+    """K4 minus one edge: nodes {a,b,c,d}, edges ab,ac,ad,bc,bd (cd
+    missing) -> triangles abc, abd; c and d each touch 1, a and b 2."""
+    rows = [
+        ("a", "b", 1),
+        ("a", "c", 1),
+        ("a", "d", 1),
+        ("b", "c", 1),
+        ("b", "d", 1),
+    ]
+    got = (
+        G.triangle_counts(_edges(rows, blocks=2))
+        .to_pandas()
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+    assert list(got["entity"]) == ["a", "b", "c", "d"]
+    assert list(got["n_triangles"]) == [2, 2, 1, 1]
+    assert got["n_triangles"].dtype == np.int64
+
+
+def test_triangle_counts_triangle_free(ray_session):
+    """A path graph has zero triangles but every node must appear."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    got = G.triangle_counts(_edges(rows)).to_pandas()
+    assert sorted(got["entity"]) == ["a", "b", "c", "d"]
+    assert set(got["n_triangles"]) == {0}
