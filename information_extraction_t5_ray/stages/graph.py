@@ -102,6 +102,7 @@ def cooccur_edges(
     preds: Sequence[str] = GRAPH_PREDS,
     num_buckets: Optional[int] = None,
     symmetric: bool = False,
+    scatter: Optional[int] = None,
 ):
     """Entity co-mention edges: (a, b, cnt) counting documents whose
     triple set mentions both entities, over the ``preds`` predicates,
@@ -119,21 +120,45 @@ def cooccur_edges(
     def keep(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        mask = pc.is_in(batch["pred"], value_set=pa.array(sorted(pred_set)))
-        return batch.filter(mask).select(["subj", "obj"])
+        t = batch.filter(
+            pc.is_in(batch["pred"], value_set=pa.array(sorted(pred_set)))
+        ).select(["subj", "obj"])
+        # bucket DOCUMENTS (not raw groups): map_groups invokes its UDF
+        # once per group, so grouping on raw subj would cost one Python
+        # call per document — bucketing by subj hash co-locates complete
+        # documents while the UDF runs once per bucket (C-speed inside)
+        b = bucket_of(t["subj"].to_pandas().astype(str), num_buckets)
+        return t.append_column("_dbucket", pa.array(b, pa.int32()))
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # df holds one or more COMPLETE documents (groupby subj)
+        # df holds one or more COMPLETE documents (groupby subj).
+        # Vectorized pair emission by document size class (the dedup
+        # pattern): group sizes are bounded by len(preds), so each size
+        # s yields one (m, s) value matrix and one triu gather — no
+        # Python loop over the ~N documents, only over the ≤|preds|
+        # distinct sizes.  Sorting by (subj, obj) makes in-document
+        # values ascending, so a < b holds by construction.
+        df = df[["subj", "obj"]].drop_duplicates()
+        df = df.sort_values(["subj", "obj"], kind="stable")
+        subj = df["subj"].to_numpy(dtype=object)
+        obj = df["obj"].to_numpy(dtype=object).astype(str)
         rows_a: List[np.ndarray] = []
         rows_b: List[np.ndarray] = []
-        for _, sub in df.groupby("subj", sort=False):
-            vals = np.unique(sub["obj"].to_numpy(dtype=object).astype(str))
-            n = len(vals)
-            if n < 2:
-                continue
-            iu, ju = np.triu_indices(n, k=1)
-            rows_a.append(vals[iu])
-            rows_b.append(vals[ju])
+        if len(df):
+            new = np.ones(len(df), dtype=bool)
+            new[1:] = subj[1:] != subj[:-1]
+            gid = np.cumsum(new) - 1
+            sizes = np.bincount(gid)
+            starts = np.flatnonzero(new)
+            for s in np.unique(sizes):
+                if s < 2:
+                    continue
+                gsel = np.flatnonzero(sizes == s)
+                rows = starts[gsel][:, None] + np.arange(s)[None, :]
+                vals = obj[rows]  # (m, s) per-doc ascending values
+                iu, ju = np.triu_indices(s, k=1)
+                rows_a.append(vals[:, iu].ravel())
+                rows_b.append(vals[:, ju].ravel())
         if not rows_a:
             return pd.DataFrame({"a": pd.Series(dtype=str),
                                  "b": pd.Series(dtype=str),
@@ -157,10 +182,18 @@ def cooccur_edges(
         g["cnt"] = g["cnt"].astype(np.int64)
         return g[["a", "b", "cnt"]]
 
+    from .common import maybe_scatter
+
+    # no default pre-groupby re-scatter: the sort-based groupby's
+    # reduce width follows the UPSTREAM block count, and triples
+    # pipelines are already wide at the read — an extra all-to-all of
+    # the filtered rows is pure fixed cost (same finding as minhash,
+    # stages/common.maybe_scatter).  Pass ``scatter`` for narrow inputs.
     edges = (
-        triples_ds.map_batches(keep, batch_format="pyarrow")
-        .repartition(num_buckets)
-        .groupby("subj")
+        maybe_scatter(
+            triples_ds.map_batches(keep, batch_format="pyarrow"), scatter
+        )
+        .groupby("_dbucket")
         .map_groups(pairs, batch_format="pandas")
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
@@ -391,7 +424,44 @@ def _blake2b_ids(values: np.ndarray) -> np.ndarray:
     return ids[inv]
 
 
-def kg_components(edges_ds, num_buckets: Optional[int] = None):
+def _local_components(batch: pa.Table) -> pa.Table:
+    """Single-task components over one string-edge block: factorize
+    surface forms (np.unique is SORTED, so code order == lexicographic
+    order and the min-code root IS the min-string label), then the
+    dedup engine's vectorized min-label propagation."""
+    from .dedup import _local_cc
+
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {"entity": pa.array([], pa.string()),
+             "component": pa.array([], pa.string())}
+        )
+    uniq, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    res = _local_cc(
+        pa.table(
+            {
+                "u": pa.array(inv[: len(a)].astype(np.int64)),
+                "v": pa.array(inv[len(a):].astype(np.int64)),
+            }
+        )
+    )
+    ent = uniq[res["doc_id"].to_numpy()]
+    comp = uniq[res["cluster_id"].to_numpy()]
+    return pa.table(
+        {
+            "entity": pa.array(ent, pa.string()),
+            "component": pa.array(comp, pa.string()),
+        }
+    )
+
+
+def kg_components(
+    edges_ds,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
     """Connected components over the a<b co-mention edge list:
     ``(entity, component)`` where ``component`` is the component's
     lexicographic-min member — the entity-cluster primitive (which
@@ -413,6 +483,17 @@ def kg_components(edges_ds, num_buckets: Optional[int] = None):
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
+    if edges.count() <= local_threshold:
+        # same hybrid as dedup.connected_components: the edge list is
+        # already materialized so the count is free; below the
+        # threshold (~64 MB of pairs) ONE task replaces the contraction
+        # rounds + two join exchanges — bit-identical output since the
+        # sorted factorization makes min-code == min-string.
+        # batch_size=None pins whole-block batches (correctness needs
+        # the COMPLETE edge set in one call).
+        return edges.repartition(1).map_batches(
+            _local_components, batch_format="pyarrow", batch_size=None
+        )
 
     def to_pairs(batch: pa.Table) -> pa.Table:
         a = batch["a"].to_numpy(zero_copy_only=False)
@@ -482,7 +563,75 @@ def kg_components(edges_ds, num_buckets: Optional[int] = None):
     )
 
 
-def triangle_counts(edges_ds, num_buckets: Optional[int] = None):
+def _local_triangles(batch: pa.Table) -> pa.Table:
+    """Single-task triangle counts over one complete edge block: the
+    same degree-ordered orientation as the distributed path, all-numpy
+    (factorize → lexsort rank → size-class wedge emission → np.isin
+    edge confirm → bincount corners)."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {"entity": pa.array([], pa.string()),
+             "n_triangles": pa.array([], pa.int64())}
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    V = np.int64(len(nodes))
+    u, v = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    # drop duplicate undirected edges (canonical code order)
+    cu, cv = np.minimum(u, v), np.maximum(u, v)
+    keys = np.unique(cu * V + cv)
+    cu, cv = keys // V, keys % V
+    deg = np.bincount(np.concatenate([cu, cv]), minlength=len(nodes))
+    # total order (degree, code): rank[order] = position
+    order = np.lexsort((np.arange(len(nodes)), deg))
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[order] = np.arange(len(nodes))
+    swap = rank[cu] > rank[cv]
+    lo = np.where(swap, cv, cu)
+    hi = np.where(swap, cu, cv)
+    # group out-neighbors per lo, sorted by neighbor rank
+    srt = np.lexsort((rank[hi], lo))
+    lo, hi = lo[srt], hi[srt]
+    new = np.ones(len(lo), dtype=bool)
+    new[1:] = lo[1:] != lo[:-1]
+    gid = np.cumsum(new) - 1
+    sizes = np.bincount(gid)
+    starts = np.flatnonzero(new)
+    w1: List[np.ndarray] = []
+    w2: List[np.ndarray] = []
+    wapex: List[np.ndarray] = []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        gsel = np.flatnonzero(sizes == s)
+        rows = starts[gsel][:, None] + np.arange(s)[None, :]
+        vals = hi[rows]  # (m, s) neighbors ascending by rank
+        iu, ju = np.triu_indices(s, k=1)
+        w1.append(vals[:, iu].ravel())
+        w2.append(vals[:, ju].ravel())
+        wapex.append(np.repeat(lo[starts[gsel]], len(iu)))
+    counts = np.zeros(len(nodes), dtype=np.int64)
+    if w1:
+        n1 = np.concatenate(w1)
+        n2 = np.concatenate(w2)
+        apex = np.concatenate(wapex)
+        hit = np.isin(n1 * V + n2, lo * V + hi)
+        corners = np.concatenate([apex[hit], n1[hit], n2[hit]])
+        counts += np.bincount(corners, minlength=len(nodes))
+    return pa.table(
+        {
+            "entity": pa.array(nodes, pa.string()),
+            "n_triangles": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def triangle_counts(
+    edges_ds,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
     """Per-entity triangle counts over the a<b co-mention edge list:
     ``(entity, n_triangles)`` for every edge-endpoint node (zeros
     included) — the clustering/community primitive.
@@ -505,6 +654,13 @@ def triangle_counts(edges_ds, num_buckets: Optional[int] = None):
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
+    if edges.count() <= local_threshold:
+        # hybrid fast path (same posture as kg_components/_local_cc):
+        # below ~64 MB of pairs one task replaces five bounded
+        # exchanges; identical output by construction
+        return edges.repartition(1).map_batches(
+            _local_triangles, batch_format="pyarrow", batch_size=None
+        )
 
     # -- node degrees (two-phase, node-bounded result) ----------------
     def deg_partial(batch: pa.Table) -> pd.DataFrame:

@@ -188,18 +188,25 @@ def test_kg_components_chain_across_batches(ray_session):
         ("a", "q", 1),   # q too -> component label 'a'
         ("x", "y", 2),   # separate component label 'x'
     ]
-    got = (
-        G.kg_components(_edges(rows, blocks=3))
-        .to_pandas()
-        .sort_values("entity")
-        .reset_index(drop=True)
-    )
-    assert list(got["entity"]) == ["a", "m", "q", "x", "y", "z"]
-    assert list(got["component"]) == ["a", "a", "a", "x", "x", "a"]
+    for thresh in (0, 4_000_000):  # distributed star path AND the
+        # single-task fast path must agree bit-for-bit
+        got = (
+            G.kg_components(_edges(rows, blocks=3), local_threshold=thresh)
+            .to_pandas()
+            .sort_values("entity")
+            .reset_index(drop=True)
+        )
+        assert list(got["entity"]) == ["a", "m", "q", "x", "y", "z"], thresh
+        assert list(got["component"]) == ["a", "a", "a", "x", "x", "a"], thresh
 
 
 def test_kg_components_singleton_edge(ray_session):
     got = G.kg_components(_edges([("b", "c", 1)])).to_pandas()
+    assert sorted(got["entity"]) == ["b", "c"]
+    assert set(got["component"]) == {"b"}
+    got = G.kg_components(
+        _edges([("b", "c", 1)]), local_threshold=0
+    ).to_pandas()
     assert sorted(got["entity"]) == ["b", "c"]
     assert set(got["component"]) == {"b"}
 
@@ -229,20 +236,25 @@ def test_triangle_counts_basic(ray_session):
         ("b", "c", 1),
         ("b", "d", 1),
     ]
-    got = (
-        G.triangle_counts(_edges(rows, blocks=2))
-        .to_pandas()
-        .sort_values("entity")
-        .reset_index(drop=True)
-    )
-    assert list(got["entity"]) == ["a", "b", "c", "d"]
-    assert list(got["n_triangles"]) == [2, 2, 1, 1]
-    assert got["n_triangles"].dtype == np.int64
+    for thresh in (0, 4_000_000):  # distributed wedge join AND the
+        # single-task numpy fast path must agree
+        got = (
+            G.triangle_counts(_edges(rows, blocks=2), local_threshold=thresh)
+            .to_pandas()
+            .sort_values("entity")
+            .reset_index(drop=True)
+        )
+        assert list(got["entity"]) == ["a", "b", "c", "d"], thresh
+        assert list(got["n_triangles"]) == [2, 2, 1, 1], thresh
+        assert got["n_triangles"].dtype == np.int64
 
 
 def test_triangle_counts_triangle_free(ray_session):
     """A path graph has zero triangles but every node must appear."""
     rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
-    got = G.triangle_counts(_edges(rows)).to_pandas()
-    assert sorted(got["entity"]) == ["a", "b", "c", "d"]
-    assert set(got["n_triangles"]) == {0}
+    for thresh in (0, 4_000_000):
+        got = G.triangle_counts(
+            _edges(rows), local_threshold=thresh
+        ).to_pandas()
+        assert sorted(got["entity"]) == ["a", "b", "c", "d"], thresh
+        assert set(got["n_triangles"]) == {0}, thresh
