@@ -192,15 +192,29 @@ def pack_texts(docs_ds, budget: int = 2048, num_ranges: int | None = None,
         )
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("pos", kind="stable")
+        df = df.sort_values(["pack_id", "pos"], kind="stable")
         g = df.groupby("pack_id", sort=False)
         out = g.agg(n_tokens=("n", "sum"), text=("piece", " ".join))
         out["n_tokens"] = out["n_tokens"].astype(np.int64)
         return out.reset_index()[["pack_id", "n_tokens", "text"]]
 
+    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
+        # bucket PACKS, not raw pack_ids: map_groups invokes its UDF
+        # once per group, so grouping on pack_id directly would pay one
+        # Python call per output pack (unbounded at corpus scale); the
+        # bucket co-locates whole packs and assemble runs one pandas
+        # groupby per bucket
+        from .common import resolve_parallelism
+
+        nb = resolve_parallelism(None)
+        df = df.copy()
+        df["_pbucket"] = (df["pack_id"] % nb).astype(np.int32)
+        return df
+
     piece_rows = joined.map_batches(
         pieces, batch_format="pyarrow", batch_size=batch_size
-    )
-    return piece_rows.groupby("pack_id").map_groups(
-        assemble, batch_format="pandas"
+    ).map_batches(add_pbucket, batch_format="pandas")
+    return (
+        piece_rows.groupby("_pbucket")
+        .map_groups(assemble, batch_format="pandas")
     )
