@@ -15,6 +15,8 @@ from typing import Dict, Iterable, List, Sequence, Tuple
 from xml.sax.saxutils import escape
 from zipfile import ZIP_DEFLATED, ZipFile
 
+import numpy as np
+
 _NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 _PKG_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
@@ -34,9 +36,12 @@ def col_letter(idx: int) -> str:
 def _cell_xml(ref: str, value) -> str:
     if value is None:
         return f'<c r="{ref}"/>'
-    if isinstance(value, bool):
+    if isinstance(value, (bool, np.bool_)):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
-    if isinstance(value, (int, float)):
+    if isinstance(value, (int, float, np.integer, np.floating)):
+        # numpy scalars are NOT int/float subclasses — without the
+        # np checks an np.int64 lands in the inlineStr branch as text
+        value = value.item() if isinstance(value, np.generic) else value
         # NaN/inf have no numeric cell representation -> blank
         if isinstance(value, float) and (value != value or value in (
             float("inf"), float("-inf")

@@ -34,7 +34,9 @@ def _latest_cte() -> str:
     return f"""{_crawl_cte()},
 latest AS (
   SELECT url, host, warc_ts, content_id, n_bytes FROM (
-    SELECT *, row_number() OVER (PARTITION BY url ORDER BY warc_ts DESC) AS rn
+    SELECT *, row_number() OVER (
+        PARTITION BY url
+        ORDER BY warc_ts DESC, content_id DESC, n_bytes DESC) AS rn
     FROM c
   ) WHERE rn = 1
 )"""

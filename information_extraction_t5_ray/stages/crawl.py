@@ -40,22 +40,24 @@ def latest_snapshot(crawl_ds, num_buckets: Optional[int] = None):
     """Newest snapshot per url: (url, warc_ts, content_id, n_bytes).
 
     Two-phase argmax: per-batch pandas groupby tail(1) on
-    (url, warc_ts)-sorted rows, then the same merge per url bucket —
-    one candidate row per (batch, url) crosses the wire, never the
-    full snapshot stream.
+    (url, warc_ts, content_id, n_bytes)-sorted rows — the trailing
+    columns are a DETERMINISTIC tiebreak for equal-timestamp snapshots
+    (otherwise the winner would follow partition arrival order) — then
+    the same merge per url bucket; one candidate row per (batch, url)
+    crosses the wire, never the full snapshot stream.
     """
     num_buckets = resolve_parallelism(num_buckets)
     cols = ["url", "warc_ts", "content_id", "n_bytes"]
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = batch.select(cols).to_pandas()
-        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        df = df.sort_values(cols, kind="stable")
         top = df.groupby("url", sort=False).tail(1).copy()
         top["_bucket"] = bucket_of(top["url"], num_buckets)
         return top
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        df = df.sort_values(cols, kind="stable")
         return df.groupby("url", sort=False).tail(1)[cols]
 
     return (

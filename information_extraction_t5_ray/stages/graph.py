@@ -58,6 +58,41 @@ PAGERANK_SCALE = 10**12  # initial integer rank mass per node
 PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100  # 0.85 as a ratio
 
 
+def _pairs_by_size_class(
+    starts: np.ndarray, sizes: np.ndarray, values: np.ndarray
+):
+    """All within-group ordered pairs (i < j) over contiguous groups of
+    ``values`` (group g spans ``values[starts[g] : starts[g]+sizes[g]]``).
+
+    One (m, s) gather + one triu per DISTINCT group size — never a
+    Python loop over groups.  Returns ``(first, second, group_index)``
+    where ``group_index`` maps each pair back to its group position in
+    ``starts`` (for apex/key lookups).  Shared by cooccur pair
+    emission and both triangle wedge emitters.
+    """
+    out1: List[np.ndarray] = []
+    out2: List[np.ndarray] = []
+    gidx: List[np.ndarray] = []
+    for s in np.unique(sizes):
+        if s < 2:
+            continue
+        gsel = np.flatnonzero(sizes == s)
+        rows = starts[gsel][:, None] + np.arange(s)[None, :]
+        vals = values[rows]
+        iu, ju = np.triu_indices(s, k=1)
+        out1.append(vals[:, iu].ravel())
+        out2.append(vals[:, ju].ravel())
+        gidx.append(np.repeat(gsel, len(iu)))
+    if not out1:
+        e = np.array([], dtype=values.dtype)
+        return e, e, np.array([], dtype=np.int64)
+    return (
+        np.concatenate(out1),
+        np.concatenate(out2),
+        np.concatenate(gidx).astype(np.int64),
+    )
+
+
 def node_degrees(triples_ds, num_buckets: Optional[int] = None):
     """(node, out_degree, in_degree) over subj/obj endpoints.
 
@@ -142,30 +177,17 @@ def cooccur_edges(
         df = df.sort_values(["subj", "obj"], kind="stable")
         subj = df["subj"].to_numpy(dtype=object)
         obj = df["obj"].to_numpy(dtype=object).astype(str)
-        rows_a: List[np.ndarray] = []
-        rows_b: List[np.ndarray] = []
+        a = b = np.array([], dtype=object)
         if len(df):
             new = np.ones(len(df), dtype=bool)
             new[1:] = subj[1:] != subj[:-1]
-            gid = np.cumsum(new) - 1
-            sizes = np.bincount(gid)
-            starts = np.flatnonzero(new)
-            for s in np.unique(sizes):
-                if s < 2:
-                    continue
-                gsel = np.flatnonzero(sizes == s)
-                rows = starts[gsel][:, None] + np.arange(s)[None, :]
-                vals = obj[rows]  # (m, s) per-doc ascending values
-                iu, ju = np.triu_indices(s, k=1)
-                rows_a.append(vals[:, iu].ravel())
-                rows_b.append(vals[:, ju].ravel())
-        if not rows_a:
+            sizes = np.bincount(np.cumsum(new) - 1)
+            a, b, _ = _pairs_by_size_class(np.flatnonzero(new), sizes, obj)
+        if not len(a):
             return pd.DataFrame({"a": pd.Series(dtype=str),
                                  "b": pd.Series(dtype=str),
                                  "cnt": pd.Series(dtype=np.int64),
                                  "_bucket": pd.Series(dtype=np.int32)})
-        a = np.concatenate(rows_a)
-        b = np.concatenate(rows_b)
         part = (
             pd.DataFrame({"a": a, "b": b})
             .groupby(["a", "b"], sort=False)
@@ -221,11 +243,26 @@ def _pagerank_iterate_local(
     """One-worker power iteration, arithmetic-identical to the
     distributed path: per-dst int64 contribution sums (``np.add.at`` —
     exact, unlike float ``bincount``), then ``(sum * 85) // 100``."""
+    limit = np.iinfo(np.int64).max
+    max_w = int(w.max()) if len(w) else 1
     ranks = np.full(len(outw), PAGERANK_SCALE, dtype=np.int64)
     for _ in range(n_iters):
+        # numpy int64 multiplication WRAPS silently; at crawl-scale
+        # weights (w ~ 1e6+) rank*w can exceed 2^63 — fail loud (the
+        # DuckDB oracle raises on BIGINT overflow; parity demands the
+        # same) rather than emit garbage ranks
+        if int(ranks.max()) > limit // max(max_w, 1):
+            raise OverflowError(
+                "pagerank: rank * edge-weight would overflow int64; "
+                "lower PAGERANK_SCALE or pre-scale edge weights"
+            )
         c = (ranks[a_idx] * w) // outw[a_idx]
         sums = np.zeros(len(outw), dtype=np.int64)
         np.add.at(sums, b_idx, c)
+        if len(sums) and int(sums.max()) > limit // PAGERANK_DAMP_NUM:
+            raise OverflowError(
+                "pagerank: damping product would overflow int64"
+            )
         ranks = teleport + (sums * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
     return ranks
 
@@ -318,8 +355,17 @@ def pagerank(
     outw = outw_rows["w"].to_numpy(np.int64)[order]
     node_idx = {n: i for i, n in enumerate(nodes)}
     ranks = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
+    limit = np.iinfo(np.int64).max
+    # per-edge w <= outw[a] (symmetric positive weights), so
+    # ranks.max() * outw.max() bounds every task-side rank*w product
+    max_outw = int(outw.max()) if len(outw) else 1
 
     for _ in range(n_iters):
+        if int(ranks.max()) > limit // max(max_outw, 1):
+            raise OverflowError(
+                "pagerank: rank * edge-weight could overflow int64; "
+                "lower PAGERANK_SCALE or pre-scale edge weights"
+            )
         state = ray.put((node_idx, ranks, outw))
 
         def contrib(batch: pa.Table) -> pd.DataFrame:
@@ -333,7 +379,9 @@ def pagerank(
                 .groupby("dst", sort=False, as_index=False)["c"]
                 .sum()
             )
-            g["_bucket"] = (g["dst"].to_numpy(np.int64) % 16).astype(np.int32)
+            g["_bucket"] = (
+                g["dst"].to_numpy(np.int64) % num_buckets
+            ).astype(np.int32)
             return g
 
         def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -347,9 +395,12 @@ def pagerank(
         )
         new = np.full(len(nodes), teleport, dtype=np.int64)
         dst = sums["dst"].to_numpy(np.int64)
-        new[dst] += (
-            sums["c"].to_numpy(np.int64) * PAGERANK_DAMP_NUM
-        ) // PAGERANK_DAMP_DEN
+        csum = sums["c"].to_numpy(np.int64)
+        if len(csum) and int(csum.max()) > limit // PAGERANK_DAMP_NUM:
+            raise OverflowError(
+                "pagerank: damping product would overflow int64"
+            )
+        new[dst] += (csum * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
         ranks = new
 
     import ray.data as rd
@@ -595,27 +646,12 @@ def _local_triangles(batch: pa.Table) -> pa.Table:
     lo, hi = lo[srt], hi[srt]
     new = np.ones(len(lo), dtype=bool)
     new[1:] = lo[1:] != lo[:-1]
-    gid = np.cumsum(new) - 1
-    sizes = np.bincount(gid)
+    sizes = np.bincount(np.cumsum(new) - 1)
     starts = np.flatnonzero(new)
-    w1: List[np.ndarray] = []
-    w2: List[np.ndarray] = []
-    wapex: List[np.ndarray] = []
-    for s in np.unique(sizes):
-        if s < 2:
-            continue
-        gsel = np.flatnonzero(sizes == s)
-        rows = starts[gsel][:, None] + np.arange(s)[None, :]
-        vals = hi[rows]  # (m, s) neighbors ascending by rank
-        iu, ju = np.triu_indices(s, k=1)
-        w1.append(vals[:, iu].ravel())
-        w2.append(vals[:, ju].ravel())
-        wapex.append(np.repeat(lo[starts[gsel]], len(iu)))
+    n1, n2, g = _pairs_by_size_class(starts, sizes, hi)
     counts = np.zeros(len(nodes), dtype=np.int64)
-    if w1:
-        n1 = np.concatenate(w1)
-        n2 = np.concatenate(w2)
-        apex = np.concatenate(wapex)
+    if len(n1):
+        apex = lo[starts[g]]
         hit = np.isin(n1 * V + n2, lo * V + hi)
         corners = np.concatenate([apex[hit], n1[hit], n2[hit]])
         counts += np.bincount(corners, minlength=len(nodes))
@@ -712,21 +748,19 @@ def triangle_counts(
 
     # -- wedges per apex (out-neighbors sorted by rank) ----------------
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        outs: List[np.ndarray] = []
-        o1: List[np.ndarray] = []
-        o2: List[np.ndarray] = []
-        apex: List[np.ndarray] = []
-        for lo, sub in df.groupby("lo", sort=False):
-            sub = sub.sort_values("rhi", kind="stable")
-            nb = sub["hi"].to_numpy(dtype=object)
-            n = len(nb)
-            if n < 2:
-                continue
-            iu, ju = np.triu_indices(n, k=1)
-            o1.append(nb[iu])
-            o2.append(nb[ju])
-            apex.append(np.full(len(iu), lo, dtype=object))
-        if not o1:
+        # contiguous (lo, rank-of-hi)-sorted layout, then the shared
+        # size-class kernel — no Python loop over apex nodes
+        df = df.sort_values(["lo", "rhi"], kind="stable")
+        lo = df["lo"].to_numpy(dtype=object)
+        hi = df["hi"].to_numpy(dtype=object)
+        n1 = np.array([], dtype=object)
+        if len(df):
+            new = np.ones(len(df), dtype=bool)
+            new[1:] = lo[1:] != lo[:-1]
+            sizes = np.bincount(np.cumsum(new) - 1)
+            starts = np.flatnonzero(new)
+            n1, n2, g = _pairs_by_size_class(starts, sizes, hi)
+        if not len(n1):
             return pd.DataFrame(
                 {
                     "n1": pd.Series(dtype=str),
@@ -737,11 +771,7 @@ def triangle_counts(
                 }
             )
         out = pd.DataFrame(
-            {
-                "n1": np.concatenate(o1),
-                "n2": np.concatenate(o2),
-                "apex": np.concatenate(apex),
-            }
+            {"n1": n1, "n2": n2, "apex": lo[starts[g]]}
         )
         out["_is_edge"] = np.int8(0)
         out["_bucket2"] = bucket_of(

@@ -107,12 +107,23 @@ class EntityLinker:
         repeat heavily, so the per-row work is two integer gathers —
         ``rsplit``/``normalize_answer``/fuzzy run once per DISTINCT value
         (same pattern as triples.project_triples_batch's url crc)."""
+        import pyarrow.compute as pc
+
         preds = batch["pred"]
         if isinstance(preds, pa.ChunkedArray):
             preds = preds.combine_chunks()
         objs = batch["obj_surface"]
         if isinstance(objs, pa.ChunkedArray):
             objs = objs.combine_chunks()
+
+        # nulls would surface as NaN dictionary indices (float array ->
+        # IndexError on gather); fill with "" for the encode — "" is
+        # never a UF leaf so null preds take the passthrough branch —
+        # and restore null obj_linked at the end (the scalar path's
+        # behavior for null objects)
+        null_obj = pc.is_null(objs).to_numpy(zero_copy_only=False)
+        preds = pc.fill_null(preds, "")
+        objs = pc.fill_null(objs, "")
 
         pred_enc = preds.dictionary_encode()
         pred_vals = pred_enc.dictionary.to_pylist()
@@ -140,6 +151,9 @@ class EntityLinker:
             out = np.where(uf_mask, linked_vals[obj_idx], obj_vals[obj_idx])
         else:
             out = obj_vals[obj_idx] if len(obj_vals) else np.zeros(0, object)
+        if null_obj.any():
+            out = out.copy()
+            out[null_obj] = None
         return batch.append_column("obj_linked", pa.array(out, pa.string()))
 
 

@@ -198,15 +198,18 @@ def pack_texts(docs_ds, budget: int = 2048, num_ranges: int | None = None,
         out["n_tokens"] = out["n_tokens"].astype(np.int64)
         return out.reset_index()[["pack_id", "n_tokens", "text"]]
 
-    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
-        # bucket PACKS, not raw pack_ids: map_groups invokes its UDF
-        # once per group, so grouping on pack_id directly would pay one
-        # Python call per output pack (unbounded at corpus scale); the
-        # bucket co-locates whole packs and assemble runs one pandas
-        # groupby per bucket
-        from .common import resolve_parallelism
+    # bucket PACKS, not raw pack_ids: map_groups invokes its UDF once
+    # per group, so grouping on pack_id directly would pay one Python
+    # call per output pack (unbounded at corpus scale); the bucket
+    # co-locates whole packs and assemble runs one pandas groupby per
+    # bucket.  Width resolved ONCE here on the driver — resolving
+    # inside the task would let an elastic cluster hand two batches of
+    # the same pack different widths and split the pack across buckets.
+    from .common import resolve_parallelism
 
-        nb = resolve_parallelism(None)
+    nb = resolve_parallelism(None)
+
+    def add_pbucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_pbucket"] = (df["pack_id"] % nb).astype(np.int32)
         return df

@@ -104,23 +104,37 @@ def save_outputs_report(
             }
         )
 
+    # the reference writes every (non-skipped) group's section header even
+    # when the misprediction filter leaves it empty; with the filter on,
+    # the group universe must come from the UNFILTERED input.  That makes
+    # answers_ds a two-consumer dataset (universe pass + render pass), so
+    # pin its blocks once — a lazy input would re-execute its whole
+    # upstream lineage for each consumer.  No exception guard: a failed
+    # universe pass must fail loud, not silently drop the headers this
+    # branch exists to emit.
+    empty_groups: list = []
+    if only_mispredictions and group_col:
+        answers_ds = answers_ds.materialize()
+
+        def _grp_partial(df: pd.DataFrame) -> pd.DataFrame:
+            # per-batch distinct (Ray's Unique aggregate trips over
+            # pandas-block accumulators in 2.49); the driver sees one
+            # row per (batch, group) — bounded by the group vocabulary
+            if group_col in df.columns:
+                vals = df[group_col].astype(str).unique()
+            else:
+                vals = []
+            return pd.DataFrame({"g": pd.Series(vals, dtype=str)})
+
+        seen = answers_ds.map_batches(
+            _grp_partial, batch_format="pandas"
+        ).to_pandas()
+        empty_groups = sorted(
+            {g for g in seen["g"] if not _skip_group(g) and g != ""}
+        )  # consumed in order below
     rendered = answers_ds.map_batches(render, batch_format="pandas").sort(
         ["grp", "url", "win"]
     )
-    # the reference writes every (non-skipped) group's section header even
-    # when the misprediction filter leaves it empty; with the filter on,
-    # the group universe must come from the UNFILTERED input
-    empty_groups: list = []
-    if only_mispredictions and group_col:
-        try:
-            universe = sorted(
-                str(g)
-                for g in answers_ds.unique(group_col)
-                if not _skip_group(str(g)) and str(g) != ""
-            )
-        except Exception:
-            universe = []
-        empty_groups = universe  # consumed in order below
     Path(path).parent.mkdir(parents=True, exist_ok=True)
     current = None
     ptr = 0

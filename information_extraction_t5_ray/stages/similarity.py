@@ -504,6 +504,11 @@ def semdedup(
 
     sub_cents: dict[int, np.ndarray] = {}
     if max_cluster_rows:
+        # the size estimate + the assign pass both consume the dataset;
+        # pin blocks once or a lazy upstream (embedding model, joins)
+        # re-executes per consumer (the object store spills if the
+        # corpus exceeds memory — still cheaper than recompute)
+        embeddings_ds = embeddings_ds.materialize()
         n_total = embeddings_ds.count()
         sm = _normalize(sample)
         scl = np.argmax(sm @ cent.T, axis=1)

@@ -246,3 +246,90 @@ def test_balance_tag_hash_matches_per_row_crc32(ray_session):
                 got[got["is_negative"]]["window_id"].tolist()
             )
             assert got_neg == sampled_windows
+
+
+def test_entity_linker_null_pred_and_obj():
+    """Nulls must pass through (scalar-path behavior), not crash the
+    gather with float NaN dictionary indices."""
+    import pyarrow as pa
+
+    from information_extraction_t5_ray.stages.link import EntityLinker
+
+    batch = pa.table(
+        {
+            "pred": pa.array(["form.endereco.estado", None, "form.nome"]),
+            "obj_surface": pa.array(["pernambuco", "x", None]),
+        }
+    )
+    out = EntityLinker()(batch)
+    got = out["obj_linked"].to_pylist()
+    assert got[0] == "PE"  # UF leaf linked to the canonical code
+    assert got[1] == "x"  # null pred -> passthrough branch
+    assert got[2] is None  # null object stays null
+
+
+def test_latest_snapshot_equal_ts_deterministic(ray_session):
+    """Equal-timestamp snapshots in DIFFERENT batches must resolve to
+    the same winner on every run (content_id/n_bytes tiebreak)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.crawl import latest_snapshot
+
+    def tbl(content_id):
+        return pa.table(
+            {
+                "url": pa.array(["u"], pa.string()),
+                "warc_ts": pa.array(
+                    np.array([100], "datetime64[s]").astype("datetime64[us]")
+                ),
+                "content_id": pa.array([content_id], pa.int64()),
+                "n_bytes": pa.array([1], pa.int64()),
+                "lang": pa.array(["pt"], pa.string()),
+            }
+        )
+
+    for order in [(1, 2), (2, 1)]:  # both arrival orders
+        ds = rd.from_arrow(tbl(order[0])).union(rd.from_arrow(tbl(order[1])))
+        got = latest_snapshot(ds).to_pandas()
+        assert len(got) == 1
+        assert got["content_id"].iloc[0] == 2, order
+
+
+def test_pagerank_overflow_raises(ray_session):
+    """A rank*weight product that would wrap int64 must fail loud."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.graph import pagerank
+
+    big = 10_000_000  # rank 1e12 * 1e7 within one iteration -> > 2^63
+    edges = pa.table(
+        {
+            "a": pa.array(["x", "y"], pa.string()),
+            "b": pa.array(["y", "x"], pa.string()),
+            "cnt": pa.array([big, big], pa.int64()),
+        }
+    )
+    with _pytest.raises(OverflowError):
+        pagerank(rd.from_arrow(edges)).to_pandas()
+
+
+def test_xlsx_numpy_scalars_are_numeric_cells(tmp_path):
+    import numpy as np
+
+    from information_extraction_t5_ray.functions.xlsx import write_xlsx
+
+    p = tmp_path / "t.xlsx"
+    write_xlsx(
+        str(p), {"s": (["n", "f"], [[np.int64(5), np.float64(1.5)]])}
+    )
+    from zipfile import ZipFile
+
+    xml = ZipFile(p).read("xl/worksheets/sheet1.xml").decode()
+    assert 't="n"><v>5</v>' in xml
+    assert 't="n"><v>1.5</v>' in xml
+    # only the header strings may be inline text — never the values
+    assert ">5</t>" not in xml and ">1.5</t>" not in xml
