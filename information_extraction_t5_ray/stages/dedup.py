@@ -313,10 +313,19 @@ def bench_ngram_index(bench_docs_ds, n: int = 8):
     as the ANN query matrix."""
     from .textstats import batch_word_ngrams
 
-    def batch_grams(batch: pa.Table) -> pd.DataFrame:
+    def batch_grams(batch: pa.Table):
         _, h, g = batch_word_ngrams(batch, n)
         df = pd.DataFrame({"g": g.to_pandas().to_numpy(), "h": h})
-        return df.drop_duplicates("g")
+        df = df.drop_duplicates("g")
+        if df.empty:
+            # empty ARROW block, not an empty pandas object column —
+            # Ray 2.49's pandas size estimator logs 'Error calculating
+            # size ... vectorize on size 0' per empty object column
+            return pa.table(
+                {"g": pa.array([], pa.string()),
+                 "h": pa.array([], pa.uint64())}
+            )
+        return df
 
     grams: set = set()
     hashes_parts = []

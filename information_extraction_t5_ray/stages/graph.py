@@ -761,13 +761,15 @@ def triangle_counts(
             starts = np.flatnonzero(new)
             n1, n2, g = _pairs_by_size_class(starts, sizes, hi)
         if not len(n1):
-            return pd.DataFrame(
+            # empty ARROW block (see dedup.batch_grams): empty pandas
+            # object columns trip Ray's size estimator into log spam
+            return pa.table(
                 {
-                    "n1": pd.Series(dtype=str),
-                    "n2": pd.Series(dtype=str),
-                    "apex": pd.Series(dtype=str),
-                    "_is_edge": pd.Series(dtype=np.int8),
-                    "_bucket2": pd.Series(dtype=np.int32),
+                    "n1": pa.array([], pa.string()),
+                    "n2": pa.array([], pa.string()),
+                    "apex": pa.array([], pa.string()),
+                    "_is_edge": pa.array([], pa.int8()),
+                    "_bucket2": pa.array([], pa.int32()),
                 }
             )
         out = pd.DataFrame(
