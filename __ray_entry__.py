@@ -146,6 +146,35 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_merge(sf_dir: str):
+    """Incremental KG maintenance: base extraction (src_ts=1) fused
+    with a re-extraction of the even-doc shard (src_ts=2), latest-wins
+    per (subj, pred)."""
+    import pyarrow as pa
+
+    from information_extraction_t5_ray.pipelines.kg import (
+        KGConfig,
+        kg_triples,
+        run_kg,
+    )
+    from information_extraction_t5_ray.sources import synth
+    from information_extraction_t5_ray.stages.triples import merge_triples
+
+    def tag(ts):
+        def add(batch: pa.Table) -> pa.Table:
+            return batch.select(["subj", "pred", "obj"]).append_column(
+                "src_ts", pa.array([ts] * len(batch), pa.int64())
+            )
+
+        return add
+
+    old = run_kg(sf_dir).map_batches(tag(1), batch_format="pyarrow")
+    new = kg_triples(
+        synth.read_pages(sf_dir, shard=(0, 2)), KGConfig()
+    ).map_batches(tag(2), batch_format="pyarrow")
+    return merge_triples(old, new)
+
+
 def _q_crawl_latest(sf_dir: str):
     """Newest snapshot per url over the multi-snapshot crawl set."""
     from information_extraction_t5_ray.sources.crawl import read_crawl
@@ -237,6 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbors": _q_kg_neighbors,  # new r3: per-entity top-k
         "kg_components": _q_kg_components,  # new r3: entity clusters (CC)
         "kg_triangles": _q_kg_triangles,  # new r3: triangle counts
+        "kg_merge": _q_kg_merge,  # new r3: incremental latest-wins fusion
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -339,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         kg_cooccur_sql,
         kg_degree_sql,
         kg_components_sql,
+        kg_merge_sql,
         kg_neighbors_sql,
         kg_triangles_sql,
         kg_pagerank_sql,
@@ -353,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbors": kg_neighbors_sql(),
         "kg_components": kg_components_sql(),
         "kg_triangles": kg_triangles_sql(),
+        "kg_merge": kg_merge_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

@@ -329,3 +329,21 @@ SELECT n.node AS entity,
 FROM w n LEFT JOIN (
   SELECT node, count(*) AS c FROM corners GROUP BY node
 ) t ON t.node = n.node"""
+
+
+def kg_merge_sql() -> str:
+    """Latest-wins fusion of the base triples (src_ts=1) with the
+    even-doc-shard re-extraction (src_ts=2) — ground truth for
+    stages/triples.merge_triples."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+u AS (
+  SELECT subj, pred, obj, CAST(1 AS BIGINT) AS src_ts FROM t
+  UNION ALL
+  SELECT subj, pred, obj, CAST(2 AS BIGINT) AS src_ts FROM t
+  WHERE subj IN (SELECT {URL_SQL} FROM documents WHERE doc_id % 2 = 0)
+)
+SELECT subj, pred, obj, src_ts FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY subj, pred ORDER BY src_ts DESC, obj) AS rn
+  FROM u
+) WHERE rn = 1"""

@@ -262,3 +262,51 @@ def write_triples(
         min_rows_per_file=min_rows_per_file,
     )
     return out_dir
+
+
+def merge_triples(old_ds, new_ds, num_buckets=None):
+    """Incremental KG maintenance: fuse a base triple set with a
+    (partial) re-extraction, LATEST-WINS per ``(subj, pred)``.
+
+    Both inputs must carry ``(subj, pred, obj, src_ts)`` where
+    ``src_ts`` is the extraction snapshot (int64, larger = newer); the
+    output keeps, per (subj, pred), the row with the greatest
+    ``src_ts`` (ties: lexicographic-min obj — deterministic under any
+    partitioning).
+
+    Two-phase argmax (the latest_snapshot pattern on a composite key):
+    per-batch head-1 per key, keys bucketed by hash, one pandas
+    groupby per bucket — one candidate row per (batch, key) on the
+    wire, never the unioned triple streams.
+    """
+    from .common import resolve_parallelism
+
+    num_buckets = resolve_parallelism(num_buckets)
+    cols = ["subj", "pred", "obj", "src_ts"]
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["subj", "pred", "src_ts", "obj"],
+            ascending=[True, True, False, True],
+            kind="stable",
+        )
+        return df.groupby(["subj", "pred"], sort=False).head(1)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(cols).to_pandas()
+        top = best(df).copy()
+        top["_bucket"] = bucket_of(
+            top["subj"].astype(str) + "\x1f" + top["pred"].astype(str),
+            num_buckets,
+        )
+        return top
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return best(df)[cols]
+
+    return (
+        old_ds.union(new_ds)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pandas")
+    )

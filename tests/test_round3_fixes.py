@@ -333,3 +333,39 @@ def test_xlsx_numpy_scalars_are_numeric_cells(tmp_path):
     assert 't="n"><v>1.5</v>' in xml
     # only the header strings may be inline text — never the values
     assert ">5</t>" not in xml and ">1.5</t>" not in xml
+
+
+def test_merge_triples_latest_wins_across_batches(ray_session):
+    """Newer src_ts wins per (subj, pred) even when old and new rows
+    live in different datasets/batches; equal-ts conflicts resolve to
+    the lexicographic-min obj deterministically."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.triples import merge_triples
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj": pa.array([r[2] for r in rows], pa.string()),
+                "src_ts": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+
+    old = rd.from_arrow(
+        tbl([("u1", "p", "old-val", 1), ("u2", "p", "keep-me", 1)])
+    )
+    new = rd.from_arrow(
+        tbl([("u1", "p", "new-val", 2), ("u3", "p", "b", 2), ("u3", "p", "a", 2)])
+    )
+    got = (
+        merge_triples(old, new)
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+    assert list(got["subj"]) == ["u1", "u2", "u3"]
+    assert list(got["obj"]) == ["new-val", "keep-me", "a"]  # min-obj tie
+    assert list(got["src_ts"]) == [2, 1, 2]
