@@ -363,3 +363,44 @@ def host_quota(
         .groupby("_bucket")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def run_crawl_checkpointed(sf_dir: str, ckpt_dir: str, quota_k: int = 10):
+    """Checkpointed crawl-intake funnel: raw snapshots -> latest
+    snapshot per url -> per-host quota, each boundary materialized to
+    ``{ckpt_dir}/{stage}/`` with a lineage manifest (fingerprint chain
+    over inputs + parameters).  A rerun with the same inputs SKIPS
+    completed stages; a killed run resumes from the last complete
+    boundary — the intake analog of ``pipelines.kg.run_kg_checkpointed``
+    and ``pipelines.corpus.run_curate_checkpointed``.
+
+    Returns ``(quota_ds, {stage: skipped})``.
+    """
+    from ..sources.crawl import (
+        CONTENT_CHANGE_MOD,
+        SNAPSHOT_MOD,
+        read_crawl,
+    )
+    from ..state import manifest as mf
+
+    # the latest boundary's lineage covers the snapshot-derivation
+    # constants (they change the content); the quota boundary chains on
+    # it plus its own k
+    fp_latest = mf.fingerprint(
+        "crawl-latest", sf_dir, str(SNAPSHOT_MOD), str(CONTENT_CHANGE_MOD)
+    )
+    fp_quota = mf.fingerprint("crawl-quota", fp_latest, str(quota_k))
+    skipped = {}
+    latest, skipped["latest"] = mf.checkpointed(
+        lambda: latest_snapshot(read_crawl(sf_dir)),
+        f"{ckpt_dir}/latest",
+        "latest",
+        fp_latest,
+    )
+    quota, skipped["quota"] = mf.checkpointed(
+        lambda: host_quota(latest, k=quota_k),
+        f"{ckpt_dir}/quota",
+        "quota",
+        fp_quota,
+    )
+    return quota, skipped

@@ -181,3 +181,42 @@ def test_curate_checkpointed_matches_direct_and_resumes(ray_session, tmp_path):
     assert (
         kept3.to_pandas().sort_values("doc_id").reset_index(drop=True).equals(direct)
     )
+
+
+def test_crawl_checkpointed_matches_direct_and_resumes(ray_session, tmp_path):
+    """The checkpointed crawl-intake funnel equals the direct chain,
+    warm reruns skip both boundaries, and deleting the quota boundary
+    recomputes only it."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.stages import crawl as cr
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "crawl")
+    key = ["host", "url"]
+    direct = (
+        cr.host_quota(cr.latest_snapshot(read_crawl(sf)), k=10)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    quota, skipped = cr.run_crawl_checkpointed(sf, ck, quota_k=10)
+    got = quota.to_pandas().sort_values(key).reset_index(drop=True)
+    assert skipped == {"latest": False, "quota": False}
+    assert got.equals(direct)
+    quota2, skipped2 = cr.run_crawl_checkpointed(sf, ck, quota_k=10)
+    assert skipped2 == {"latest": True, "quota": True}
+    assert (
+        quota2.to_pandas().sort_values(key).reset_index(drop=True).equals(direct)
+    )
+    import shutil
+
+    shutil.rmtree(f"{ck}/quota")
+    quota3, skipped3 = cr.run_crawl_checkpointed(sf, ck, quota_k=10)
+    assert skipped3 == {"latest": True, "quota": False}
+    assert (
+        quota3.to_pandas().sort_values(key).reset_index(drop=True).equals(direct)
+    )
+    # a different quota_k invalidates only the quota boundary
+    quota4, skipped4 = cr.run_crawl_checkpointed(sf, ck, quota_k=3)
+    assert skipped4 == {"latest": True, "quota": False}
+    assert quota4.to_pandas().groupby("host").size().max() <= 3
