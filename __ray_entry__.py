@@ -175,6 +175,55 @@ def _q_kg_merge(sf_dir: str):
     return merge_triples(old, new)
 
 
+def _q_kg_from_crawl(sf_dir: str):
+    """Composed intake -> extraction: pages surviving the crawl-side
+    host blocklist (urls parsed back to doc ids, distributed
+    Bloom-semi-join against the pages stream) feed the KG pipeline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from information_extraction_t5_ray.pipelines.kg import (
+        KGConfig,
+        kg_triples,
+    )
+    from information_extraction_t5_ray.sources import synth
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.sources.oracle_crawl import (
+        BLOCKED_SOURCES,
+    )
+    from information_extraction_t5_ray.stages.crawl import blocklist_filter
+    from information_extraction_t5_ray.stages.joins import bloom_semi_join
+
+    blocked = [f"{s}.example.org" for s in BLOCKED_SOURCES]
+    # surviving snapshots (duplicate urls are fine: the semi-join key
+    # side deduplicates when it builds the broadcast filter)
+    survivors = blocklist_filter(read_crawl(sf_dir), blocked)
+
+    def to_doc_id(batch: pa.Table) -> pa.Table:
+        # crawl url '.../p/{doc_id:08d}' -> int64 doc_id key
+        parts = pc.split_pattern(batch["url"], pattern="/p/")
+        ids = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return pa.table({"doc_id": ids})
+
+    keys = survivors.map_batches(to_doc_id, batch_format="pyarrow")
+
+    def add_doc_id(batch: pa.Table) -> pa.Table:
+        # pages url 'https://example.org/{doc_id:08d}'
+        parts = pc.split_pattern(batch["url"], pattern="example.org/")
+        ids = pc.cast(pc.list_element(parts, 1), pa.int64())
+        return batch.append_column("doc_id", ids)
+
+    pages = synth.read_pages(sf_dir).map_batches(
+        add_doc_id, batch_format="pyarrow"
+    )
+    gated = bloom_semi_join(pages, keys, on="doc_id").drop_columns(
+        ["doc_id"]
+    )
+    return kg_triples(gated, KGConfig()).select_columns(
+        ["subj", "pred", "obj"]
+    )
+
+
 def _q_crawl_latest(sf_dir: str):
     """Newest snapshot per url over the multi-snapshot crawl set."""
     from information_extraction_t5_ray.sources.crawl import read_crawl
@@ -267,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,  # new r3: entity clusters (CC)
         "kg_triangles": _q_kg_triangles,  # new r3: triangle counts
         "kg_merge": _q_kg_merge,  # new r3: incremental latest-wins fusion
+        "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -369,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         kg_cooccur_sql,
         kg_degree_sql,
         kg_components_sql,
+        kg_from_crawl_sql,
         kg_merge_sql,
         kg_neighbors_sql,
         kg_triangles_sql,
@@ -385,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_components": kg_components_sql(),
         "kg_triangles": kg_triangles_sql(),
         "kg_merge": kg_merge_sql(),
+        "kg_from_crawl": kg_from_crawl_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

@@ -347,3 +347,17 @@ SELECT subj, pred, obj, src_ts FROM (
       PARTITION BY subj, pred ORDER BY src_ts DESC, obj) AS rn
   FROM u
 ) WHERE rn = 1"""
+
+
+def kg_from_crawl_sql() -> str:
+    """Triples restricted to documents whose crawl host survives the
+    blocklist — ground truth for the composed intake -> extraction
+    query (_q_kg_from_crawl)."""
+    from .oracle_crawl import BLOCKED_SOURCES
+
+    blocked = ",".join(f"'{s}'" for s in BLOCKED_SOURCES)
+    return f"""WITH t AS ({oracle_triples_sql()})
+SELECT subj, pred, obj FROM t
+WHERE subj IN (
+  SELECT {URL_SQL} FROM documents WHERE source NOT IN ({blocked})
+)"""
