@@ -94,10 +94,8 @@ def read_crawl(sf_dir: str, repeat: int = 1):
     ``r * REPEAT_STRIDE`` (the read_pages convention): distinct urls,
     identical snapshot/change profile — a deterministic work multiplier
     for stress/scaling runs only."""
-    import pyarrow.compute as _pc
-
     from ..stages.common import read_parquet_clean
-    from .synth import REPEAT_STRIDE
+    from .synth import replicate_doc_ids
 
     ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
@@ -106,19 +104,5 @@ def read_crawl(sf_dir: str, repeat: int = 1):
     # same load-bearing widen as read_pages: a 1-file read is a single
     # block; repartition so the explosion + downstream stages fan out
     ds = ds.repartition(16)
-    if repeat > 1:
-
-        def replicate(batch: pa.Table) -> pa.Table:
-            tables = [batch]
-            for r in range(1, repeat):
-                tables.append(
-                    batch.set_column(
-                        batch.schema.get_field_index("doc_id"),
-                        "doc_id",
-                        _pc.add(batch["doc_id"], r * REPEAT_STRIDE),
-                    )
-                )
-            return pa.concat_tables(tables)
-
-        ds = ds.map_batches(replicate, batch_format="pyarrow")
+    ds = replicate_doc_ids(ds, repeat)
     return ds.map_batches(documents_to_crawl, batch_format="pyarrow")

@@ -79,6 +79,30 @@ EPOCH_EMISSAO = _dt.date(2015, 1, 1)
 EPOCH_NASC = _dt.date(1950, 1, 1)
 
 
+def replicate_doc_ids(ds, repeat: int):
+    """Deterministic work multiplier shared by read_pages and
+    read_crawl: replicate every document ``repeat`` times with doc_ids
+    shifted by ``r * REPEAT_STRIDE`` (distinct keys, identical work
+    profile).  ONE definition so the stress fixtures of the page and
+    crawl families cannot diverge."""
+    if repeat <= 1:
+        return ds
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        tables = [batch]
+        for r in range(1, repeat):
+            tables.append(
+                batch.set_column(
+                    batch.schema.get_field_index("doc_id"),
+                    "doc_id",
+                    _pc.add(batch["doc_id"], r * REPEAT_STRIDE),
+                )
+            )
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(replicate, batch_format="pyarrow")
+
+
 def _fmt_date(base: _dt.date, days: int) -> str:
     return (base + _dt.timedelta(days=days)).strftime("%d/%m/%Y")
 
@@ -304,21 +328,7 @@ def read_pages(
     except Exception:  # pragma: no cover - no cluster yet
         n_blocks = 16
     ds = ds.repartition(n_blocks)
-    if repeat > 1:
-
-        def replicate(batch: pa.Table) -> pa.Table:
-            tables = [batch]
-            for r in range(1, repeat):
-                tables.append(
-                    batch.set_column(
-                        batch.schema.get_field_index("doc_id"),
-                        "doc_id",
-                        _pc.add(batch["doc_id"], r * REPEAT_STRIDE),
-                    )
-                )
-            return pa.concat_tables(tables)
-
-        ds = ds.map_batches(replicate, batch_format="pyarrow")
+    ds = replicate_doc_ids(ds, repeat)
     # small row bundles: each doc row expands ~10x in bytes (html + text
     # + window duplication downstream), so bundling by the default
     # byte target would fuse the whole corpus into ~16 tasks and cap

@@ -244,27 +244,60 @@ def _pagerank_iterate_local(
     distributed path: per-dst int64 contribution sums (``np.add.at`` —
     exact, unlike float ``bincount``), then ``(sum * 85) // 100``."""
     limit = np.iinfo(np.int64).max
-    max_w = int(w.max()) if len(w) else 1
     ranks = np.full(len(outw), PAGERANK_SCALE, dtype=np.int64)
     for _ in range(n_iters):
-        # numpy int64 multiplication WRAPS silently; at crawl-scale
-        # weights (w ~ 1e6+) rank*w can exceed 2^63 — fail loud (the
-        # DuckDB oracle raises on BIGINT overflow; parity demands the
-        # same) rather than emit garbage ranks
-        if int(ranks.max()) > limit // max(max_w, 1):
-            raise OverflowError(
-                "pagerank: rank * edge-weight would overflow int64; "
-                "lower PAGERANK_SCALE or pre-scale edge weights"
-            )
+        total = _pagerank_overflow_guard(ranks, outw, limit)
         c = (ranks[a_idx] * w) // outw[a_idx]
         sums = np.zeros(len(outw), dtype=np.int64)
         np.add.at(sums, b_idx, c)
-        if len(sums) and int(sums.max()) > limit // PAGERANK_DAMP_NUM:
-            raise OverflowError(
-                "pagerank: damping product would overflow int64"
-            )
+        _pagerank_check_sums(sums, total, limit)
         ranks = teleport + (sums * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
     return ranks
+
+
+def _pagerank_overflow_guard(
+    ranks: np.ndarray, outw: np.ndarray, limit: int
+) -> int:
+    """Fail loud on the product step BEFORE it can wrap (the DuckDB
+    oracle raises on BIGINT overflow; parity demands the same):
+    rank(u) * W(u) >= rank(u) * w(u,v) for every out-edge, so checking
+    each node's rank against limit // W(u) is PER-NODE tight (never
+    pairs one node's rank with another node's weight; conservative
+    only up to the node's own weight spread).  Returns the total rank
+    mass T = sum(ranks) as an unbounded Python int — the invariant
+    checked after accumulation (:func:`_pagerank_check_sums`).
+    """
+    if len(ranks) == 0:
+        return 0
+    if bool((ranks > limit // np.maximum(outw, 1)).any()):
+        raise OverflowError(
+            "pagerank: rank * edge-weight would overflow int64; "
+            "lower PAGERANK_SCALE or pre-scale edge weights"
+        )
+    return sum(int(r) for r in ranks.tolist())
+
+
+def _pagerank_check_sums(csum: np.ndarray, total: int, limit: int) -> None:
+    """Detect int64 wrap in the contribution accumulation AFTER the
+    fact via mass conservation (contributions are nonnegative and
+    floor-division makes their grand total <= the rank mass T, so a
+    wrap shows as a negative entry or a mass violation — both checked
+    in unbounded Python ints), then bound the *85 damping product
+    exactly.  This keeps >100k-node graphs legal (a strict
+    T <= limit//85 PRE-check would falsely abort them) while still
+    never emitting wrapped ranks."""
+    if len(csum) == 0:
+        return
+    if bool((csum < 0).any()) or sum(int(x) for x in csum.tolist()) > total:
+        raise OverflowError(
+            "pagerank: contribution accumulation wrapped int64; "
+            "lower PAGERANK_SCALE"
+        )
+    if int(csum.max()) > limit // PAGERANK_DAMP_NUM:
+        raise OverflowError(
+            "pagerank: damping product would overflow int64; "
+            "lower PAGERANK_SCALE"
+        )
 
 
 def pagerank(
@@ -358,18 +391,20 @@ def pagerank(
     limit = np.iinfo(np.int64).max
     # per-edge w <= outw[a] (symmetric positive weights), so
     # ranks.max() * outw.max() bounds every task-side rank*w product
-    max_outw = int(outw.max()) if len(outw) else 1
+    # node map + out-weights are loop-invariant: broadcast ONCE; only
+    # the rank vector re-ships per iteration (the str->int dict is the
+    # largest broadcast object at crawl-scale vocabularies)
+    static_ref = ray.put((node_idx, outw))
 
     for _ in range(n_iters):
-        if int(ranks.max()) > limit // max(max_outw, 1):
-            raise OverflowError(
-                "pagerank: rank * edge-weight could overflow int64; "
-                "lower PAGERANK_SCALE or pre-scale edge weights"
-            )
-        state = ray.put((node_idx, ranks, outw))
+        total = _pagerank_overflow_guard(ranks, outw, limit)
+        rank_ref = ray.put(ranks)
 
-        def contrib(batch: pa.Table) -> pd.DataFrame:
-            idx, r, w_out = ray.get(state)
+        def contrib(
+            batch: pa.Table, _static=static_ref, _ranks=rank_ref
+        ) -> pd.DataFrame:
+            idx, w_out = ray.get(_static)
+            r = ray.get(_ranks)
             a = batch["a"].to_pandas().astype(str).map(idx).to_numpy(np.int64)
             b = batch["b"].to_pandas().astype(str).map(idx).to_numpy(np.int64)
             w = batch["cnt"].to_pandas().to_numpy(np.int64)
@@ -396,10 +431,7 @@ def pagerank(
         new = np.full(len(nodes), teleport, dtype=np.int64)
         dst = sums["dst"].to_numpy(np.int64)
         csum = sums["c"].to_numpy(np.int64)
-        if len(csum) and int(csum.max()) > limit // PAGERANK_DAMP_NUM:
-            raise OverflowError(
-                "pagerank: damping product would overflow int64"
-            )
+        _pagerank_check_sums(csum, total, limit)
         new[dst] += (csum * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
         ranks = new
 

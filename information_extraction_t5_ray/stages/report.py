@@ -129,8 +129,12 @@ def save_outputs_report(
         seen = answers_ds.map_batches(
             _grp_partial, batch_format="pandas"
         ).to_pandas()
+        # a ZERO-block dataset yields a column-less frame — an empty
+        # input is not a failure (write a header-only report), only
+        # real errors stay loud
+        groups = seen["g"] if "g" in seen.columns else []
         empty_groups = sorted(
-            {g for g in seen["g"] if not _skip_group(g) and g != ""}
+            {g for g in groups if not _skip_group(g) and g != ""}
         )  # consumed in order below
     rendered = answers_ds.map_batches(render, batch_format="pandas").sort(
         ["grp", "url", "win"]

@@ -498,17 +498,19 @@ def semdedup(
 
     from .dedup import _local_cc
 
+    if max_cluster_rows:
+        # three consumers ahead (train sample, size estimate, assign
+        # pass); pin blocks BEFORE the first or a lazy upstream
+        # (embedding model, joins) re-executes per consumer — the
+        # object store spills if the corpus exceeds memory, still
+        # cheaper than recompute
+        embeddings_ds = embeddings_ds.materialize()
     sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
     sample = np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64)
     cent = _kmeans_lite(sample, n_clusters, seed=seed)
 
     sub_cents: dict[int, np.ndarray] = {}
     if max_cluster_rows:
-        # the size estimate + the assign pass both consume the dataset;
-        # pin blocks once or a lazy upstream (embedding model, joins)
-        # re-executes per consumer (the object store spills if the
-        # corpus exceeds memory — still cheaper than recompute)
-        embeddings_ds = embeddings_ds.materialize()
         n_total = embeddings_ds.count()
         sm = _normalize(sample)
         scl = np.argmax(sm @ cent.T, axis=1)
