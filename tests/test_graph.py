@@ -258,3 +258,38 @@ def test_triangle_counts_triangle_free(ray_session):
         ).to_pandas()
         assert sorted(got["entity"]) == ["a", "b", "c", "d"], thresh
         assert set(got["n_triangles"]) == {0}, thresh
+
+
+def test_pagerank_guard_allows_large_graphs():
+    """The overflow guard must be PER-NODE: a 150k-node ring (total
+    rank mass far over a naive sum bound) with small weights is legal
+    and must iterate, not abort."""
+    n = 150_000
+    a = np.arange(n, dtype=np.int64)
+    b = (a + 1) % n
+    # symmetric ring
+    a2 = np.concatenate([a, b])
+    b2 = np.concatenate([b, a])
+    w = np.ones(2 * n, dtype=np.int64)
+    outw = np.full(n, 2, dtype=np.int64)
+    ranks = G._pagerank_iterate_local(
+        a2, b2, w, outw, n_iters=2,
+        teleport=(G.PAGERANK_SCALE * 15) // 100,
+    )
+    assert len(ranks) == n
+    # a symmetric regular ring keeps every rank equal and positive
+    assert (ranks > 0).all() and len(np.unique(ranks)) == 1
+
+
+def test_pagerank_guard_catches_hub_overflow():
+    """A genuine product overflow (hub rank * own out-weight past
+    2^63) still fails loud."""
+    a = np.array([0, 1], dtype=np.int64)
+    b = np.array([1, 0], dtype=np.int64)
+    w = np.array([10**7, 10**7], dtype=np.int64)
+    outw = np.array([10**7, 10**7], dtype=np.int64)
+    with pytest.raises(OverflowError):
+        G._pagerank_iterate_local(
+            a, b, w, outw, n_iters=1,
+            teleport=(G.PAGERANK_SCALE * 15) // 100,
+        )
