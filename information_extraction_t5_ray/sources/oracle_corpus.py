@@ -816,7 +816,7 @@ WHERE c.doc_id NOT IN (SELECT j FROM dropset)"""
 
 
 def orders_by_nation_sql() -> str:
-    return """SELECT c.c_nationkey AS nationkey,
+    return """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
   count(*) AS n_orders,
   count(DISTINCT o.o_custkey) AS n_customers
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
