@@ -146,6 +146,24 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_write_roundtrip(sf_dir: str):
+    """Materialize-path validation: triples written as sorted
+    partitioned Parquet (per-partition lineage manifests), read back,
+    and compared against the SAME oracle as kg_triples — a driver row
+    for the sink itself."""
+    import tempfile
+
+    import ray.data as rd
+
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.triples import write_triples
+
+    out = tempfile.mkdtemp(prefix="kg_sink_")
+    write_triples(run_kg(sf_dir), out)
+    back = rd.read_parquet(out)
+    return back.select_columns(["subj", "pred", "obj"])
+
+
 def _q_kg_merge(sf_dir: str):
     """Incremental KG maintenance: base extraction (src_ts=1) fused
     with a re-extraction of the even-doc shard (src_ts=2), latest-wins
@@ -317,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,  # new r3: triangle counts
         "kg_merge": _q_kg_merge,  # new r3: incremental latest-wins fusion
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
+        "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -437,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triangles": kg_triangles_sql(),
         "kg_merge": kg_merge_sql(),
         "kg_from_crawl": kg_from_crawl_sql(),
+        "kg_write_roundtrip": oracle_triples_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),
