@@ -146,6 +146,18 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_communities(sf_dir: str):
+    """Deterministic fixed-round label propagation over the symmetric
+    co-mention graph."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        label_propagation,
+    )
+
+    return label_propagation(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_write_roundtrip(sf_dir: str):
     """Materialize-path validation: triples written as sorted
     partitioned Parquet (per-partition lineage manifests), read back,
@@ -336,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_merge": _q_kg_merge,  # new r3: incremental latest-wins fusion
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
+        "kg_communities": _q_kg_communities,  # new r3: fixed-round LPA
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -437,6 +450,7 @@ def oracle_sql() -> dict[str, str]:
     from information_extraction_t5_ray.sources.oracle import (
         kg_cooccur_sql,
         kg_degree_sql,
+        kg_communities_sql,
         kg_components_sql,
         kg_from_crawl_sql,
         kg_merge_sql,
@@ -457,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge": kg_merge_sql(),
         "kg_from_crawl": kg_from_crawl_sql(),
         "kg_write_roundtrip": oracle_triples_sql(),
+        "kg_communities": kg_communities_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

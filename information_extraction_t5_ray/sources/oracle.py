@@ -361,3 +361,30 @@ SELECT subj, pred, obj FROM t
 WHERE subj IN (
   SELECT {URL_SQL} FROM documents WHERE source NOT IN ({blocked})
 )"""
+
+
+def kg_communities_sql(n_rounds: int = 3) -> str:
+    """Fixed-round synchronous label propagation, iterated CTEs (the
+    kg_pagerank_sql pattern): per round each node takes the neighbor
+    label with the greatest incident weight, ties to the
+    lexicographic-min label — ground truth for
+    stages/graph.label_propagation."""
+    parts = [_graph_cte()]
+    parts.append(", l0 AS (SELECT node, node AS label FROM w)")
+    for k in range(1, n_rounds + 1):
+        prev = f"l{k - 1}"
+        parts.append(
+            f""", l{k} AS (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label,
+           row_number() OVER (PARTITION BY e.a
+               ORDER BY SUM(e.cnt) DESC, l.label) AS rn
+    FROM e JOIN {prev} l ON l.node = e.b
+    GROUP BY e.a, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f" SELECT node AS entity, label AS community FROM l{n_rounds}"
+    )
+    return "".join(parts)

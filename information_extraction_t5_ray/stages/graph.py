@@ -890,3 +890,153 @@ def triangle_counts(
         .groupby("_bucket3")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def label_propagation(
+    edges_ds,
+    n_rounds: int = 3,
+    num_buckets: Optional[int] = None,
+    local_edge_threshold: int = 4_000_000,
+):
+    """Community detection: synchronous label propagation over the
+    SYMMETRIC weighted edge list, made fully deterministic — a fixed
+    round count, every node updating from the PREVIOUS round's labels,
+    new label = the neighbor label with the greatest incident weight
+    (ties: lexicographic-min label).  Output ``(entity, community)``.
+
+    Same distribution posture as :func:`pagerank`: the label map is
+    node-bounded and broadcast via ``ray.put`` once per round; edges
+    stream through ``map_batches`` emitting per-batch partial
+    (node, label) weight sums, merged by one bucketed exchange per
+    round.  Hybrid single-task fast path under ``local_edge_threshold``
+    edges, arithmetic-identical.
+
+    Known property of the synchronous contract (kept because it is
+    what makes the result deterministic and oracle-reproducible):
+    structures whose heaviest ties are mutual pendant pairs swap
+    labels every round (textbook LPA oscillation) — after an odd
+    round count such a pair reports each other's initial label.
+    Use :func:`kg_components` when transitive-closure communities are
+    wanted instead.
+    """
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+
+    def _rounds_local(edf: pd.DataFrame) -> pd.DataFrame:
+        labels = {
+            n: n for n in np.unique(edf["a"].to_numpy(dtype=object).astype(str))
+        }
+        a = edf["a"].to_numpy(dtype=object).astype(str)
+        b = edf["b"].to_numpy(dtype=object).astype(str)
+        w = edf["cnt"].to_numpy(np.int64)
+        for _ in range(n_rounds):
+            lbl = np.array([labels[x] for x in b], dtype=object)
+            g = (
+                pd.DataFrame({"node": a, "label": lbl, "w": w})
+                .groupby(["node", "label"], sort=False, as_index=False)["w"]
+                .sum()
+            )
+            g = g.sort_values(
+                ["node", "w", "label"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            top = g.groupby("node", sort=False).head(1)
+            labels = dict(zip(top["node"], top["label"]))
+        out = pd.DataFrame(
+            {"entity": list(labels), "community": list(labels.values())}
+        )
+        return out.sort_values("entity").reset_index(drop=True)
+
+    if edges.count() <= local_edge_threshold:
+        edf = edges.to_pandas()
+        import ray.data as rd
+
+        out = _rounds_local(edf)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(
+                        out["entity"].tolist(), pa.string()
+                    ),
+                    "community": pa.array(
+                        out["community"].tolist(), pa.string()
+                    ),
+                }
+            )
+        )
+
+    # node universe (node-bounded, the pagerank posture)
+    def node_partial(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        )
+        df = pd.DataFrame({"node": vals})
+        df["_bucket"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    nodes = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(
+            lambda df: df.drop_duplicates("node")[["node"]],
+            batch_format="pandas",
+        )
+        .to_pandas()["node"]
+        .to_numpy(dtype=object)
+        .astype(str)
+    )
+    labels = {n: n for n in nodes}
+
+    for _ in range(n_rounds):
+        lab_ref = ray.put(labels)
+
+        def partial(batch: pa.Table, _lab=lab_ref) -> pd.DataFrame:
+            lab = ray.get(_lab)
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            w = batch["cnt"].to_numpy(zero_copy_only=False)
+            lbl = np.array([lab[x] for x in b], dtype=object)
+            g = (
+                pd.DataFrame({"node": a, "label": lbl, "w": w})
+                .groupby(["node", "label"], sort=False, as_index=False)["w"]
+                .sum()
+            )
+            g["w"] = g["w"].astype(np.int64)
+            g["_bucket"] = bucket_of(g["node"], num_buckets)
+            return g
+
+        def pick(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby(
+                ["node", "label"], sort=False, as_index=False
+            )["w"].sum()
+            g = g.sort_values(
+                ["node", "w", "label"],
+                ascending=[True, False, True],
+                kind="stable",
+            )
+            return g.groupby("node", sort=False).head(1)[["node", "label"]]
+
+        top = (
+            edges.map_batches(partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(pick, batch_format="pandas")
+            .to_pandas()
+        )
+        labels = dict(zip(top["node"], top["label"]))
+
+    import ray.data as rd
+
+    ents = sorted(labels)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array(ents, pa.string()),
+                "community": pa.array(
+                    [labels[e] for e in ents], pa.string()
+                ),
+            }
+        )
+    )

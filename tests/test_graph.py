@@ -293,3 +293,46 @@ def test_pagerank_guard_catches_hub_overflow():
             a, b, w, outw, n_iters=1,
             teleport=(G.PAGERANK_SCALE * 15) // 100,
         )
+
+
+def test_label_propagation_hand_case_and_paths(ray_session):
+    """Weighted majority with min-label ties, synchronous rounds; the
+    distributed per-round exchange must equal the local fast path."""
+    rows = [
+        # clique-ish group {a, b, c} with strong weights; d tethered to
+        # c weakly but to e strongly -> d joins e's community
+        ("a", "b", 5),
+        ("a", "c", 5),
+        ("b", "c", 5),
+        ("c", "d", 1),
+        ("d", "e", 9),
+    ]
+
+    def sym(ds_rows):
+        out = []
+        for x, y, w in ds_rows:
+            out.append((x, y, w))
+            out.append((y, x, w))
+        return out
+
+    loc = (
+        G.label_propagation(_edges(sym(rows), blocks=2))
+        .to_pandas()
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.label_propagation(_edges(sym(rows), blocks=2), local_edge_threshold=0)
+        .to_pandas()
+        .sort_values("entity")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)
+    com = loc.set_index("entity")["community"]
+    # the {a,b,c} triangle coalesces on the min label 'a'
+    assert com["a"] == com["b"] == com["c"] == "a"
+    # d<->e form a pendant pair: SYNCHRONOUS updates swap their labels
+    # every round (the textbook LPA oscillation — deterministic under
+    # the fixed-round contract, and the DuckDB oracle reproduces it);
+    # after 3 (odd) rounds each holds the other's initial label
+    assert com["d"] == "e" and com["e"] == "d"
