@@ -163,6 +163,7 @@ def _q_kg_write_roundtrip(sf_dir: str):
     partitioned Parquet (per-partition lineage manifests), read back,
     and compared against the SAME oracle as kg_triples — a driver row
     for the sink itself."""
+    import shutil
     import tempfile
 
     import ray.data as rd
@@ -171,9 +172,18 @@ def _q_kg_write_roundtrip(sf_dir: str):
     from information_extraction_t5_ray.stages.triples import write_triples
 
     out = tempfile.mkdtemp(prefix="kg_sink_")
-    write_triples(run_kg(sf_dir), out)
-    back = rd.read_parquet(out)
-    return back.select_columns(["subj", "pred", "obj"])
+    try:
+        write_triples(run_kg(sf_dir), out)
+        # materialize the readback so the scratch dir can be removed
+        # (repeated bench/sweep invocations must not accumulate /tmp)
+        back = (
+            rd.read_parquet(out)
+            .select_columns(["subj", "pred", "obj"])
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
 
 
 def _q_kg_merge(sf_dir: str):

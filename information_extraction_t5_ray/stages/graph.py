@@ -892,6 +892,33 @@ def triangle_counts(
     )
 
 
+def _lpa_pick(df: pd.DataFrame) -> pd.DataFrame:
+    """ONE weighted-argmax kernel for both LPA paths (local fast path
+    and distributed per-round merge must stay bit-identical): sum w
+    per (node, label), then per node keep the max-weight label with
+    lexicographic-min ties."""
+    g = df.groupby(["node", "label"], sort=False, as_index=False)["w"].sum()
+    g = g.sort_values(
+        ["node", "w", "label"], ascending=[True, False, True], kind="stable"
+    )
+    return g.groupby("node", sort=False).head(1)
+
+
+def _lpa_lookup(b: pd.Series, labels: pd.Series) -> pd.Series:
+    """Vectorized previous-round label lookup (C-speed ``Series.map``,
+    not a Python loop per edge) with the SYMMETRIC precondition made
+    loud: a miss means some ``b`` endpoint never appeared as an ``a``,
+    i.e. the caller passed a one-directional edge list."""
+    lbl = b.map(labels)
+    if lbl.isna().any():
+        raise ValueError(
+            "label_propagation requires a SYMMETRIC edge list (every "
+            "node must appear as an 'a' endpoint); pass "
+            "cooccur_edges(..., symmetric=True)"
+        )
+    return lbl
+
+
 def label_propagation(
     edges_ds,
     n_rounds: int = 3,
@@ -925,28 +952,23 @@ def label_propagation(
     edges = edges_ds.materialize()
 
     def _rounds_local(edf: pd.DataFrame) -> pd.DataFrame:
-        labels = {
-            n: n for n in np.unique(edf["a"].to_numpy(dtype=object).astype(str))
-        }
-        a = edf["a"].to_numpy(dtype=object).astype(str)
-        b = edf["b"].to_numpy(dtype=object).astype(str)
+        a = pd.Series(edf["a"].to_numpy(dtype=object)).astype(str)
+        b = pd.Series(edf["b"].to_numpy(dtype=object)).astype(str)
         w = edf["cnt"].to_numpy(np.int64)
+        labels = None  # round 1 is the identity map: label(b) == b
         for _ in range(n_rounds):
-            lbl = np.array([labels[x] for x in b], dtype=object)
-            g = (
+            lbl = b if labels is None else _lpa_lookup(b, labels)
+            top = _lpa_pick(
                 pd.DataFrame({"node": a, "label": lbl, "w": w})
-                .groupby(["node", "label"], sort=False, as_index=False)["w"]
-                .sum()
             )
-            g = g.sort_values(
-                ["node", "w", "label"],
-                ascending=[True, False, True],
-                kind="stable",
+            labels = pd.Series(
+                top["label"].to_numpy(), index=top["node"].to_numpy()
             )
-            top = g.groupby("node", sort=False).head(1)
-            labels = dict(zip(top["node"], top["label"]))
         out = pd.DataFrame(
-            {"entity": list(labels), "community": list(labels.values())}
+            {
+                "entity": labels.index.to_numpy(),
+                "community": labels.to_numpy(),
+            }
         )
         return out.sort_values("entity").reset_index(drop=True)
 
@@ -968,37 +990,26 @@ def label_propagation(
             )
         )
 
-    # node universe (node-bounded, the pagerank posture)
-    def node_partial(batch: pa.Table) -> pd.DataFrame:
-        vals = np.unique(
-            batch["a"].to_numpy(zero_copy_only=False).astype(str)
-        )
-        df = pd.DataFrame({"node": vals})
-        df["_bucket"] = bucket_of(df["node"], num_buckets)
-        return df
+    # no node-universe pre-pass: round 1's labels are the identity map
+    # (label(b) == b), and symmetric edges make every node an ``a``, so
+    # the first round's pick already covers the complete node set
+    labels = None  # pandas Series node -> label after each round
 
-    nodes = (
-        edges.map_batches(node_partial, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(
-            lambda df: df.drop_duplicates("node")[["node"]],
-            batch_format="pandas",
-        )
-        .to_pandas()["node"]
-        .to_numpy(dtype=object)
-        .astype(str)
-    )
-    labels = {n: n for n in nodes}
+    def pick_groups(df: pd.DataFrame) -> pd.DataFrame:
+        return _lpa_pick(df)[["node", "label"]]
 
     for _ in range(n_rounds):
-        lab_ref = ray.put(labels)
+        lab_ref = None if labels is None else ray.put(labels)
 
         def partial(batch: pa.Table, _lab=lab_ref) -> pd.DataFrame:
-            lab = ray.get(_lab)
-            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
-            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            a = pd.Series(
+                batch["a"].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            b = pd.Series(
+                batch["b"].to_numpy(zero_copy_only=False)
+            ).astype(str)
             w = batch["cnt"].to_numpy(zero_copy_only=False)
-            lbl = np.array([lab[x] for x in b], dtype=object)
+            lbl = b if _lab is None else _lpa_lookup(b, ray.get(_lab))
             g = (
                 pd.DataFrame({"node": a, "label": lbl, "w": w})
                 .groupby(["node", "label"], sort=False, as_index=False)["w"]
@@ -1008,35 +1019,24 @@ def label_propagation(
             g["_bucket"] = bucket_of(g["node"], num_buckets)
             return g
 
-        def pick(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby(
-                ["node", "label"], sort=False, as_index=False
-            )["w"].sum()
-            g = g.sort_values(
-                ["node", "w", "label"],
-                ascending=[True, False, True],
-                kind="stable",
-            )
-            return g.groupby("node", sort=False).head(1)[["node", "label"]]
-
         top = (
             edges.map_batches(partial, batch_format="pyarrow")
             .groupby("_bucket")
-            .map_groups(pick, batch_format="pandas")
+            .map_groups(pick_groups, batch_format="pandas")
             .to_pandas()
         )
-        labels = dict(zip(top["node"], top["label"]))
+        labels = pd.Series(
+            top["label"].to_numpy(), index=top["node"].to_numpy()
+        )
 
     import ray.data as rd
 
-    ents = sorted(labels)
+    labels = labels.sort_index()
     return rd.from_arrow(
         pa.table(
             {
-                "entity": pa.array(ents, pa.string()),
-                "community": pa.array(
-                    [labels[e] for e in ents], pa.string()
-                ),
+                "entity": pa.array(labels.index.tolist(), pa.string()),
+                "community": pa.array(labels.tolist(), pa.string()),
             }
         )
     )

@@ -261,7 +261,40 @@ def write_triples(
         partition_cols=["partition_id"],
         min_rows_per_file=min_rows_per_file,
     )
+    _write_partition_manifest(out_dir)
     return out_dir
+
+
+def _write_partition_manifest(out_dir: str) -> None:
+    """Per-partition lineage manifest for the sink (north rule): one
+    ``_MANIFEST.json`` at the root with file lists + row counts per
+    partition directory, built from Parquet FOOTERS only (no data
+    read).  The leading underscore keeps pyarrow dataset discovery
+    (ignore_prefixes ``['.', '_']``) from treating it as data, so
+    ``read_parquet(out_dir)`` round-trips untouched."""
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = {}
+    for pdir in sorted(glob.glob(os.path.join(out_dir, "partition_id=*"))):
+        files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
+        rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        parts[os.path.basename(pdir)] = {
+            "files": [os.path.basename(f) for f in files],
+            "rows": rows,
+        }
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(
+            {
+                "partitions": parts,
+                "total_rows": sum(p["rows"] for p in parts.values()),
+            },
+            f,
+            indent=1,
+        )
 
 
 def merge_triples(old_ds, new_ds, num_buckets=None):

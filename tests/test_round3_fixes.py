@@ -369,3 +369,48 @@ def test_merge_triples_latest_wins_across_batches(ray_session):
     assert list(got["subj"]) == ["u1", "u2", "u3"]
     assert list(got["obj"]) == ["new-val", "keep-me", "a"]  # min-obj tie
     assert list(got["src_ts"]) == [2, 1, 2]
+
+
+def test_write_triples_manifest_and_roundtrip(ray_session, tmp_path):
+    """The sink writes sorted partitioned Parquet PLUS a per-partition
+    lineage manifest whose row counts equal the data; read_parquet of
+    the directory ignores the manifest and round-trips every row."""
+    import json
+
+    import ray.data as rd
+
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.triples import write_triples
+
+    out = str(tmp_path / "sink")
+    tri = run_kg("/root/testdata/sf0.001")
+    n = tri.count()
+    write_triples(run_kg("/root/testdata/sf0.001"), out)
+    man = json.load(open(f"{out}/_MANIFEST.json"))
+    assert man["total_rows"] == n
+    assert man["partitions"], "at least one partition directory"
+    for p, info in man["partitions"].items():
+        assert p.startswith("partition_id=")
+        assert info["rows"] > 0 and info["files"]
+    back = rd.read_parquet(out)
+    assert back.count() == n
+
+
+def test_label_propagation_rejects_one_directional_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.graph import label_propagation
+
+    # 'b' never appears as an 'a' endpoint -> loud precondition error
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["a"], pa.string()),
+                "b": pa.array(["b"], pa.string()),
+                "cnt": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="SYMMETRIC"):
+        label_propagation(edges).to_pandas()
