@@ -158,6 +158,42 @@ def _q_kg_communities(sf_dir: str):
     return label_propagation(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_edge_jaccard(sf_dir: str):
+    """Per-edge neighborhood Jaccard numerator/denominator (integer
+    tie-strength signal over the co-mention graph)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        edge_jaccard,
+    )
+
+    return edge_jaccard(cooccur_edges(run_kg(sf_dir)))
+
+
+def _q_kg_link_predict(sf_dir: str):
+    """Top-20 non-adjacent entity pairs by common-neighbor count
+    (hub-capped middles — the classic link-prediction ranking)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        link_predict,
+    )
+
+    return link_predict(cooccur_edges(run_kg(sf_dir)))
+
+
+def _q_kg_bfs(sf_dir: str):
+    """Bounded multi-source BFS layers from the 4 lexicographically
+    smallest entities over the symmetric co-mention graph."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        bfs_layers,
+        cooccur_edges,
+    )
+
+    return bfs_layers(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_write_roundtrip(sf_dir: str):
     """Materialize-path validation: triples written as sorted
     partitioned Parquet (per-partition lineage manifests), read back,
@@ -360,6 +396,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
         "kg_communities": _q_kg_communities,  # new r3: fixed-round LPA
+        "kg_edge_jaccard": _q_kg_edge_jaccard,  # new: per-edge Jaccard
+        "kg_link_predict": _q_kg_link_predict,  # new: common-neighbor top-k
+        "kg_bfs": _q_kg_bfs,  # new: bounded multi-source BFS layers
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -459,11 +498,14 @@ def oracle_sql() -> dict[str, str]:
 
     from information_extraction_t5_ray.sources import oracle_crawl as ocr
     from information_extraction_t5_ray.sources.oracle import (
+        kg_bfs_sql,
         kg_cooccur_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_components_sql,
+        kg_edge_jaccard_sql,
         kg_from_crawl_sql,
+        kg_link_predict_sql,
         kg_merge_sql,
         kg_neighbors_sql,
         kg_triangles_sql,
@@ -483,6 +525,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_from_crawl": kg_from_crawl_sql(),
         "kg_write_roundtrip": oracle_triples_sql(),
         "kg_communities": kg_communities_sql(),
+        "kg_edge_jaccard": kg_edge_jaccard_sql(),
+        "kg_link_predict": kg_link_predict_sql(),
+        "kg_bfs": kg_bfs_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

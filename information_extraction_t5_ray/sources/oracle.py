@@ -388,3 +388,66 @@ def kg_communities_sql(n_rounds: int = 3) -> str:
         f" SELECT node AS entity, label AS community FROM l{n_rounds}"
     )
     return "".join(parts)
+
+
+def kg_edge_jaccard_sql() -> str:
+    """Per-edge neighborhood Jaccard numerator/denominator — ground
+    truth for stages/graph.edge_jaccard: common_cnt = triangles through
+    the edge (via the kg_triangles_sql tri pattern), union_cnt =
+    deg(a) + deg(b) - common_cnt, all BIGINT."""
+    return f"""{_graph_cte()},
+d AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+te AS (
+  SELECT x AS a, y AS b FROM tri
+  UNION ALL SELECT y, z FROM tri
+  UNION ALL SELECT x, z FROM tri
+),
+cn AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM te GROUP BY a, b)
+SELECT e0.a, e0.b,
+       CAST(COALESCE(cn.c, 0) AS BIGINT) AS common_cnt,
+       CAST(da.deg + db.deg - COALESCE(cn.c, 0) AS BIGINT) AS union_cnt
+FROM e0
+LEFT JOIN cn ON cn.a = e0.a AND cn.b = e0.b
+JOIN d da ON da.node = e0.a
+JOIN d db ON db.node = e0.b"""
+
+
+def kg_link_predict_sql(k: int = 20, max_middle_degree: int = 64) -> str:
+    """Top-k non-adjacent pairs by common-neighbor count (hub-capped
+    middles, deterministic (cnt desc, a, b) ties) — ground truth for
+    stages/graph.link_predict."""
+    return f"""{_graph_cte()},
+d AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+wp AS (
+  SELECT e1.a AS a, e2.a AS b, CAST(count(*) AS BIGINT) AS common_cnt
+  FROM e e1
+  JOIN d m ON m.node = e1.b AND m.deg <= {max_middle_degree}
+  JOIN e e2 ON e2.b = e1.b AND e1.a < e2.a
+  GROUP BY e1.a, e2.a
+)
+SELECT a, b, common_cnt FROM wp
+WHERE NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = wp.a AND e0.b = wp.b)
+ORDER BY common_cnt DESC, a, b LIMIT {k}"""
+
+
+def kg_bfs_sql(n_seeds: int = 4, max_rounds: int = 32) -> str:
+    """Bounded multi-source BFS distances (seeds = n lexicographically
+    smallest nodes) — ground truth for stages/graph.bfs_layers.  The
+    recursive CTE carries (node, dist) states deduplicated by UNION and
+    capped by the dist guard; min(dist) per node is the BFS layer."""
+    cte = _graph_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{cte},
+seeds AS (SELECT node FROM w ORDER BY node LIMIT {n_seeds}),
+bfs(node, dist) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT e.b, bfs.dist + 1 FROM bfs JOIN e ON e.a = bfs.node
+  WHERE bfs.dist < {max_rounds}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node"""

@@ -646,6 +646,38 @@ def kg_components(
     )
 
 
+def _degree_frame(edges, num_buckets: int) -> pd.DataFrame:
+    """Driver-side (node, c) neighbor-count frame over an a<b edge
+    Dataset — two-phase (per-batch unique counts -> bucketed merge),
+    node-bounded result (the entity-vocabulary-is-small posture
+    documented on :func:`pagerank`).  Shared by triangle_counts,
+    edge_jaccard and link_predict."""
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        ab = np.concatenate(
+            [
+                batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                batch["b"].to_numpy(zero_copy_only=False).astype(str),
+            ]
+        )
+        vals, cnt = np.unique(ab, return_counts=True)
+        df = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
+        df["_bucket"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+        g["c"] = g["c"].astype(np.int64)
+        return g
+
+    return (
+        edges.map_batches(deg_partial, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(deg_merge, batch_format="pandas")
+        .to_pandas()
+    )
+
+
 def _local_triangles(batch: pa.Table) -> pa.Table:
     """Single-task triangle counts over one complete edge block: the
     same degree-ordered orientation as the distributed path, all-numpy
@@ -730,33 +762,75 @@ def triangle_counts(
             _local_triangles, batch_format="pyarrow", batch_size=None
         )
 
-    # -- node degrees (two-phase, node-bounded result) ----------------
-    def deg_partial(batch: pa.Table) -> pd.DataFrame:
-        ab = np.concatenate(
-            [
-                batch["a"].to_numpy(zero_copy_only=False).astype(str),
-                batch["b"].to_numpy(zero_copy_only=False).astype(str),
-            ]
-        )
-        vals, cnt = np.unique(ab, return_counts=True)
-        df = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
-        df["_bucket"] = bucket_of(df["node"], num_buckets)
-        return df
-
-    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
-        g["c"] = g["c"].astype(np.int64)
-        return g
-
-    deg = (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(deg_merge, batch_format="pandas")
-        .to_pandas()
-    )
+    deg = _degree_frame(edges, num_buckets)
     # total order: (degree, name); rank = position
     deg = deg.sort_values(["c", "node"], kind="stable").reset_index(drop=True)
     rank_ref = ray.put(dict(zip(deg["node"], range(len(deg)))))
+    tagged = _tagged_wedge_stream(edges, rank_ref, num_buckets)
+
+    # -- confirm wedges against the edge set; emit 3 corners ----------
+    def confirm(df: pd.DataFrame) -> pd.DataFrame:
+        is_e = df["_is_edge"] == 1
+        eset = df[is_e][["n1", "n2"]]
+        w = df[~is_e]
+        tri = w.merge(eset, on=["n1", "n2"], how="inner")
+        if len(tri) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=str), "c": pd.Series(dtype=np.int64),
+                 "_bucket3": pd.Series(dtype=np.int32)}
+            )
+        corners = np.concatenate(
+            [
+                tri["apex"].to_numpy(dtype=object),
+                tri["n1"].to_numpy(dtype=object),
+                tri["n2"].to_numpy(dtype=object),
+            ]
+        )
+        vals, cnt = np.unique(corners.astype(str), return_counts=True)
+        out = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
+        out["_bucket3"] = bucket_of(out["node"], num_buckets)
+        return out
+
+    counts = (
+        tagged.groupby("_bucket2")
+        .map_groups(confirm, batch_format="pandas")
+    )
+
+    # -- final per-node sum, zeros for triangle-free nodes ------------
+    def zeros(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        df = pd.DataFrame({"node": vals, "c": np.int64(0)})
+        df["_bucket3"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+        out = g.rename(columns={"node": "entity", "c": "n_triangles"})
+        out["n_triangles"] = out["n_triangles"].astype(np.int64)
+        return out[["entity", "n_triangles"]]
+
+    return (
+        counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
+        .groupby("_bucket3")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
+    """Degree-ordered wedge/edge union stream over a materialized a<b
+    edge Dataset: orient each edge low-rank -> high-rank (rank map in
+    the object store), emit per-apex wedges plus the oriented edges
+    themselves tagged ``_is_edge``, both bucketed by the (n1, n2) pair
+    key (``_bucket2``) so one co-group confirms wedges against edges.
+    Shared by :func:`triangle_counts` and :func:`edge_jaccard`."""
+    import ray
 
     # -- orient edges low-rank -> high-rank ---------------------------
     def orient(batch: pa.Table) -> pd.DataFrame:
@@ -833,62 +907,8 @@ def triangle_counts(
         )
         return out
 
-    tagged = wedge_rows.union(
+    return wedge_rows.union(
         oriented.map_batches(edge_rows, batch_format="pyarrow")
-    )
-
-    # -- confirm wedges against the edge set; emit 3 corners ----------
-    def confirm(df: pd.DataFrame) -> pd.DataFrame:
-        is_e = df["_is_edge"] == 1
-        eset = df[is_e][["n1", "n2"]]
-        w = df[~is_e]
-        tri = w.merge(eset, on=["n1", "n2"], how="inner")
-        if len(tri) == 0:
-            return pd.DataFrame(
-                {"node": pd.Series(dtype=str), "c": pd.Series(dtype=np.int64),
-                 "_bucket3": pd.Series(dtype=np.int32)}
-            )
-        corners = np.concatenate(
-            [
-                tri["apex"].to_numpy(dtype=object),
-                tri["n1"].to_numpy(dtype=object),
-                tri["n2"].to_numpy(dtype=object),
-            ]
-        )
-        vals, cnt = np.unique(corners.astype(str), return_counts=True)
-        out = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
-        out["_bucket3"] = bucket_of(out["node"], num_buckets)
-        return out
-
-    counts = (
-        tagged.groupby("_bucket2")
-        .map_groups(confirm, batch_format="pandas")
-    )
-
-    # -- final per-node sum, zeros for triangle-free nodes ------------
-    def zeros(batch: pa.Table) -> pd.DataFrame:
-        vals = np.unique(
-            np.concatenate(
-                [
-                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
-                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
-                ]
-            )
-        )
-        df = pd.DataFrame({"node": vals, "c": np.int64(0)})
-        df["_bucket3"] = bucket_of(df["node"], num_buckets)
-        return df
-
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
-        out = g.rename(columns={"node": "entity", "c": "n_triangles"})
-        out["n_triangles"] = out["n_triangles"].astype(np.int64)
-        return out[["entity", "n_triangles"]]
-
-    return (
-        counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
-        .groupby("_bucket3")
-        .map_groups(final, batch_format="pandas")
     )
 
 
@@ -1037,6 +1057,448 @@ def label_propagation(
             {
                 "entity": pa.array(labels.index.tolist(), pa.string()),
                 "community": pa.array(labels.tolist(), pa.string()),
+            }
+        )
+    )
+
+
+def _local_edge_jaccard(batch: pa.Table) -> pa.Table:
+    """Single-task per-edge neighborhood Jaccard over one complete edge
+    block: the distributed path's degree-ordered wedge confirm, all
+    numpy, but counting confirmed triangles PER EDGE (each triangle
+    contributes to its three canonical edges) instead of per corner."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "common_cnt": pa.array([], pa.int64()),
+                "union_cnt": pa.array([], pa.int64()),
+            }
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    V = np.int64(len(nodes))
+    u, v = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    cu, cv = np.minimum(u, v), np.maximum(u, v)
+    keys = np.unique(cu * V + cv)
+    cu, cv = keys // V, keys % V
+    deg = np.bincount(np.concatenate([cu, cv]), minlength=len(nodes))
+    order = np.lexsort((np.arange(len(nodes)), deg))
+    rank = np.empty(len(nodes), dtype=np.int64)
+    rank[order] = np.arange(len(nodes))
+    swap = rank[cu] > rank[cv]
+    lo = np.where(swap, cv, cu)
+    hi = np.where(swap, cu, cv)
+    srt = np.lexsort((rank[hi], lo))
+    lo, hi = lo[srt], hi[srt]
+    new = np.ones(len(lo), dtype=bool)
+    new[1:] = lo[1:] != lo[:-1]
+    sizes = np.bincount(np.cumsum(new) - 1)
+    starts = np.flatnonzero(new)
+    n1, n2, g = _pairs_by_size_class(starts, sizes, hi)
+    common = np.zeros(len(keys), dtype=np.int64)
+    if len(n1):
+        apex = lo[starts[g]]
+        hit = np.isin(n1 * V + n2, lo * V + hi)
+        ax, x1, x2 = apex[hit], n1[hit], n2[hit]
+        # the 3 canonical (code-min, code-max) edges of each triangle;
+        # code order == string order (nodes is sorted), so canonical
+        # codes match the a<b input edge keys
+        ea = np.concatenate(
+            [np.minimum(ax, x1), np.minimum(ax, x2), np.minimum(x1, x2)]
+        )
+        eb = np.concatenate(
+            [np.maximum(ax, x1), np.maximum(ax, x2), np.maximum(x1, x2)]
+        )
+        ek, ec = np.unique(ea * V + eb, return_counts=True)
+        common[np.searchsorted(keys, ek)] = ec.astype(np.int64)
+    union = deg[cu] + deg[cv] - common
+    return pa.table(
+        {
+            "a": pa.array(nodes[cu], pa.string()),
+            "b": pa.array(nodes[cv], pa.string()),
+            "common_cnt": pa.array(common, pa.int64()),
+            "union_cnt": pa.array(union.astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def edge_jaccard(
+    edges_ds,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Per-edge neighborhood Jaccard over the a<b co-mention edge list:
+    ``(a, b, common_cnt, union_cnt)`` where ``common_cnt`` is the
+    number of shared neighbors of a and b (= triangles through the
+    edge) and ``union_cnt = deg(a) + deg(b) - common_cnt`` — the
+    integer-exact numerator/denominator of the classic edge-similarity
+    / tie-strength signal (Jaccard itself is their ratio; kept as two
+    BIGINTs so the DuckDB oracle hashes equal with no float drift).
+
+    Distributed path reuses the degree-ordered wedge scaffold of
+    :func:`triangle_counts` (:func:`_tagged_wedge_stream`): confirmed
+    triangles emit their THREE canonical string-ordered edges into a
+    pair-bucketed partial count, zero-filled against the edge list;
+    the node-degree map rides the object store (node-bounded posture,
+    see :func:`pagerank`).  Exchanges: degree partial + wedge groupby
+    + confirm co-group + per-edge merge — same count as triangles.
+    """
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    if edges.count() <= local_threshold:
+        return edges.repartition(1).map_batches(
+            _local_edge_jaccard, batch_format="pyarrow", batch_size=None
+        )
+
+    deg = _degree_frame(edges, num_buckets)
+    deg_ref = ray.put(dict(zip(deg["node"], deg["c"].astype(int))))
+    rdeg = deg.sort_values(["c", "node"], kind="stable").reset_index(drop=True)
+    rank_ref = ray.put(dict(zip(rdeg["node"], range(len(rdeg)))))
+    tagged = _tagged_wedge_stream(edges, rank_ref, num_buckets)
+
+    # -- confirm wedges; emit the 3 canonical edges per triangle ------
+    def confirm(df: pd.DataFrame) -> pd.DataFrame:
+        is_e = df["_is_edge"] == 1
+        eset = df[is_e][["n1", "n2"]]
+        w = df[~is_e]
+        tri = w.merge(eset, on=["n1", "n2"], how="inner")
+        if len(tri) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=str),
+                    "b": pd.Series(dtype=str),
+                    "c": pd.Series(dtype=np.int64),
+                    "_bucket3": pd.Series(dtype=np.int32),
+                }
+            )
+        ax = tri["apex"].to_numpy(dtype=object).astype(str)
+        x1 = tri["n1"].to_numpy(dtype=object).astype(str)
+        x2 = tri["n2"].to_numpy(dtype=object).astype(str)
+        # n1/n2 are RANK-ordered; canonicalize all three edges to the
+        # string order of the input edge list (np.where, not np.minimum:
+        # the min/max ufuncs have no unicode loop)
+        lo1, lo2, lo3 = ax <= x1, ax <= x2, x1 <= x2
+        ea = np.concatenate(
+            [
+                np.where(lo1, ax, x1),
+                np.where(lo2, ax, x2),
+                np.where(lo3, x1, x2),
+            ]
+        )
+        eb = np.concatenate(
+            [
+                np.where(lo1, x1, ax),
+                np.where(lo2, x2, ax),
+                np.where(lo3, x2, x1),
+            ]
+        )
+        out = (
+            pd.DataFrame({"a": ea, "b": eb})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        out["c"] = out["c"].astype(np.int64)
+        out["_bucket3"] = bucket_of(out["a"] + "\x1f" + out["b"], num_buckets)
+        return out
+
+    counts = tagged.groupby("_bucket2").map_groups(
+        confirm, batch_format="pandas"
+    )
+
+    # -- zero rows keep triangle-free edges in the output -------------
+    def zeros(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "a": batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                "b": batch["b"].to_numpy(zero_copy_only=False).astype(str),
+            }
+        )
+        df["c"] = np.int64(0)
+        df["_bucket3"] = bucket_of(df["a"] + "\x1f" + df["b"], num_buckets)
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False, as_index=False)["c"].sum()
+        dmap = ray.get(deg_ref)
+        da = g["a"].map(dmap).to_numpy(np.int64)
+        db = g["b"].map(dmap).to_numpy(np.int64)
+        common = g["c"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "a": g["a"],
+                "b": g["b"],
+                "common_cnt": common,
+                "union_cnt": da + db - common,
+            }
+        )
+
+    return (
+        counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
+        .groupby("_bucket3")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def link_predict(
+    edges_ds,
+    k: int = 20,
+    max_middle_degree: int = 64,
+    num_buckets: Optional[int] = None,
+):
+    """Common-neighbors link prediction over the a<b co-mention edge
+    list: the global top-``k`` NON-adjacent entity pairs ranked by
+    shared-neighbor count — ``(a, b, common_cnt)``, ties broken
+    (common_cnt desc, a asc, b asc).
+
+    Wedge enumeration through a middle node is inherently
+    O(sum deg(middle)^2), so middles with degree >
+    ``max_middle_degree`` are excluded from SERVING as the shared
+    neighbor (the standard hub cap — a hub connecting everything
+    predicts nothing); the cap is part of the operator contract and is
+    mirrored in the DuckDB oracle.  Pipeline: node-bounded degree
+    frame -> capped-middle set in the object store -> adjacency
+    bucketed BY MIDDLE (one vectorized pair pass per bucket, the
+    cooccur_edges posture) -> pair-bucketed anti-merge against the
+    edge list -> two-phase global top-k (per-group partial, one tiny
+    final reduce — the events_top100 pattern)."""
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    deg = _degree_frame(edges, num_buckets)
+    mid_ref = ray.put(
+        set(deg.loc[deg["c"] <= max_middle_degree, "node"])
+    )
+
+    # -- adjacency rows keyed by (capped) middle -----------------------
+    def adj(batch: pa.Table) -> pd.DataFrame:
+        mids = ray.get(mid_ref)
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+        df = pd.DataFrame(
+            {
+                "m": np.concatenate([a, b]),
+                "o": np.concatenate([b, a]),
+            }
+        )
+        df = df[df["m"].isin(mids)]
+        df["_dbucket"] = bucket_of(df["m"], num_buckets)
+        return df
+
+    # -- per-middle neighbor pairs (string-ordered by construction) ---
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["m", "o"], kind="stable")
+        m = df["m"].to_numpy(dtype=object)
+        o = df["o"].to_numpy(dtype=object).astype(str)
+        pa_, pb = np.array([], dtype=object), np.array([], dtype=object)
+        if len(df):
+            new = np.ones(len(df), dtype=bool)
+            new[1:] = m[1:] != m[:-1]
+            sizes = np.bincount(np.cumsum(new) - 1)
+            pa_, pb, _ = _pairs_by_size_class(np.flatnonzero(new), sizes, o)
+        if not len(pa_):
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "_is_edge": pa.array([], pa.int8()),
+                    "_bucket2": pa.array([], pa.int32()),
+                }
+            )
+        out = (
+            pd.DataFrame({"a": pa_, "b": pb})
+            .groupby(["a", "b"], sort=False)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        out["c"] = out["c"].astype(np.int64)
+        out["_is_edge"] = np.int8(0)
+        out["_bucket2"] = bucket_of(out["a"] + "\x1f" + out["b"], num_buckets)
+        return out
+
+    def edge_rows(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "a": batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                "b": batch["b"].to_numpy(zero_copy_only=False).astype(str),
+            }
+        )
+        df["c"] = np.int64(0)
+        df["_is_edge"] = np.int8(1)
+        df["_bucket2"] = bucket_of(df["a"] + "\x1f" + df["b"], num_buckets)
+        return df
+
+    tagged = (
+        edges.map_batches(adj, batch_format="pyarrow")
+        .groupby("_dbucket")
+        .map_groups(pairs, batch_format="pandas")
+        .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
+    )
+
+    # -- anti-merge + per-group partial top-k --------------------------
+    def anti_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], sort=False).agg(
+            c=("c", "sum"), e=("_is_edge", "max")
+        )
+        g = g[g["e"] == 0].reset_index()
+        out = g.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="stable"
+        ).head(k)[["a", "b", "c"]]
+        out["c"] = out["c"].astype(np.int64)
+        out["_final"] = np.int32(0)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(
+            ["c", "a", "b"], ascending=[False, True, True], kind="stable"
+        ).head(k)
+        return out.rename(columns={"c": "common_cnt"})[
+            ["a", "b", "common_cnt"]
+        ]
+
+    return (
+        tagged.groupby("_bucket2")
+        .map_groups(anti_topk, batch_format="pandas")
+        .groupby("_final")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def _local_bfs(batch: pa.Table, n_seeds: int, max_rounds: int) -> pa.Table:
+    """Single-task bounded multi-source BFS over one complete SYMMETRIC
+    edge block: seeds are the ``n_seeds`` lexicographically smallest
+    nodes; returns (node, dist) for every node reached within
+    ``max_rounds`` hops."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {"node": pa.array([], pa.string()),
+             "dist": pa.array([], pa.int64())}
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src = inv[: len(a)]
+    dst = inv[len(a):]
+    dist = np.full(len(nodes), -1, dtype=np.int64)
+    dist[: min(n_seeds, len(nodes))] = 0  # sorted unique -> smallest first
+    for r in range(1, max_rounds + 1):
+        hop = dist[src] == r - 1
+        cand = np.unique(dst[hop])
+        fresh = cand[dist[cand] == -1]
+        if len(fresh) == 0:
+            break
+        dist[fresh] = r
+    keep = dist >= 0
+    return pa.table(
+        {
+            "node": pa.array(nodes[keep], pa.string()),
+            "dist": pa.array(dist[keep], pa.int64()),
+        }
+    )
+
+
+def bfs_layers(
+    edges_ds,
+    n_seeds: int = 4,
+    max_rounds: int = 32,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Bounded multi-source BFS over a SYMMETRIC edge list (the
+    pagerank/LPA input shape): ``(node, dist)`` — minimum hop distance
+    from the seed set for every node reachable within ``max_rounds``
+    hops, seeds being the ``n_seeds`` lexicographically smallest nodes
+    (deterministic, no configuration table needed).  The round cap is
+    part of the operator contract (mirrored by the oracle's recursive
+    CTE dist guard), not a convergence heuristic: outputs are exact
+    for the capped semantics even on graphs with larger diameter.
+
+    Distributed shape: the frontier/visited sets are node-bounded and
+    ride the object store (the :func:`pagerank` posture — entity
+    vocabulary is object-store-small even at crawl-scale edge volume);
+    each round is ONE map-side membership scan of the materialized
+    edge stream emitting per-batch-unique discoveries, so the
+    per-round exchange is bounded by the new-node count, never an
+    edge shuffle.  Rounds stop at the first empty frontier."""
+    import ray
+    import ray.data as rd
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    if edges.count() <= local_threshold:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_bfs(t, n_seeds, max_rounds),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    # -- seeds: global min-k over the node universe (two-phase) --------
+    def node_partial(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        return pd.DataFrame({"node": vals[:n_seeds], "_g": np.int32(0)})
+
+    def node_final(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df[["node"]].drop_duplicates().sort_values("node").head(n_seeds)
+        )
+
+    seeds = (
+        edges.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(node_final, batch_format="pandas")
+        .to_pandas()["node"]
+        .tolist()
+    )
+
+    dist: dict = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for r in range(1, max_rounds + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(frontier)
+        v_ref = ray.put(set(dist))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            # typed ARROW output: empty pandas blocks lose their schema
+            # (the repo-wide empty-object-column rule)
+            f = ray.get(f_ref)
+            seen = ray.get(v_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            hop = np.fromiter((x in f for x in a), bool, len(a))
+            cand = np.unique(b[hop])
+            fresh = [x for x in cand if x not in seen]
+            return pa.table({"node": pa.array(fresh, pa.string())})
+
+        found = edges.map_batches(expand, batch_format="pyarrow").to_pandas()
+        if "node" not in found.columns:  # to_pandas() of all-empty blocks
+            break
+        frontier = set(found["node"]) - set(dist)
+        for n in frontier:
+            dist[n] = r
+
+    items = sorted(dist.items())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([n for n, _ in items], pa.string()),
+                "dist": pa.array([d for _, d in items], pa.int64()),
             }
         )
     )

@@ -336,3 +336,123 @@ def test_label_propagation_hand_case_and_paths(ray_session):
     # the fixed-round contract, and the DuckDB oracle reproduces it);
     # after 3 (odd) rounds each holds the other's initial label
     assert com["d"] == "e" and com["e"] == "d"
+
+
+# ---------------------------------------------------------------- r3 late:
+# edge_jaccard / link_predict / bfs_layers
+
+
+def _sym(rows):
+    """Mirror (a, b, cnt) rows into a symmetric edge list."""
+    return _edges(rows + [(b, a, c) for a, b, c in rows])
+
+
+def test_edge_jaccard_hand_values(ray_session):
+    """Triangle a-b-c plus pendant c-d: common = triangles through the
+    edge, union = deg(a)+deg(b)-common."""
+    got = (
+        G.edge_jaccard(
+            _edges([("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "d", 1)])
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "a": ["a", "a", "b", "c"],
+            "b": ["b", "c", "c", "d"],
+            "common_cnt": np.array([1, 1, 1, 0], np.int64),
+            "union_cnt": np.array([3, 4, 4, 4], np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_edge_jaccard_distributed_matches_local(ray_session):
+    """The wedge-confirm distributed path (local_threshold=0) must equal
+    the single-task numpy kernel on a multi-block edge set."""
+    rows = [("a", "b", 1), ("a", "c", 2), ("b", "c", 1), ("c", "d", 1),
+            ("b", "d", 3), ("d", "e", 1), ("a", "e", 1)]
+    local = (
+        G.edge_jaccard(_edges(rows, blocks=3))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.edge_jaccard(_edges(rows, blocks=3), local_threshold=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    assert local["common_cnt"].dtype == np.int64
+    assert local["union_cnt"].dtype == np.int64
+
+
+def test_link_predict_hub_cap(ray_session):
+    """Star hub h-x1..x5: with the cap below deg(h) the hub cannot serve
+    as a shared neighbor, so no candidate pairs exist; at the cap every
+    C(5,2) leaf pair is predicted with one common neighbor."""
+    star = [("h", f"x{i}", 1) for i in range(1, 6)]
+    none = G.link_predict(_edges(star), k=50, max_middle_degree=4).to_pandas()
+    assert len(none) == 0
+    full = (
+        G.link_predict(_edges(star), k=50, max_middle_degree=5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert len(full) == 10
+    assert (full["common_cnt"] == 1).all()
+    assert full["common_cnt"].dtype == np.int64
+    # existing edges are anti-joined out
+    assert not ((full["a"] == "h") | (full["b"] == "h")).any()
+
+
+def test_link_predict_topk_determinism(ray_session):
+    """k smaller than the candidate set: ties broken (cnt desc, a, b)."""
+    star = [("h", f"x{i}", 1) for i in range(1, 6)]
+    got = G.link_predict(_edges(star), k=3, max_middle_degree=9).to_pandas()
+    assert got[["a", "b"]].values.tolist() == [
+        ["x1", "x2"], ["x1", "x3"], ["x1", "x4"]
+    ]
+
+
+def test_bfs_layers_hand(ray_session):
+    """Path a-b-c-d, one seed: layers 0..3; the round cap truncates."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    got = (
+        G.bfs_layers(_sym(rows), n_seeds=1)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"node": ["a", "b", "c", "d"], "dist": np.array([0, 1, 2, 3], np.int64)}
+    )
+    pd.testing.assert_frame_equal(got, want)
+    capped = G.bfs_layers(_sym(rows), n_seeds=1, max_rounds=2).to_pandas()
+    assert set(capped["node"]) == {"a", "b", "c"}
+
+
+def test_bfs_layers_distributed_matches_local(ray_session):
+    """The broadcast-frontier distributed path must equal the local
+    kernel, including unreachable-component exclusion."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("x", "y", 1)]
+    local = (
+        G.bfs_layers(_sym(rows), n_seeds=2)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.bfs_layers(_sym(rows), n_seeds=2, local_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(local, dist)
+    # seeds a,b reach the chain; the x-y component is never reached
+    assert set(local["node"]) == {"a", "b", "c", "d"}
