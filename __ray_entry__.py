@@ -182,6 +182,19 @@ def _q_kg_link_predict(sf_dir: str):
     return link_predict(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_kcore(sf_dir: str):
+    """19-core of the symmetric co-mention graph (fixed-round
+    synchronous peeling; k=19 prunes the 3 lowest-degree entities at
+    every sf — the vocabulary-bounded graph is scale-stable)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        k_core,
+    )
+
+    return k_core(cooccur_edges(run_kg(sf_dir), symmetric=True), k=19)
+
+
 def _q_kg_bfs(sf_dir: str):
     """Bounded multi-source BFS layers from the 4 lexicographically
     smallest entities over the symmetric co-mention graph."""
@@ -399,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edge_jaccard": _q_kg_edge_jaccard,  # new: per-edge Jaccard
         "kg_link_predict": _q_kg_link_predict,  # new: common-neighbor top-k
         "kg_bfs": _q_kg_bfs,  # new: bounded multi-source BFS layers
+        "kg_kcore": _q_kg_kcore,  # new: fixed-round k-core peeling
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -500,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
     from information_extraction_t5_ray.sources.oracle import (
         kg_bfs_sql,
         kg_cooccur_sql,
+        kg_kcore_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_components_sql,
@@ -528,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_edge_jaccard": kg_edge_jaccard_sql(),
         "kg_link_predict": kg_link_predict_sql(),
         "kg_bfs": kg_bfs_sql(),
+        "kg_kcore": kg_kcore_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

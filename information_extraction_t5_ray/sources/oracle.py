@@ -451,3 +451,25 @@ bfs(node, dist) AS (
   WHERE bfs.dist < {max_rounds}
 )
 SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM bfs GROUP BY node"""
+
+
+def kg_kcore_sql(k: int = 19, n_rounds: int = 16) -> str:
+    """Fixed-round synchronous k-core peeling, unrolled CTEs (the
+    kg_communities_sql pattern) — ground truth for
+    stages/graph.k_core: round i keeps nodes whose degree among round
+    i-1 survivors is >= k; converged rounds are no-ops."""
+    parts = [_graph_cte()]
+    # every c_i is referenced 3x by round i+1 (FROM + two IN filters):
+    # without MATERIALIZED, DuckDB inlines CTEs and the plan blows up
+    # 3^n_rounds (reproduced as an fd-exhaustion at n_rounds=16)
+    parts.append(", c0 AS MATERIALIZED (SELECT a, b FROM e)")
+    for i in range(1, n_rounds + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f""", s{i} AS MATERIALIZED (
+  SELECT a AS node FROM {prev} GROUP BY a HAVING count(*) >= {k}),
+c{i} AS MATERIALIZED (SELECT a, b FROM {prev}
+  WHERE a IN (SELECT node FROM s{i}) AND b IN (SELECT node FROM s{i}))"""
+        )
+    parts.append(f" SELECT node AS entity FROM s{n_rounds}")
+    return "".join(parts)

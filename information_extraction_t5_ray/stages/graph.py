@@ -1502,3 +1502,104 @@ def bfs_layers(
             }
         )
     )
+
+
+def _local_kcore(batch: pa.Table, k: int, n_rounds: int) -> pa.Table:
+    """Single-task fixed-round k-core peeling over one complete
+    SYMMETRIC edge block (numpy mirror of the distributed rounds)."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table({"entity": pa.array([], pa.string())})
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src = inv[: len(a)]
+    dst = inv[len(a):]
+    alive = np.ones(len(nodes), dtype=bool)
+    for _ in range(n_rounds):
+        keep = alive[src] & alive[dst]
+        deg = np.bincount(src[keep], minlength=len(nodes))
+        nxt = alive & (deg >= k)
+        if (nxt == alive).all():
+            break
+        alive = nxt
+    return pa.table({"entity": pa.array(nodes[alive], pa.string())})
+
+
+def k_core(
+    edges_ds,
+    k: int = 2,
+    n_rounds: int = 16,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Fixed-round synchronous k-core peeling over a SYMMETRIC edge
+    list: ``(entity)`` — the nodes still alive after ``n_rounds`` of
+    "drop every node whose degree among survivors is < k".  The round
+    count is part of the operator contract (the fixed-round LPA
+    posture, mirrored by the oracle's unrolled CTEs); when peeling
+    converges earlier the remaining rounds are no-ops, so the output
+    IS the true k-core whenever the cascade depth fits the budget.
+
+    Survivor sets shrink monotonically, so round i only needs degrees
+    over the ORIGINAL edges restricted to round i-1 survivors — each
+    round is one map-side membership scan + one node-bounded partial
+    degree count (survivor set rides the object store, the
+    :func:`pagerank` entity-vocabulary posture); no cumulative edge
+    lineage, no edge shuffle."""
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    if edges.count() <= local_threshold:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_kcore(t, k, n_rounds),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    alive = None  # None = all nodes (first round needs no filter)
+    for _ in range(n_rounds):
+        a_ref = ray.put(alive)
+
+        def deg_partial(batch: pa.Table) -> pd.DataFrame:
+            s = ray.get(a_ref)
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            if s is not None:
+                keep = np.fromiter(
+                    (x in s and y in s for x, y in zip(a, b)), bool, len(a)
+                )
+                a = a[keep]
+            vals, cnt = np.unique(a, return_counts=True)
+            df = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
+            df["_bucket"] = bucket_of(df["node"], num_buckets)
+            return df
+
+        def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+            g["c"] = g["c"].astype(np.int64)
+            return g
+
+        deg = (
+            edges.map_batches(deg_partial, batch_format="pyarrow")
+            .groupby("_bucket")
+            .map_groups(deg_merge, batch_format="pandas")
+            .to_pandas()
+        )
+        nxt = (
+            set(deg.loc[deg["c"] >= k, "node"])
+            if "node" in deg.columns  # to_pandas() of all-empty blocks
+            else set()
+        )
+        if alive is not None and nxt == alive:
+            break
+        alive = nxt
+        if not alive:
+            break
+
+    import ray.data as rd
+
+    out = sorted(alive) if alive else []
+    return rd.from_arrow(
+        pa.table({"entity": pa.array(out, pa.string())})
+    )

@@ -456,3 +456,43 @@ def test_bfs_layers_distributed_matches_local(ray_session):
     pd.testing.assert_frame_equal(local, dist)
     # seeds a,b reach the chain; the x-y component is never reached
     assert set(local["node"]) == {"a", "b", "c", "d"}
+
+
+def test_kcore_path_cascade(ray_session):
+    """Path a-b-c-d-e at k=2 peels one endpoint layer per round until
+    nothing survives — the classic multi-round cascade."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1)]
+    got = G.k_core(_sym(rows), k=2).to_pandas()
+    assert len(got) == 0
+    # with a chord closing a cycle b-c-d-b, those three survive k=2
+    rows2 = rows + [("b", "d", 1)]
+    core = sorted(G.k_core(_sym(rows2), k=2).to_pandas()["entity"])
+    assert core == ["b", "c", "d"]
+
+
+def test_kcore_round_cap_is_contract(ray_session):
+    """n_rounds caps the cascade: the 5-path at k=2 needs 2 peels to
+    empty; with n_rounds=1 only the first layer is gone."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1)]
+    got = sorted(G.k_core(_sym(rows), k=2, n_rounds=1).to_pandas()["entity"])
+    assert got == ["b", "c", "d"]
+
+
+def test_kcore_distributed_matches_local(ray_session):
+    """Driver-loop distributed peeling (local_threshold=0) must equal
+    the single-task numpy kernel, including the full-collapse case."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1), ("d", "e", 1),
+            ("b", "d", 1), ("x", "y", 1)]
+
+    def ents(ds):
+        df = ds.to_pandas()  # empty datasets lose their columns
+        return sorted(df["entity"]) if "entity" in df.columns else []
+
+    for k in (2, 3):
+        local = ents(G.k_core(_sym(rows), k=k))
+        dist = ents(G.k_core(_sym(rows), k=k, local_threshold=0))
+        assert local == dist, k
+        if k == 2:
+            assert local == ["b", "c", "d"]
+        else:
+            assert local == []
