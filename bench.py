@@ -85,6 +85,22 @@ def _bench_queries(sf_dir: str):
 
         return cc(cooccur_edges(_tri())).count()
 
+    def kg_edge_jaccard() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            cooccur_edges,
+            edge_jaccard,
+        )
+
+        return edge_jaccard(cooccur_edges(_tri())).count()
+
+    def kg_kcore() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            cooccur_edges,
+            k_core,
+        )
+
+        return k_core(cooccur_edges(_tri(), symmetric=True), k=19).count()
+
     def crawl_latest() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import latest_snapshot
@@ -103,6 +119,8 @@ def _bench_queries(sf_dir: str):
         "kg_triples": kg_triples,
         "kg_pagerank": kg_pagerank,
         "kg_components": kg_components,
+        "kg_edge_jaccard": kg_edge_jaccard,
+        "kg_kcore": kg_kcore,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }

@@ -184,10 +184,14 @@ def cooccur_edges(
             sizes = np.bincount(np.cumsum(new) - 1)
             a, b, _ = _pairs_by_size_class(np.flatnonzero(new), sizes, obj)
         if not len(a):
-            return pd.DataFrame({"a": pd.Series(dtype=str),
-                                 "b": pd.Series(dtype=str),
-                                 "cnt": pd.Series(dtype=np.int64),
-                                 "_bucket": pd.Series(dtype=np.int32)})
+            # typed ARROW empty: empty pandas object columns trip the
+            # size estimator into per-block log spam
+            return pa.table(
+                {"a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "_bucket": pa.array([], pa.int32())}
+            )
         part = (
             pd.DataFrame({"a": a, "b": b})
             .groupby(["a", "b"], sort=False)
@@ -775,9 +779,11 @@ def triangle_counts(
         w = df[~is_e]
         tri = w.merge(eset, on=["n1", "n2"], how="inner")
         if len(tri) == 0:
-            return pd.DataFrame(
-                {"node": pd.Series(dtype=str), "c": pd.Series(dtype=np.int64),
-                 "_bucket3": pd.Series(dtype=np.int32)}
+            # typed ARROW empty (size-estimator spam rule)
+            return pa.table(
+                {"node": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64()),
+                 "_bucket3": pa.array([], pa.int32())}
             )
         corners = np.concatenate(
             [
@@ -1168,12 +1174,13 @@ def edge_jaccard(
         w = df[~is_e]
         tri = w.merge(eset, on=["n1", "n2"], how="inner")
         if len(tri) == 0:
-            return pd.DataFrame(
+            # typed ARROW empty (size-estimator spam rule)
+            return pa.table(
                 {
-                    "a": pd.Series(dtype=str),
-                    "b": pd.Series(dtype=str),
-                    "c": pd.Series(dtype=np.int64),
-                    "_bucket3": pd.Series(dtype=np.int32),
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "_bucket3": pa.array([], pa.int32()),
                 }
             )
         ax = tri["apex"].to_numpy(dtype=object).astype(str)
@@ -1246,11 +1253,63 @@ def edge_jaccard(
     )
 
 
+def _local_link_predict(
+    batch: pa.Table, k: int, max_middle_degree: int
+) -> pa.Table:
+    """Single-task common-neighbors top-k over one complete a<b edge
+    block (numpy mirror of the distributed path, code-space keys)."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    empty = pa.table(
+        {"a": pa.array([], pa.string()),
+         "b": pa.array([], pa.string()),
+         "common_cnt": pa.array([], pa.int64())}
+    )
+    if len(a) == 0:
+        return empty
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    V = np.int64(len(nodes))
+    u, v = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    cu, cv = np.minimum(u, v), np.maximum(u, v)
+    ekeys = np.unique(cu * V + cv)
+    cu, cv = ekeys // V, ekeys % V
+    deg = np.bincount(np.concatenate([cu, cv]), minlength=len(nodes))
+    m = np.concatenate([cu, cv])
+    o = np.concatenate([cv, cu])
+    keep = deg[m] <= max_middle_degree
+    m, o = m[keep], o[keep]
+    if len(m) == 0:
+        return empty
+    srt = np.lexsort((o, m))
+    m, o = m[srt], o[srt]
+    new = np.ones(len(m), dtype=bool)
+    new[1:] = m[1:] != m[:-1]
+    sizes = np.bincount(np.cumsum(new) - 1)
+    x1, x2, _ = _pairs_by_size_class(np.flatnonzero(new), sizes, o)
+    if not len(x1):
+        return empty
+    pk, pc = np.unique(x1 * V + x2, return_counts=True)
+    non = ~np.isin(pk, ekeys)
+    pk, pc = pk[non], pc[non].astype(np.int64)
+    if not len(pk):
+        return empty
+    pa_, pb = pk // V, pk % V
+    order = np.lexsort((pb, pa_, -pc))[:k]
+    return pa.table(
+        {
+            "a": pa.array(nodes[pa_[order]], pa.string()),
+            "b": pa.array(nodes[pb[order]], pa.string()),
+            "common_cnt": pa.array(pc[order], pa.int64()),
+        }
+    )
+
+
 def link_predict(
     edges_ds,
     k: int = 20,
     max_middle_degree: int = 64,
     num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
 ):
     """Common-neighbors link prediction over the a<b co-mention edge
     list: the global top-``k`` NON-adjacent entity pairs ranked by
@@ -1272,6 +1331,14 @@ def link_predict(
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
+    if edges.count() <= local_threshold:
+        # hybrid fast path (triangle_counts posture): one task replaces
+        # four bounded exchanges below ~64 MB of pairs
+        return edges.repartition(1).map_batches(
+            lambda t: _local_link_predict(t, k, max_middle_degree),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     deg = _degree_frame(edges, num_buckets)
     mid_ref = ray.put(
         set(deg.loc[deg["c"] <= max_middle_degree, "node"])
@@ -1350,6 +1417,14 @@ def link_predict(
             c=("c", "sum"), e=("_is_edge", "max")
         )
         g = g[g["e"] == 0].reset_index()
+        if len(g) == 0:
+            # typed ARROW empty (size-estimator spam rule)
+            return pa.table(
+                {"a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64()),
+                 "_final": pa.array([], pa.int32())}
+            )
         out = g.sort_values(
             ["c", "a", "b"], ascending=[False, True, True], kind="stable"
         ).head(k)[["a", "b", "c"]]

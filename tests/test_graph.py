@@ -496,3 +496,26 @@ def test_kcore_distributed_matches_local(ray_session):
             assert local == ["b", "c", "d"]
         else:
             assert local == []
+
+
+def test_link_predict_distributed_matches_local(ray_session):
+    """The hybrid local kernel (default) must equal the distributed
+    path (local_threshold=0) including cap filtering and top-k ties."""
+    rows = [("h", f"x{i}", 1) for i in range(1, 6)] + [
+        ("x1", "x2", 1), ("x2", "x3", 1), ("q", "x1", 1)
+    ]
+    for cap, kk in ((9, 50), (4, 50), (9, 3)):
+        local = (
+            G.link_predict(_edges(rows, blocks=2), k=kk, max_middle_degree=cap)
+            .to_pandas()
+        )
+        dist = (
+            G.link_predict(
+                _edges(rows, blocks=2), k=kk, max_middle_degree=cap,
+                local_threshold=0,
+            )
+            .to_pandas()
+        )
+        lv = local.values.tolist() if len(local) else []
+        dv = dist.values.tolist() if len(dist) else []
+        assert lv == dv, (cap, kk)
