@@ -325,3 +325,94 @@ def run_kg_checkpointed(
         partition_col="partition_id",
     )
     return triples, skipped
+
+
+def run_graph_checkpointed(
+    sf_dir: str,
+    ckpt_dir: str,
+    cfg: Optional[KGConfig] = None,
+):
+    """Checkpointed graph-analytics fan-out: the production shape where
+    the triples table and the co-mention edge list are materialized
+    Parquet artifacts and the analytics (PageRank, components) resume
+    from whichever boundary survives a kill — the graph-family analog
+    of :func:`run_kg_checkpointed` / ``crawl.run_crawl_checkpointed``.
+
+    Boundaries (each with a fingerprint-chained lineage manifest):
+    ``triples`` (full extraction), ``edges`` (a<b co-mention list;
+    chains on the triples fingerprint + the graph predicate set),
+    ``pagerank`` and ``components`` (each chains on the edges
+    fingerprint + its own constants).  Changing the predicate set
+    invalidates edges and everything downstream but NOT the
+    extraction; a rerun with identical inputs skips every stage.
+    Lineage is CONTENT-identity (fingerprints over inputs + config),
+    not mtimes: deleting and rebuilding an intermediate with an
+    unchanged fingerprint leaves valid downstream checkpoints alone.
+
+    Returns ``({"pagerank": ds, "components": ds}, {stage: skipped})``.
+    """
+    from ..stages.graph import (
+        GRAPH_PREDS,
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_SCALE,
+        cooccur_edges,
+        kg_components,
+        pagerank,
+    )
+    from ..state import manifest as mf
+
+    cfg = cfg or KGConfig()
+    cfg_fp = mf.fingerprint("kgconfig", repr(cfg))
+    fp_tri = mf.fingerprint("graph-triples", sf_dir, cfg_fp)
+    fp_edges = mf.fingerprint("graph-edges", fp_tri, *GRAPH_PREDS)
+    fp_pr = mf.fingerprint(
+        "graph-pagerank",
+        fp_edges,
+        str(PAGERANK_SCALE),
+        str(PAGERANK_DAMP_NUM),
+        str(PAGERANK_DAMP_DEN),
+    )
+    fp_cc = mf.fingerprint("graph-components", fp_edges)
+    skipped = {}
+
+    triples, skipped["triples"] = mf.checkpointed(
+        lambda: kg_triples(synth.read_pages(sf_dir), cfg),
+        f"{ckpt_dir}/triples",
+        "triples",
+        fp_tri,
+    )
+    edges, skipped["edges"] = mf.checkpointed(
+        lambda: cooccur_edges(triples),
+        f"{ckpt_dir}/edges",
+        "edges",
+        fp_edges,
+    )
+
+    def build_pagerank():
+        import pyarrow as pa
+
+        # mirror the a<b checkpoint into the symmetric input pagerank
+        # expects (cheap map over the bounded edge list)
+        def mirror(batch: pa.Table) -> pa.Table:
+            rev = pa.table(
+                {"a": batch["b"], "b": batch["a"], "cnt": batch["cnt"]}
+            )
+            return pa.concat_tables(
+                [batch.select(["a", "b", "cnt"]), rev]
+            )
+
+        return pagerank(
+            edges.map_batches(mirror, batch_format="pyarrow")
+        )
+
+    pr, skipped["pagerank"] = mf.checkpointed(
+        build_pagerank, f"{ckpt_dir}/pagerank", "pagerank", fp_pr
+    )
+    cc, skipped["components"] = mf.checkpointed(
+        lambda: kg_components(edges),
+        f"{ckpt_dir}/components",
+        "components",
+        fp_cc,
+    )
+    return {"pagerank": pr, "components": cc}, skipped

@@ -220,3 +220,70 @@ def test_crawl_checkpointed_matches_direct_and_resumes(ray_session, tmp_path):
     quota4, skipped4 = cr.run_crawl_checkpointed(sf, ck, quota_k=3)
     assert skipped4 == {"latest": True, "quota": False}
     assert quota4.to_pandas().groupby("host").size().max() <= 3
+
+
+def test_run_graph_checkpointed(ray_session, tmp_path):
+    """Graph-analytics fan-out resume: triples -> edges -> {pagerank,
+    components}, each boundary manifest-chained; killing one boundary
+    resumes only that stage and its dependents."""
+    from information_extraction_t5_ray.pipelines import kg as kgmod
+    from information_extraction_t5_ray.sources import synth
+    from information_extraction_t5_ray.stages import graph as G
+
+    sf = "/root/testdata/sf0.001"
+    ck = str(tmp_path / "graph_ck")
+
+    tri = kgmod.kg_triples(synth.read_pages(sf), kgmod.KGConfig())
+    direct_pr = (
+        G.pagerank(G.cooccur_edges(tri, symmetric=True))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    out, skipped = kgmod.run_graph_checkpointed(sf, ck)
+    assert skipped == {
+        "triples": False, "edges": False, "pagerank": False,
+        "components": False,
+    }
+    got = out["pagerank"].to_pandas().sort_values("node").reset_index(drop=True)
+    assert got.equals(direct_pr)
+    assert len(out["components"].to_pandas()) > 0
+
+    # identical rerun skips every boundary and returns the same result
+    out2, skipped2 = kgmod.run_graph_checkpointed(sf, ck)
+    assert all(skipped2.values())
+    got2 = (
+        out2["pagerank"].to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got2.equals(direct_pr)
+
+    # killing the edges boundary rebuilds ONLY edges: the analytics
+    # fingerprints chain on the edges CONFIG identity, and a same-
+    # fingerprint rebuild produces identical content, so downstream
+    # checkpoints stay valid (content-identity lineage, not mtimes)
+    import shutil
+
+    shutil.rmtree(f"{ck}/edges")
+    out3, skipped3 = kgmod.run_graph_checkpointed(sf, ck)
+    assert skipped3 == {
+        "triples": True, "edges": False, "pagerank": True,
+        "components": True,
+    }
+    got3 = (
+        out3["pagerank"].to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got3.equals(direct_pr)
+
+    # killing an analytics boundary rebuilds just that one, and the
+    # recompute over the checkpointed edges matches the direct run
+    shutil.rmtree(f"{ck}/pagerank")
+    out4, skipped4 = kgmod.run_graph_checkpointed(sf, ck)
+    assert skipped4 == {
+        "triples": True, "edges": True, "pagerank": False,
+        "components": True,
+    }
+    got4 = (
+        out4["pagerank"].to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    assert got4.equals(direct_pr)
