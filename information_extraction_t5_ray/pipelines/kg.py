@@ -376,9 +376,13 @@ def run_graph_checkpointed(
     fp_cc = mf.fingerprint("graph-components", fp_edges)
     skipped = {}
 
+    # 'graph_triples', NOT 'triples': run_kg_checkpointed writes its own
+    # triples boundary under {ckpt_dir}/triples with a different
+    # fingerprint chain — sharing the subdirectory would make the two
+    # pipelines thrash each other's most expensive checkpoint
     triples, skipped["triples"] = mf.checkpointed(
         lambda: kg_triples(synth.read_pages(sf_dir), cfg),
-        f"{ckpt_dir}/triples",
+        f"{ckpt_dir}/graph_triples",
         "triples",
         fp_tri,
     )
@@ -390,20 +394,12 @@ def run_graph_checkpointed(
     )
 
     def build_pagerank():
-        import pyarrow as pa
+        from ..stages.graph import mirror_edges
 
         # mirror the a<b checkpoint into the symmetric input pagerank
-        # expects (cheap map over the bounded edge list)
-        def mirror(batch: pa.Table) -> pa.Table:
-            rev = pa.table(
-                {"a": batch["b"], "b": batch["a"], "cnt": batch["cnt"]}
-            )
-            return pa.concat_tables(
-                [batch.select(["a", "b", "cnt"]), rev]
-            )
-
+        # expects (the one shared a<b -> symmetric kernel)
         return pagerank(
-            edges.map_batches(mirror, batch_format="pyarrow")
+            edges.map_batches(mirror_edges, batch_format="pyarrow")
         )
 
     pr, skipped["pagerank"] = mf.checkpointed(

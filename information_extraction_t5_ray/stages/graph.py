@@ -227,13 +227,63 @@ def cooccur_edges(
     if not symmetric:
         return edges
 
-    def mirror(batch: pa.Table) -> pa.Table:
-        rev = pa.table(
-            {"a": batch["b"], "b": batch["a"], "cnt": batch["cnt"]}
-        )
-        return pa.concat_tables([batch.select(["a", "b", "cnt"]), rev])
+    return edges.map_batches(mirror_edges, batch_format="pyarrow")
 
-    return edges.map_batches(mirror, batch_format="pyarrow")
+
+def _arrow_out(df: pd.DataFrame) -> pa.Table:
+    """pandas UDF result -> metadata-free Arrow block.  Keeps every
+    block of a shuffle input the SAME block type (Ray's sort sampler
+    asserts on an Arrow/pandas mix) and keeps the b'pandas' schema
+    metadata out of the exchange (stages/common.strip_pandas_metadata
+    invariant)."""
+    return pa.Table.from_pandas(
+        df, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def mirror_edges(batch: pa.Table) -> pa.Table:
+    """Mirror an (a, b, cnt) edge block into both directions — the ONE
+    place the a<b -> symmetric conversion lives (cooccur_edges
+    symmetric=True and the checkpointed graph fan-out both use it, so
+    the two inputs can never drift)."""
+    rev = pa.table({"a": batch["b"], "b": batch["a"], "cnt": batch["cnt"]})
+    return pa.concat_tables([batch.select(["a", "b", "cnt"]), rev])
+
+
+def _check_symmetric(edges, num_buckets: int) -> None:
+    """Loud precondition for operators whose degree/traversal logic
+    reads only the ``a`` side (k_core, bfs_layers): a symmetric edge
+    multiset has multiset{(a,b)} == multiset{(b,a)}, so the int64
+    wrap-sum of h(a,b) - h(b,a) over all rows is EXACTLY zero; an a<b
+    list fails with overwhelming probability.  One map-side pass, one
+    scalar per batch — the cheap analog of _lpa_lookup's miss check."""
+
+    P = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 odd constants
+    Q = np.uint64(0xBF58476D1CE4E5B9)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            # blake2b per UNIQUE node (vocabulary-bounded Python loop),
+            # pair-coupled hash combined VECTORIZED per edge
+            ia = _blake2b_ids(a).astype(np.uint64)
+            ib = _blake2b_ids(b).astype(np.uint64)
+            h_ab = ((ia * P) ^ ib) * Q
+            h_ba = ((ib * P) ^ ia) * Q
+            s = int((h_ab - h_ba).sum(dtype=np.uint64))  # mod 2^64
+        return pa.table({"s": pa.array([s], pa.uint64())})
+
+    total = sum(
+        int(r["s"]) for r in
+        edges.map_batches(partial, batch_format="pyarrow").take_all()
+    ) % (1 << 64)
+    if total != 0:
+        raise ValueError(
+            "this operator requires a SYMMETRIC edge list (every edge "
+            "present in both directions); pass "
+            "cooccur_edges(..., symmetric=True)"
+        )
 
 
 def _pagerank_iterate_local(
@@ -1213,23 +1263,30 @@ def edge_jaccard(
         )
         out["c"] = out["c"].astype(np.int64)
         out["_bucket3"] = bucket_of(out["a"] + "\x1f" + out["b"], num_buckets)
-        return out
+        return _arrow_out(out)
 
     counts = tagged.groupby("_bucket2").map_groups(
         confirm, batch_format="pandas"
     )
 
     # -- zero rows keep triangle-free edges in the output -------------
-    def zeros(batch: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
+    def zeros(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+        key = pd.Series(np.char.add(np.char.add(a, "\x1f"), b), dtype=object)
+        # typed ARROW output (empty-object-column estimator rule)
+        return pa.table(
             {
-                "a": batch["a"].to_numpy(zero_copy_only=False).astype(str),
-                "b": batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "c": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "_bucket3": pa.array(
+                    bucket_of(key, num_buckets) if len(a)
+                    else np.array([], np.int32),
+                    pa.int32(),
+                ),
             }
         )
-        df["c"] = np.int64(0)
-        df["_bucket3"] = bucket_of(df["a"] + "\x1f" + df["b"], num_buckets)
-        return df
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["a", "b"], sort=False, as_index=False)["c"].sum()
@@ -1340,24 +1397,35 @@ def link_predict(
             batch_size=None,
         )
     deg = _degree_frame(edges, num_buckets)
+    # sorted array (np.isin membership), not a set
     mid_ref = ray.put(
-        set(deg.loc[deg["c"] <= max_middle_degree, "node"])
+        np.sort(
+            deg.loc[deg["c"] <= max_middle_degree, "node"].to_numpy(dtype=str)
+        )
     )
 
     # -- adjacency rows keyed by (capped) middle -----------------------
-    def adj(batch: pa.Table) -> pd.DataFrame:
+    def adj(batch: pa.Table) -> pa.Table:
         mids = ray.get(mid_ref)
         a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
-        df = pd.DataFrame(
+        m = np.concatenate([a, b])
+        o = np.concatenate([b, a])
+        keep = np.isin(m, mids)
+        m, o = m[keep], o[keep]
+        # typed ARROW output (empty-object-column estimator rule)
+        return pa.table(
             {
-                "m": np.concatenate([a, b]),
-                "o": np.concatenate([b, a]),
+                "m": pa.array(m, pa.string()),
+                "o": pa.array(o, pa.string()),
+                "_dbucket": pa.array(
+                    bucket_of(pd.Series(m, dtype=object), num_buckets)
+                    if len(m)
+                    else np.array([], np.int32),
+                    pa.int32(),
+                ),
             }
         )
-        df = df[df["m"].isin(mids)]
-        df["_dbucket"] = bucket_of(df["m"], num_buckets)
-        return df
 
     # -- per-middle neighbor pairs (string-ordered by construction) ---
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -1390,19 +1458,26 @@ def link_predict(
         out["c"] = out["c"].astype(np.int64)
         out["_is_edge"] = np.int8(0)
         out["_bucket2"] = bucket_of(out["a"] + "\x1f" + out["b"], num_buckets)
-        return out
+        return _arrow_out(out)
 
-    def edge_rows(batch: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+        key = pd.Series(np.char.add(np.char.add(a, "\x1f"), b), dtype=object)
+        # typed ARROW output (empty-object-column estimator rule)
+        return pa.table(
             {
-                "a": batch["a"].to_numpy(zero_copy_only=False).astype(str),
-                "b": batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                "a": pa.array(a, pa.string()),
+                "b": pa.array(b, pa.string()),
+                "c": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "_is_edge": pa.array(np.ones(len(a), np.int8), pa.int8()),
+                "_bucket2": pa.array(
+                    bucket_of(key, num_buckets) if len(a)
+                    else np.array([], np.int32),
+                    pa.int32(),
+                ),
             }
         )
-        df["c"] = np.int64(0)
-        df["_is_edge"] = np.int8(1)
-        df["_bucket2"] = bucket_of(df["a"] + "\x1f" + df["b"], num_buckets)
-        return df
 
     tagged = (
         edges.map_batches(adj, batch_format="pyarrow")
@@ -1430,7 +1505,7 @@ def link_predict(
         ).head(k)[["a", "b", "c"]]
         out["c"] = out["c"].astype(np.int64)
         out["_final"] = np.int32(0)
-        return out
+        return _arrow_out(out)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         out = df.sort_values(
@@ -1509,6 +1584,7 @@ def bfs_layers(
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
+    _check_symmetric(edges, num_buckets)
     if edges.count() <= local_threshold:
         return edges.repartition(1).map_batches(
             lambda t: _local_bfs(t, n_seeds, max_rounds),
@@ -1517,7 +1593,7 @@ def bfs_layers(
         )
 
     # -- seeds: global min-k over the node universe (two-phase) --------
-    def node_partial(batch: pa.Table) -> pd.DataFrame:
+    def node_partial(batch: pa.Table) -> pa.Table:
         vals = np.unique(
             np.concatenate(
                 [
@@ -1526,7 +1602,13 @@ def bfs_layers(
                 ]
             )
         )
-        return pd.DataFrame({"node": vals[:n_seeds], "_g": np.int32(0)})
+        # typed ARROW output (empty-object-column estimator-spam rule)
+        return pa.table(
+            {
+                "node": pa.array(vals[:n_seeds], pa.string()),
+                "_g": pa.array([0] * min(n_seeds, len(vals)), pa.int32()),
+            }
+        )
 
     def node_final(df: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -1546,8 +1628,10 @@ def bfs_layers(
     for r in range(1, max_rounds + 1):
         if not frontier:
             break
-        f_ref = ray.put(frontier)
-        v_ref = ray.put(set(dist))
+        # sorted arrays, not sets: membership runs through C-speed
+        # np.isin instead of a Python lookup per edge
+        f_ref = ray.put(np.sort(np.array(list(frontier), dtype=str)))
+        v_ref = ray.put(np.sort(np.array(list(dist), dtype=str)))
 
         def expand(batch: pa.Table) -> pa.Table:
             # typed ARROW output: empty pandas blocks lose their schema
@@ -1556,9 +1640,8 @@ def bfs_layers(
             seen = ray.get(v_ref)
             a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
             b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
-            hop = np.fromiter((x in f for x in a), bool, len(a))
-            cand = np.unique(b[hop])
-            fresh = [x for x in cand if x not in seen]
+            cand = np.unique(b[np.isin(a, f)])
+            fresh = cand[~np.isin(cand, seen)]
             return pa.table({"node": pa.array(fresh, pa.string())})
 
         found = edges.map_batches(expand, batch_format="pyarrow").to_pandas()
@@ -1625,6 +1708,7 @@ def k_core(
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
+    _check_symmetric(edges, num_buckets)
     if edges.count() <= local_threshold:
         return edges.repartition(1).map_batches(
             lambda t: _local_kcore(t, k, n_rounds),
@@ -1634,21 +1718,33 @@ def k_core(
 
     alive = None  # None = all nodes (first round needs no filter)
     for _ in range(n_rounds):
-        a_ref = ray.put(alive)
+        # sorted array, not a set: survivor membership runs through
+        # C-speed np.isin, not a Python lookup per edge per round
+        a_ref = ray.put(
+            None if alive is None
+            else np.sort(np.array(list(alive), dtype=str))
+        )
 
-        def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        def deg_partial(batch: pa.Table) -> pa.Table:
             s = ray.get(a_ref)
             a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
             b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
             if s is not None:
-                keep = np.fromiter(
-                    (x in s and y in s for x, y in zip(a, b)), bool, len(a)
-                )
-                a = a[keep]
+                a = a[np.isin(a, s) & np.isin(b, s)]
             vals, cnt = np.unique(a, return_counts=True)
-            df = pd.DataFrame({"node": vals, "c": cnt.astype(np.int64)})
-            df["_bucket"] = bucket_of(df["node"], num_buckets)
-            return df
+            # typed ARROW output (empty-object-column estimator rule)
+            return pa.table(
+                {
+                    "node": pa.array(vals, pa.string()),
+                    "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "_bucket": pa.array(
+                        bucket_of(pd.Series(vals, dtype=object), num_buckets)
+                        if len(vals)
+                        else np.array([], np.int32),
+                        pa.int32(),
+                    ),
+                }
+            )
 
         def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
             g = df.groupby("node", sort=False, as_index=False)["c"].sum()

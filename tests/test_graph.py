@@ -519,3 +519,16 @@ def test_link_predict_distributed_matches_local(ray_session):
         lv = local.values.tolist() if len(local) else []
         dv = dist.values.tolist() if len(dist) else []
         assert lv == dv, (cap, kk)
+
+
+def test_kcore_bfs_reject_asymmetric_edges(ray_session):
+    """k_core / bfs_layers read degrees and adjacency from the 'a' side
+    only — feeding them the library-default a<b list must raise loudly
+    (the _lpa_lookup posture), never silently mis-peel."""
+    rows = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    with pytest.raises(ValueError, match="SYMMETRIC"):
+        G.k_core(_edges(rows), k=2).to_pandas()
+    with pytest.raises(ValueError, match="SYMMETRIC"):
+        G.bfs_layers(_edges(rows)).to_pandas()
+    # and the symmetric versions still pass the check
+    assert len(G.k_core(_sym(rows), k=1).to_pandas()) == 4
