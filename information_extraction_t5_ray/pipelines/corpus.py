@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.common import resolve_parallelism
+from ..stages.common import arrowed, resolve_parallelism
 from ..stages import dedup as dedup_ops
 from ..stages import similarity as sim_ops
 from ..stages import textstats
@@ -670,8 +670,8 @@ def q_orders_by_nation(sf_dir: str):
         )
         return g.astype({"nationkey": np.int64, "n_orders": np.int64, "n_customers": np.int64})
 
-    partials = joined.map_batches(partial, batch_format="pandas")
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    partials = joined.map_batches(arrowed(partial), batch_format="pandas")
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_lineitem_order_join(sf_dir: str):
@@ -707,7 +707,7 @@ def q_lineitem_order_join(sf_dir: str):
         g["n_items"] = g["n_items"].astype(np.int64)
         return g
 
-    partials = joined.map_batches(partial, batch_format="pandas")
+    partials = joined.map_batches(arrowed(partial), batch_format="pandas")
     # priorities are a handful of values — single final fold
     return partials.repartition(1).map_batches(final, batch_format="pandas")
 
@@ -730,8 +730,8 @@ def q_shuffle_shards(sf_dir: str):
         out = df.groupby("shard", sort=False)["n_docs"].sum().reset_index()
         return out.astype(np.int64)
 
-    parts = tagged.map_batches(partial, batch_format="pandas")
-    return parts.groupby("_bucket").map_groups(final, batch_format="pandas")
+    parts = tagged.map_batches(arrowed(partial), batch_format="pandas")
+    return parts.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_props_extract(sf_dir: str):
@@ -819,8 +819,8 @@ def q_session_stats(sf_dir: str):
         out["duration_us"] = np.round(dur).astype(np.int64)
         return out.astype(np.int64)
 
-    partials = sess.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = sess.map_batches(arrowed(partial), batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_rolling_value_sum(sf_dir: str):
@@ -1067,8 +1067,8 @@ def q_grouped_argmax(sf_dir: str):
         ).drop_duplicates("l_orderkey")
         return df[["l_orderkey", "l_linenumber", "l_partkey"]]
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=8192)
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas", batch_size=8192)
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_q1_counts(sf_dir: str):
@@ -1101,11 +1101,11 @@ def q_q1_counts(sf_dir: str):
     # group cardinality is tiny (R/A/N x O/F) — partials all land in one
     # group key space; a single-bucket final is fine BECAUSE the partial
     # already collapsed each batch to <=6 rows
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas", batch_size=65536)
     partials = partials.map_batches(
-        lambda df: df.assign(bucket=np.int32(0)), batch_format="pandas"
+        arrowed(lambda df: df.assign(bucket=np.int32(0))), batch_format="pandas"
     )
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_balance_counts(sf_dir: str):
@@ -1137,8 +1137,8 @@ def q_balance_counts(sf_dir: str):
         g = g[(g["n_pos"] > 0) & (g["n_neg"] > 0)]
         return g[["l_orderkey", "n_pos", "n_neg"]]
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas", batch_size=16384)
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_events_window(sf_dir: str):
@@ -1184,8 +1184,8 @@ def q_events_window(sf_dir: str):
         )
         return out
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pyarrow", batch_size=32768)
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_events_top100(sf_dir: str):
@@ -1211,8 +1211,8 @@ def q_events_top100(sf_dir: str):
         ).head(100)
         return out[["event_id"]]
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas", batch_size=65536)
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def q_hash_split(sf_dir: str):

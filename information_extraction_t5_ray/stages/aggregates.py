@@ -17,7 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import bucket_of, resolve_parallelism
+from .common import arrowed, bucket_of, resolve_parallelism
 
 
 def grouped_median_counting(
@@ -52,8 +52,8 @@ def grouped_median_counting(
             out_v.append(g[val_col].iloc[idx])
         return pd.DataFrame({group_col: out_g, out_col: out_v})
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def grouped_quantiles_counting(
@@ -110,8 +110,8 @@ def grouped_quantiles_counting(
             rows.append(row)
         return pd.DataFrame(rows, columns=[group_col, *qs.keys()])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -286,5 +286,5 @@ def grouped_topk(
     def final(df: pd.DataFrame) -> pd.DataFrame:
         return select(df).drop(columns=["_bucket"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")

@@ -26,7 +26,7 @@ from typing import List, Optional
 
 import numpy as np
 import pandas as pd
-from .common import bucket_of, resolve_parallelism
+from .common import arrowed, bucket_of, resolve_parallelism
 
 LCG_MULT = 1103515245
 LCG_INC = 12345
@@ -81,7 +81,7 @@ def balance_stage(
         df = df.assign(_key_hash=h, _bucket=(h % num_buckets).astype(np.int32))
         return df
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    tagged = ds.map_batches(arrowed(tag), batch_format="pandas")
 
     def resample(df: pd.DataFrame) -> pd.DataFrame:
         neg_mask = df[neg_col].to_numpy(bool)
@@ -122,7 +122,7 @@ def balance_stage(
         out = pd.concat([pos, sampled], ignore_index=True)
         return out.drop(columns=["_key_hash", "_bucket"])
 
-    return tagged.groupby("_bucket").map_groups(resample, batch_format="pandas")
+    return tagged.groupby("_bucket").map_groups(arrowed(resample), batch_format="pandas")
 
 
 def count_pos_neg_stage(ds, key_cols: List[str], neg_col: str = "is_negative",
@@ -152,5 +152,5 @@ def count_pos_neg_stage(ds, key_cols: List[str], neg_col: str = "is_negative",
         g["n_pos"] = g["n_all"] - g["n_neg"]
         return g[key_cols + ["n_pos", "n_neg"]]
 
-    partials = ds.map_batches(partial, batch_format="pandas", batch_size=16384)
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas", batch_size=16384)
+    return partials.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")

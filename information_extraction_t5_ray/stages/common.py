@@ -152,6 +152,60 @@ def read_parquet_clean(path, *, columns=None, **kwargs):
     return rd.read_parquet(str(path), columns=columns, schema=schema, **kwargs)
 
 
+def arrow_out(df):
+    """pandas UDF result -> metadata-free Arrow block.
+
+    Owns two repo invariants for blocks entering a shuffle:
+
+    - NO ``b'pandas'`` schema metadata (``pa.Table.from_pandas`` embeds
+      an unhashable dict; Ray's reduce-side block concat then logs
+      'Failed to hash the schemas' and falls back to the slow
+      schema-unify path on every merge);
+    - NO null-typed columns from EMPTY frames (``from_pandas`` infers
+      ``null`` for an empty object column, which makes that block's
+      schema disagree with its non-empty siblings).  Empty object
+      columns are typed ``string`` — every bucketed stage in this repo
+      keeps keys as strings, so the assumption holds by construction.
+
+    Accepts a ``pa.Table`` too (stripped, not converted), so callers can
+    mix typed-Arrow fast paths with pandas returns.
+    """
+    import pandas as pd  # noqa: F401  (dtype checks below)
+    import pyarrow as pa
+
+    if isinstance(df, pa.Table):
+        return df.replace_schema_metadata(None)
+    if len(df) == 0:
+        fields = [
+            (
+                str(c),
+                pa.string()
+                if df[c].dtype == object
+                else pa.from_numpy_dtype(df[c].dtype),
+            )
+            for c in df.columns
+        ]
+        return pa.table({n: pa.array([], t) for n, t in fields})
+    return pa.Table.from_pandas(
+        df, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def arrowed(fn):
+    """Wrap a pandas-returning batch/group UDF so its result enters the
+    block stream as a metadata-free typed Arrow block (:func:`arrow_out`)
+    — keeps every block of a shuffle input the SAME block type (Ray's
+    sort sampler asserts on an Arrow/pandas mix) and kills the two
+    warning classes documented on :func:`arrow_out`."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        return arrow_out(fn(*args, **kwargs))
+
+    return wrapper
+
+
 def strip_pandas_metadata(ds):
     """Drop Arrow schema metadata at a Dataset boundary (zero-copy, fuses
     with the next map stage).  Owns the repo invariant: no unhashable

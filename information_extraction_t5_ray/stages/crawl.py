@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import bucket_of, resolve_parallelism
+from .common import arrowed, bucket_of, resolve_parallelism
 
 
 def _host_array(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -61,9 +61,9 @@ def latest_snapshot(crawl_ds, num_buckets: Optional[int] = None):
         return df.groupby("url", sort=False).tail(1)[cols]
 
     return (
-        crawl_ds.map_batches(partial, batch_format="pyarrow")
+        crawl_ds.map_batches(arrowed(partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrowed(merge), batch_format="pandas")
     )
 
 
@@ -120,11 +120,11 @@ def domain_stats(crawl_ds, num_buckets: Optional[int] = None):
         return g[["host", "n_urls", "n_pages", "last_crawl"]]
 
     return (
-        crawl_ds.map_batches(url_partial, batch_format="pyarrow")
+        crawl_ds.map_batches(arrowed(url_partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(url_merge, batch_format="pandas")
+        .map_groups(arrowed(url_merge), batch_format="pandas")
         .groupby("_bucket2")
-        .map_groups(host_final, batch_format="pandas")
+        .map_groups(arrowed(host_final), batch_format="pandas")
     )
 
 
@@ -187,7 +187,7 @@ def recrawl_changes(crawl_ds, num_buckets: Optional[int] = None):
     return (
         crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(diff, batch_format="pandas")
+        .map_groups(arrowed(diff), batch_format="pandas")
     )
 
 
@@ -240,7 +240,7 @@ def snapshot_intervals(crawl_ds, num_buckets: Optional[int] = None):
     return (
         crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(compact, batch_format="pandas")
+        .map_groups(arrowed(compact), batch_format="pandas")
     )
 
 
@@ -317,9 +317,9 @@ def url_frontier(
     return (
         crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(url_rollup, batch_format="pandas")
+        .map_groups(arrowed(url_rollup), batch_format="pandas")
         .groupby("_bucket2")
-        .map_groups(host_merge, batch_format="pandas")
+        .map_groups(arrowed(host_merge), batch_format="pandas")
     )
 
 
@@ -359,9 +359,9 @@ def host_quota(
         ]
 
     return (
-        latest_ds.map_batches(partial, batch_format="pyarrow")
+        latest_ds.map_batches(arrowed(partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrowed(merge), batch_format="pandas")
     )
 
 

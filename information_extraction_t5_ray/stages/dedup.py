@@ -58,7 +58,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .common import bucket_of, maybe_scatter, resolve_parallelism
+from .common import arrowed, bucket_of, maybe_scatter, resolve_parallelism
 from .textstats import shingle_hashes
 
 # ---------------------------------------------------------------------------
@@ -330,7 +330,7 @@ def bench_ngram_index(bench_docs_ds, n: int = 8):
     grams: set = set()
     hashes_parts = []
     for b in bench_docs_ds.map_batches(
-        batch_grams, batch_format="pyarrow"
+        arrowed(batch_grams), batch_format="pyarrow"
     ).iter_batches(batch_format="pandas"):
         grams.update(b["g"])
         hashes_parts.append(b["h"].to_numpy(np.uint64))
@@ -678,8 +678,8 @@ def jaccard_pairs_verified(
         parallelism,
     )
     cands = (
-        shingles.groupby("bucket").map_groups(emit, batch_format="pandas")
-        .groupby("pbucket").map_groups(classify, batch_format="pandas")
+        shingles.groupby("bucket").map_groups(arrowed(emit), batch_format="pandas")
+        .groupby("pbucket").map_groups(arrowed(classify), batch_format="pandas")
     ).materialize()
 
     certain = cands.filter(lambda r: r["certain"]).select_columns(["i", "j"])
@@ -760,7 +760,7 @@ def jaccard_pairs_verified(
             keep.append(threshold_den * inter >= threshold_num * union)
         return df.loc[keep, ["i", "j"]]
 
-    verified = both.map_batches(verify, batch_format="pandas")
+    verified = both.map_batches(arrowed(verify), batch_format="pandas")
     out = certain.union(verified)
     return out.union(heavy) if heavy is not None else out
 
@@ -866,7 +866,9 @@ def _heavy_only_pairs(
         )
 
     rep = heavy.map_batches(replicate, batch_format="pyarrow")
-    return rep.groupby("gid").map_groups(group_pairs, batch_format="pandas")
+    return rep.groupby("gid").map_groups(
+        arrowed(group_pairs), batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import bucket_of, resolve_parallelism
+from .common import arrow_out as _arrow_out
+from .common import arrowed, bucket_of, resolve_parallelism
 
 # default entity predicates for the co-mention graph: closed-vocabulary
 # fields (places, issuing organs) — the graph's nodes are ENTITIES, not
@@ -127,9 +128,11 @@ def node_degrees(triples_ds, num_buckets: Optional[int] = None):
         return g[["node", "out_degree", "in_degree"]]
 
     partials = triples_ds.select_columns(["subj", "obj"]).map_batches(
-        partial, batch_format="pyarrow"
+        arrowed(partial), batch_format="pyarrow"
     )
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(
+        arrowed(final), batch_format="pandas"
+    )
 
 
 def cooccur_edges(
@@ -163,7 +166,9 @@ def cooccur_edges(
         # call per document — bucketing by subj hash co-locates complete
         # documents while the UDF runs once per bucket (C-speed inside)
         b = bucket_of(t["subj"].to_pandas().astype(str), num_buckets)
-        return t.append_column("_dbucket", pa.array(b, pa.int32()))
+        return t.append_column(
+            "_dbucket", pa.array(b, pa.int32())
+        ).replace_schema_metadata(None)
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         # df holds one or more COMPLETE documents (groupby subj).
@@ -220,25 +225,14 @@ def cooccur_edges(
             triples_ds.map_batches(keep, batch_format="pyarrow"), scatter
         )
         .groupby("_dbucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(arrowed(pairs), batch_format="pandas")
         .groupby("_bucket")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(arrowed(final), batch_format="pandas")
     )
     if not symmetric:
         return edges
 
     return edges.map_batches(mirror_edges, batch_format="pyarrow")
-
-
-def _arrow_out(df: pd.DataFrame) -> pa.Table:
-    """pandas UDF result -> metadata-free Arrow block.  Keeps every
-    block of a shuffle input the SAME block type (Ray's sort sampler
-    asserts on an Arrow/pandas mix) and keeps the b'pandas' schema
-    metadata out of the exchange (stages/common.strip_pandas_metadata
-    invariant)."""
-    return pa.Table.from_pandas(
-        df, preserve_index=False
-    ).replace_schema_metadata(None)
 
 
 def mirror_edges(batch: pa.Table) -> pa.Table:
@@ -247,7 +241,9 @@ def mirror_edges(batch: pa.Table) -> pa.Table:
     symmetric=True and the checkpointed graph fan-out both use it, so
     the two inputs can never drift)."""
     rev = pa.table({"a": batch["b"], "b": batch["a"], "cnt": batch["cnt"]})
-    return pa.concat_tables([batch.select(["a", "b", "cnt"]), rev])
+    return pa.concat_tables(
+        [batch.select(["a", "b", "cnt"]).replace_schema_metadata(None), rev]
+    )
 
 
 def _check_symmetric(edges, num_buckets: int) -> None:
@@ -431,9 +427,9 @@ def pagerank(
         return g
 
     outw_rows = (
-        edges_ds.map_batches(outw_partial, batch_format="pyarrow")
+        edges_ds.map_batches(arrowed(outw_partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(outw_final, batch_format="pandas")
+        .map_groups(arrowed(outw_final), batch_format="pandas")
         .to_pandas()
     )
     nodes = outw_rows["node"].to_numpy(dtype=object).astype(str)
@@ -477,9 +473,9 @@ def pagerank(
             return df.groupby("dst", sort=False, as_index=False)["c"].sum()
 
         sums = (
-            edges_ds.map_batches(contrib, batch_format="pyarrow")
+            edges_ds.map_batches(arrowed(contrib), batch_format="pyarrow")
             .groupby("_bucket")
-            .map_groups(merge, batch_format="pandas")
+            .map_groups(arrowed(merge), batch_format="pandas")
             .to_pandas()
         )
         new = np.full(len(nodes), teleport, dtype=np.int64)
@@ -515,7 +511,9 @@ def neighbor_topk(
         b = bucket_of(
             pd.Series(batch["a"].to_pandas().astype(str)), num_buckets
         )
-        return batch.append_column("_bucket", pa.array(b, pa.int32()))
+        return batch.append_column(
+            "_bucket", pa.array(b, pa.int32())
+        ).replace_schema_metadata(None)
 
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(
@@ -533,7 +531,7 @@ def neighbor_topk(
     return (
         edges_ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(arrowed(topk), batch_format="pandas")
     )
 
 
@@ -671,8 +669,10 @@ def kg_components(
 
     # join (entity -> node_id) with (node_id -> root_id): both sides are
     # node-bounded; co-locate on node_id hash and pd.merge per bucket
-    nodes = edges.map_batches(node_map, batch_format="pyarrow")
-    tagged = nodes.union(cc.map_batches(cc_bucket, batch_format="pyarrow"))
+    nodes = edges.map_batches(arrowed(node_map), batch_format="pyarrow")
+    tagged = nodes.union(
+        cc.map_batches(arrowed(cc_bucket), batch_format="pyarrow")
+    )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
         left = df[df["root_id"] < 0][["entity", "node_id"]]
@@ -694,9 +694,9 @@ def kg_components(
 
     return (
         tagged.groupby("_bucket")
-        .map_groups(join_bucket, batch_format="pandas")
+        .map_groups(arrowed(join_bucket), batch_format="pandas")
         .groupby("_bucket2")
-        .map_groups(relabel, batch_format="pandas")
+        .map_groups(arrowed(relabel), batch_format="pandas")
     )
 
 
@@ -725,9 +725,9 @@ def _degree_frame(edges, num_buckets: int) -> pd.DataFrame:
         return g
 
     return (
-        edges.map_batches(deg_partial, batch_format="pyarrow")
+        edges.map_batches(arrowed(deg_partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(deg_merge, batch_format="pandas")
+        .map_groups(arrowed(deg_merge), batch_format="pandas")
         .to_pandas()
     )
 
@@ -849,7 +849,7 @@ def triangle_counts(
 
     counts = (
         tagged.groupby("_bucket2")
-        .map_groups(confirm, batch_format="pandas")
+        .map_groups(arrowed(confirm), batch_format="pandas")
     )
 
     # -- final per-node sum, zeros for triangle-free nodes ------------
@@ -873,9 +873,9 @@ def triangle_counts(
         return out[["entity", "n_triangles"]]
 
     return (
-        counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
+        counts.union(edges.map_batches(arrowed(zeros), batch_format="pyarrow"))
         .groupby("_bucket3")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(arrowed(final), batch_format="pandas")
     )
 
 
@@ -906,7 +906,9 @@ def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
         df["_bucket"] = bucket_of(df["lo"], num_buckets)
         return df
 
-    oriented = edges.map_batches(orient, batch_format="pyarrow").materialize()
+    oriented = edges.map_batches(
+        arrowed(orient), batch_format="pyarrow"
+    ).materialize()
 
     # -- wedges per apex (out-neighbors sorted by rank) ----------------
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
@@ -945,7 +947,7 @@ def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
 
     wedge_rows = (
         oriented.groupby("_bucket")
-        .map_groups(wedges, batch_format="pandas")
+        .map_groups(arrowed(wedges), batch_format="pandas")
     )
 
     def edge_rows(batch: pa.Table) -> pd.DataFrame:
@@ -964,7 +966,7 @@ def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
         return out
 
     return wedge_rows.union(
-        oriented.map_batches(edge_rows, batch_format="pyarrow")
+        oriented.map_batches(arrowed(edge_rows), batch_format="pyarrow")
     )
 
 
@@ -1096,9 +1098,9 @@ def label_propagation(
             return g
 
         top = (
-            edges.map_batches(partial, batch_format="pyarrow")
+            edges.map_batches(arrowed(partial), batch_format="pyarrow")
             .groupby("_bucket")
-            .map_groups(pick_groups, batch_format="pandas")
+            .map_groups(arrowed(pick_groups), batch_format="pandas")
             .to_pandas()
         )
         labels = pd.Series(
@@ -1306,7 +1308,7 @@ def edge_jaccard(
     return (
         counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
         .groupby("_bucket3")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(arrowed(final), batch_format="pandas")
     )
 
 
@@ -1482,7 +1484,7 @@ def link_predict(
     tagged = (
         edges.map_batches(adj, batch_format="pyarrow")
         .groupby("_dbucket")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(arrowed(pairs), batch_format="pandas")
         .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
     )
 
@@ -1517,9 +1519,9 @@ def link_predict(
 
     return (
         tagged.groupby("_bucket2")
-        .map_groups(anti_topk, batch_format="pandas")
+        .map_groups(arrowed(anti_topk), batch_format="pandas")
         .groupby("_final")
-        .map_groups(final, batch_format="pandas")
+        .map_groups(arrowed(final), batch_format="pandas")
     )
 
 
@@ -1618,7 +1620,7 @@ def bfs_layers(
     seeds = (
         edges.map_batches(node_partial, batch_format="pyarrow")
         .groupby("_g")
-        .map_groups(node_final, batch_format="pandas")
+        .map_groups(arrowed(node_final), batch_format="pandas")
         .to_pandas()["node"]
         .tolist()
     )
@@ -1754,7 +1756,7 @@ def k_core(
         deg = (
             edges.map_batches(deg_partial, batch_format="pyarrow")
             .groupby("_bucket")
-            .map_groups(deg_merge, batch_format="pandas")
+            .map_groups(arrowed(deg_merge), batch_format="pandas")
             .to_pandas()
         )
         nxt = (

@@ -31,7 +31,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .common import bucket_of, resolve_parallelism
+from .common import arrowed, bucket_of, resolve_parallelism
 from ..functions.grammar import (
     deconstruct_answer,
     find_ids_of_sent_tokens,
@@ -79,9 +79,11 @@ def best_window_stage(
         return _reduce_best(bucket_df, use_fewer_na).drop(columns=["bucket", "na"])
 
     partials = predictions_ds.map_batches(
-        partial, batch_format="pandas", **({"batch_size": batch_size} if batch_size else {})
+        arrowed(partial),
+        batch_format="pandas",
+        **({"batch_size": batch_size} if batch_size else {}),
     )
-    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
+    return partials.groupby("bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

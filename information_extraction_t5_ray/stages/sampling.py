@@ -25,7 +25,7 @@ import pyarrow as pa
 # hash_split's LCG — glibc constants shared with stages/balance.py (one
 # source of truth; the SQL oracles hardcode the same literals)
 from .balance import LCG_INC as _LCG_C  # noqa: E402
-from .common import bucket_of, resolve_parallelism  # noqa: E402
+from .common import arrowed, bucket_of, resolve_parallelism  # noqa: E402
 from .balance import LCG_MULT as _LCG_A  # noqa: E402
 
 _LCG_M = 2147483648
@@ -109,8 +109,8 @@ def grouped_sample_k(
         out = out.groupby(group_col, sort=False).head(k)
         return out.drop(columns=["_rank", "_bucket"])
 
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby("_bucket").map_groups(final, batch_format="pandas")
+    partials = ds.map_batches(arrowed(partial), batch_format="pandas")
+    return partials.groupby("_bucket").map_groups(arrowed(final), batch_format="pandas")
 
 
 def assign_shuffle_shards(

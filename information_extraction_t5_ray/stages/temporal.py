@@ -62,7 +62,12 @@ def sessionize(
 
     def tag(t: pa.Table) -> pa.Table:
         b = bucket_of(t[key].to_numpy(zero_copy_only=False), num_buckets)
-        return t.append_column("_bucket", pa.array(b))
+        # strip any b'pandas' metadata a pandas upstream block smuggled
+        # in: map_groups concats the per-group outputs, and an
+        # unhashable metadata dict defeats Ray's schema dedup there
+        return t.append_column("_bucket", pa.array(b)).replace_schema_metadata(
+            None
+        )
 
     # integer arithmetic, not total_seconds()*1e9: the float64 product
     # can round for day-scale gaps and flip the strictly-greater test
@@ -165,7 +170,12 @@ def rolling_window_sum(
 
     def tag(t: pa.Table) -> pa.Table:
         b = bucket_of(t[key].to_numpy(zero_copy_only=False), num_buckets)
-        return t.append_column("_bucket", pa.array(b))
+        # strip any b'pandas' metadata a pandas upstream block smuggled
+        # in: map_groups concats the per-group outputs, and an
+        # unhashable metadata dict defeats Ray's schema dedup there
+        return t.append_column("_bucket", pa.array(b)).replace_schema_metadata(
+            None
+        )
 
     def assign(group: pa.Table) -> pa.Table:
         g = group.take(pc.sort_indices(group, sort_keys=sort_keys))
