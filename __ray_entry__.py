@@ -158,6 +158,23 @@ def _q_kg_communities(sf_dir: str):
     return label_propagation(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_communities_stable(sf_dir: str):
+    """Stabilized LPA: same fixed-round synchronous contract, run over
+    the self-loop-augmented edge list (graph.with_self_loops) so
+    mutual-heaviest pendant pairs converge to the min label instead of
+    oscillating."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        label_propagation,
+        with_self_loops,
+    )
+
+    return label_propagation(
+        with_self_loops(cooccur_edges(run_kg(sf_dir), symmetric=True))
+    )
+
+
 def _q_kg_edge_jaccard(sf_dir: str):
     """Per-edge neighborhood Jaccard numerator/denominator (integer
     tie-strength signal over the co-mention graph)."""
@@ -410,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
         "kg_communities": _q_kg_communities,  # new r3: fixed-round LPA
+        "kg_communities_stable": _q_kg_communities_stable,  # self-loop LPA
         "kg_edge_jaccard": _q_kg_edge_jaccard,  # new: per-edge Jaccard
         "kg_link_predict": _q_kg_link_predict,  # new: common-neighbor top-k
         "kg_bfs": _q_kg_bfs,  # new: bounded multi-source BFS layers
@@ -541,6 +559,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_from_crawl": kg_from_crawl_sql(),
         "kg_write_roundtrip": oracle_triples_sql(),
         "kg_communities": kg_communities_sql(),
+        "kg_communities_stable": kg_communities_sql(self_loops=True),
         "kg_edge_jaccard": kg_edge_jaccard_sql(),
         "kg_link_predict": kg_link_predict_sql(),
         "kg_bfs": kg_bfs_sql(),

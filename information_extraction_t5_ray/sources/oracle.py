@@ -363,13 +363,28 @@ WHERE subj IN (
 )"""
 
 
-def kg_communities_sql(n_rounds: int = 3) -> str:
+def kg_communities_sql(n_rounds: int = 3, self_loops: bool = False) -> str:
     """Fixed-round synchronous label propagation, iterated CTEs (the
     kg_pagerank_sql pattern): per round each node takes the neighbor
     label with the greatest incident weight, ties to the
     lexicographic-min label — ground truth for
-    stages/graph.label_propagation."""
+    stages/graph.label_propagation.
+
+    ``self_loops=True`` mirrors ``graph.with_self_loops``: the edge CTE
+    is augmented with one (node, node, max incident weight) row per
+    node, which stabilizes pendant-pair oscillation (ground truth for
+    the kg_communities_stable query)."""
     parts = [_graph_cte()]
+    edge_cte = "e"
+    if self_loops:
+        edge_cte = "es"
+        parts.append(
+            """, es AS (
+  SELECT a, b, cnt FROM e
+  UNION ALL
+  SELECT a, a, CAST(MAX(cnt) AS BIGINT) FROM e GROUP BY a
+)"""
+        )
     parts.append(", l0 AS (SELECT node, node AS label FROM w)")
     for k in range(1, n_rounds + 1):
         prev = f"l{k - 1}"
@@ -379,7 +394,7 @@ def kg_communities_sql(n_rounds: int = 3) -> str:
     SELECT e.a AS node, l.label,
            row_number() OVER (PARTITION BY e.a
                ORDER BY SUM(e.cnt) DESC, l.label) AS rn
-    FROM e JOIN {prev} l ON l.node = e.b
+    FROM {edge_cte} e JOIN {prev} l ON l.node = e.b
     GROUP BY e.a, l.label
   ) WHERE rn = 1
 )"""

@@ -246,6 +246,57 @@ def mirror_edges(batch: pa.Table) -> pa.Table:
     )
 
 
+def with_self_loops(edges_ds, num_buckets: Optional[int] = None):
+    """Augment a SYMMETRIC weighted edge list with one self-loop per
+    node, weighted by the node's MAX incident edge weight — the
+    inertia term that stabilizes synchronous label propagation.
+
+    Under plain synchronous LPA a mutual-heaviest pendant pair swaps
+    labels forever (the documented oscillation on
+    :func:`label_propagation`).  With the self-loop each endpoint sees
+    its OWN current label at weight == the pendant edge's weight, so
+    the tie falls to the lexicographic-min label for BOTH endpoints in
+    round 1 and every later round re-confirms it — converged, still
+    fully deterministic, and the oracle stays the same iterated CTE
+    run over the augmented edge CTE.
+
+    Two-phase per-node max (per-batch partial -> bucketed merge), so
+    only (node, max) rows exchange; the edge stream itself is passed
+    through untouched.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "a": batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                "cnt": batch["cnt"].to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby("a", sort=False, as_index=False)["cnt"].max()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["_bucket"] = bucket_of(g["a"], num_buckets)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("a", sort=False, as_index=False)["cnt"].max()
+        out = pd.DataFrame(
+            {
+                "a": g["a"],
+                "b": g["a"],
+                "cnt": g["cnt"].astype(np.int64),
+            }
+        )
+        return out
+
+    loops = (
+        edges_ds.map_batches(arrowed(partial), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )
+    return edges_ds.select_columns(["a", "b", "cnt"]).union(loops)
+
+
 def _check_symmetric(edges, num_buckets: int) -> None:
     """Loud precondition for operators whose degree/traversal logic
     reads only the ``a`` side (k_core, bfs_layers): a symmetric edge

@@ -179,7 +179,7 @@ def entities_stage(
     Phase 3: bucket groupby on ``obj`` alone merges the (at most
     ``num_salts``) per-salt rows per entity — a tiny final exchange.
     """
-    from .common import resolve_parallelism
+    from .common import arrowed, resolve_parallelism
 
     num_buckets = resolve_parallelism(num_buckets)
 
@@ -233,12 +233,14 @@ def entities_stage(
         return out
 
     partials = triples_ds.map_batches(
-        partial, batch_format="pandas", batch_size=batch_size
+        arrowed(partial), batch_format="pandas", batch_size=batch_size
     )
     salted = partials.groupby("bucket").map_groups(
-        merge_salted, batch_format="pandas"
+        arrowed(merge_salted), batch_format="pandas"
     )
-    return salted.groupby("bucket2").map_groups(final, batch_format="pandas")
+    return salted.groupby("bucket2").map_groups(
+        arrowed(final), batch_format="pandas"
+    )
 
 
 def write_triples(
@@ -312,7 +314,7 @@ def merge_triples(old_ds, new_ds, num_buckets=None):
     groupby per bucket — one candidate row per (batch, key) on the
     wire, never the unioned triple streams.
     """
-    from .common import resolve_parallelism
+    from .common import arrowed, resolve_parallelism
 
     num_buckets = resolve_parallelism(num_buckets)
     cols = ["subj", "pred", "obj", "src_ts"]
@@ -339,7 +341,7 @@ def merge_triples(old_ds, new_ds, num_buckets=None):
 
     return (
         old_ds.union(new_ds)
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(arrowed(partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(arrowed(merge), batch_format="pandas")
     )

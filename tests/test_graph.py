@@ -532,3 +532,49 @@ def test_kcore_bfs_reject_asymmetric_edges(ray_session):
         G.bfs_layers(_edges(rows)).to_pandas()
     # and the symmetric versions still pass the check
     assert len(G.k_core(_sym(rows), k=1).to_pandas()) == 4
+
+
+def test_with_self_loops_stabilizes_pendant_pair(ray_session):
+    """The pendant-pair oscillation documented on label_propagation:
+    with the max-incident-weight self-loop each endpoint ties between
+    its own label and its partner's and the lexicographic-min wins —
+    converged after round 1, identical on the local and distributed
+    paths, and stable whether the round count is odd or even."""
+    rows = [
+        ("a", "b", 5),
+        ("a", "c", 5),
+        ("b", "c", 5),
+        ("c", "d", 1),
+        ("d", "e", 9),
+    ]
+    aug = G.with_self_loops(_sym(rows))
+    for n_rounds in (3, 4):
+        loc = (
+            G.label_propagation(aug, n_rounds=n_rounds)
+            .to_pandas()
+            .sort_values("entity")
+            .reset_index(drop=True)
+        )
+        dist = (
+            G.label_propagation(aug, n_rounds=n_rounds, local_edge_threshold=0)
+            .to_pandas()
+            .sort_values("entity")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(loc, dist)
+        com = loc.set_index("entity")["community"]
+        # the pendant pair {d, e} converges to min('d', 'e') = 'd'
+        # under BOTH parities (plain LPA would report d->'e', e->'d'
+        # after odd rounds and d->'d', e->'e' after even ones)
+        assert com["d"] == "d" and com["e"] == "d"
+        # the {a,b,c} triangle still coalesces on 'a'
+        assert com["a"] == com["b"] == com["c"] == "a"
+
+
+def test_with_self_loops_rows(ray_session):
+    """One self-loop per node, weighted by the node's max incident
+    weight, appended to the untouched symmetric stream."""
+    aug = G.with_self_loops(_sym([("a", "b", 5), ("b", "c", 2)])).to_pandas()
+    loops = aug[aug["a"] == aug["b"]].set_index("a")["cnt"]
+    assert dict(loops) == {"a": 5, "b": 5, "c": 2}
+    assert len(aug) == 4 + 3  # 2 mirrored edges + 3 loops
