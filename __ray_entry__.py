@@ -146,6 +146,14 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_temporal(sf_dir: str):
+    """Temporal KG: triples joined with their page's latest
+    content-validity interval (SCD-2 over the multi-snapshot crawl)."""
+    from information_extraction_t5_ray.pipelines.kg import kg_temporal
+
+    return kg_temporal(sf_dir)
+
+
 def _q_kg_communities(sf_dir: str):
     """Deterministic fixed-round label propagation over the symmetric
     co-mention graph."""
@@ -426,6 +434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_merge": _q_kg_merge,  # new r3: incremental latest-wins fusion
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
+        "kg_temporal": _q_kg_temporal,  # triples x latest validity interval
         "kg_communities": _q_kg_communities,  # new r3: fixed-round LPA
         "kg_communities_stable": _q_kg_communities_stable,  # self-loop LPA
         "kg_edge_jaccard": _q_kg_edge_jaccard,  # new: per-edge Jaccard
@@ -536,6 +545,7 @@ def oracle_sql() -> dict[str, str]:
         kg_kcore_sql,
         kg_degree_sql,
         kg_communities_sql,
+        kg_temporal_sql,
         kg_components_sql,
         kg_edge_jaccard_sql,
         kg_from_crawl_sql,
@@ -558,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_merge": kg_merge_sql(),
         "kg_from_crawl": kg_from_crawl_sql(),
         "kg_write_roundtrip": oracle_triples_sql(),
+        "kg_temporal": kg_temporal_sql(),
         "kg_communities": kg_communities_sql(),
         "kg_communities_stable": kg_communities_sql(self_loops=True),
         "kg_edge_jaccard": kg_edge_jaccard_sql(),

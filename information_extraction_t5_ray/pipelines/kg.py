@@ -219,6 +219,76 @@ def run_kg(
     return triples
 
 
+def kg_temporal(
+    sf_dir: str,
+    cfg: Optional[KGConfig] = None,
+    num_partitions: Optional[int] = None,
+):
+    """Temporal KG: every extracted triple carries its page's LATEST
+    content-validity interval from the multi-snapshot crawl — the
+    SCD-2 provenance primitive ("this assertion reflects the page
+    version observed over [valid_from, valid_to]").
+
+    Composition, all bounded exchanges:
+
+    1. ``stages.crawl.snapshot_intervals`` compacts the snapshot
+       stream into per-(url, content run) validity intervals (one
+       bucketed exchange);
+    2. per-url LATEST interval via the two-phase tail-1 argmax on
+       ``valid_to`` (intervals partition each url's timeline, so the
+       max is unique) — one candidate row per (batch, url) on the
+       wire;
+    3. a vectorized remap from the crawl url to the page subject url
+       (both embed the zero-padded doc id — sources/crawl.py:33,
+       sources/synth.py URL scheme);
+    4. a large-large hash join with the extracted triples on ``subj``
+       (both sides exchange; the interval side is one row per url).
+
+    Output ``(subj, pred, obj, valid_from, valid_to)``.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pandas as pd
+
+    from ..sources.crawl import read_crawl
+    from ..sources.synth import URL_PREFIX
+    from ..stages.common import arrowed, bucket_of, resolve_parallelism
+    from ..stages.crawl import snapshot_intervals
+    from ..stages.joins import hash_join
+
+    num_buckets = resolve_parallelism(num_partitions)
+    iv = snapshot_intervals(read_crawl(sf_dir))
+    cols = ["url", "valid_from", "valid_to"]
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "valid_to"], kind="stable")
+        return df.groupby("url", sort=False).tail(1)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        top = best(batch.select(cols).to_pandas()).copy()
+        top["_bucket"] = bucket_of(top["url"], num_buckets)
+        return top
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = best(df)[cols].copy()
+        # crawl url suffix = zero-padded doc id = page url suffix
+        out["subj"] = URL_PREFIX + out["url"].str[-8:]
+        return out[["subj", "valid_from", "valid_to"]]
+
+    latest = (
+        iv.map_batches(arrowed(partial), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )
+    triples = kg_triples(synth.read_pages(sf_dir), cfg or KGConfig())
+    return hash_join(
+        triples.select_columns(["subj", "pred", "obj"]),
+        latest,
+        on="subj",
+        num_partitions=num_partitions,
+    ).select_columns(["subj", "pred", "obj", "valid_from", "valid_to"])
+
+
 def run_kg_sharded(
     sf_dir: str,
     ckpt_dir: str,

@@ -363,6 +363,46 @@ WHERE subj IN (
 )"""
 
 
+def kg_temporal_sql() -> str:
+    """Triples joined with the per-url LATEST content-validity interval
+    (SCD-2 gaps-and-islands over the closed-form crawl CTE, then the
+    row_number argmax on valid_to) — ground truth for
+    pipelines/kg.kg_temporal.  The crawl url and the page subject url
+    both embed the zero-padded doc id, so the join key is derived by
+    suffix remap exactly as the Ray side does."""
+    from .oracle_crawl import _crawl_cte
+
+    return f"""{_crawl_cte()},
+iv AS (
+  SELECT url,
+         min(warc_ts) AS valid_from,
+         max(warc_ts) AS valid_to
+  FROM (
+    SELECT url, content_id, warc_ts,
+           SUM(CASE WHEN prev IS NULL OR prev <> content_id THEN 1 ELSE 0 END)
+             OVER (PARTITION BY url ORDER BY warc_ts
+                   ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM (
+      SELECT url, content_id, warc_ts,
+             lag(content_id) OVER (PARTITION BY url ORDER BY warc_ts) AS prev
+      FROM c
+    )
+  ) GROUP BY url, run_id
+),
+liv AS (
+  SELECT 'https://example.org/'||right(url, 8) AS subj,
+         valid_from, valid_to
+  FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY url ORDER BY valid_to DESC) AS rn
+    FROM iv
+  ) WHERE rn = 1
+),
+t AS ({oracle_triples_sql()})
+SELECT t.subj, t.pred, t.obj, liv.valid_from, liv.valid_to
+FROM t JOIN liv ON liv.subj = t.subj"""
+
+
 def kg_communities_sql(n_rounds: int = 3, self_loops: bool = False) -> str:
     """Fixed-round synchronous label propagation, iterated CTEs (the
     kg_pagerank_sql pattern): per round each node takes the neighbor

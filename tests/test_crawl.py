@@ -181,3 +181,37 @@ def test_host_quota_order_and_cap(ray_session):
         "https://h.example.org/p/3",
         "https://h.example.org/p/2",
     ]
+
+
+def test_kg_temporal_latest_interval_semantics(ray_session):
+    """Every triple carries exactly ONE interval (the per-url join is
+    1:1 by construction), and the interval is the LATEST content run:
+    a content-changing doc (doc_id % 5 == 0 with >1 snapshot) gets the
+    single-snapshot final run, a stable multi-snapshot doc gets the
+    full observed range."""
+    import numpy as np
+
+    from information_extraction_t5_ray.pipelines.kg import kg_temporal, run_kg
+    from information_extraction_t5_ray.sources.synth import URL_PREFIX
+
+    sf = "/root/testdata/sf0.001"
+    got = kg_temporal(sf).to_pandas()
+    n_triples = run_kg(sf).count()
+    assert len(got) == n_triples  # 1:1 interval per subject url
+    assert (got["valid_from"] <= got["valid_to"]).all()
+
+    base = np.datetime64("2020-01-01", "us")
+    day = np.timedelta64(1, "D")
+    minute = np.timedelta64(1, "m")
+    per_subj = got.drop_duplicates("subj").set_index("subj")
+
+    # doc 10: snapshots r=0,1 and content changes per revision -> the
+    # latest run is the r=1 snapshot alone (valid_from == valid_to)
+    s10 = per_subj.loc[f"{URL_PREFIX}{10:08d}"]
+    assert s10["valid_from"] == s10["valid_to"] == base + 10 * minute + day
+
+    # doc 4: snapshots r=0,1 with CONSTANT content -> one run spanning
+    # the full observed range
+    s4 = per_subj.loc[f"{URL_PREFIX}{4:08d}"]
+    assert s4["valid_from"] == base + 4 * minute
+    assert s4["valid_to"] == base + 4 * minute + day
