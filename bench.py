@@ -104,6 +104,16 @@ def _bench_queries(sf_dir: str):
 
         return k_core(_edges(True), k=19).count()
 
+    def kg_temporal() -> int:
+        # temporal provenance join over the SHARED materialized triples
+        # (the extraction is timed once by kg_triples); this entry times
+        # snapshot compaction + latest-interval argmax + the subj join
+        from information_extraction_t5_ray.pipelines.kg import (
+            kg_temporal_join,
+        )
+
+        return kg_temporal_join(_tri(), sf_dir).count()
+
     def crawl_latest() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import latest_snapshot
@@ -124,6 +134,7 @@ def _bench_queries(sf_dir: str):
         "kg_components": kg_components,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,
+        "kg_temporal": kg_temporal,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }

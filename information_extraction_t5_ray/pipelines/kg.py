@@ -246,19 +246,48 @@ def kg_temporal(
 
     Output ``(subj, pred, obj, valid_from, valid_to)``.
     """
+    triples = kg_triples(synth.read_pages(sf_dir), cfg or KGConfig())
+    return kg_temporal_join(triples, sf_dir, num_partitions=num_partitions)
+
+
+def kg_temporal_join(triples_ds, sf_dir: str, num_partitions=None):
+    """Stages 1-4 of :func:`kg_temporal` over an ALREADY-BUILT triples
+    Dataset (production shape: the flagship materialize exists before
+    provenance enrichment runs; bench.py times this join without
+    re-timing the extraction).
+
+    The subj join is the repo's tagged-union co-group (the asof-join
+    shape, stages/joins.py): both sides bucket on subj hash into ONE
+    sort exchange with a fixed Arrow schema (typed nulls for the
+    columns each side lacks), then one vectorized pandas merge per
+    bucket — Ray's ``Dataset.join`` hash-shuffle aggregator pays a
+    multi-second fixed spin-up per call on small inputs, where this
+    plan's cost tracks the data.
+    """
     import numpy as np
-    import pyarrow as pa
     import pandas as pd
+    import pyarrow as pa
 
     from ..sources.crawl import read_crawl
     from ..sources.synth import URL_PREFIX
     from ..stages.common import arrowed, bucket_of, resolve_parallelism
     from ..stages.crawl import snapshot_intervals
-    from ..stages.joins import hash_join
 
     num_buckets = resolve_parallelism(num_partitions)
     iv = snapshot_intervals(read_crawl(sf_dir))
     cols = ["url", "valid_from", "valid_to"]
+    ts = pa.timestamp("us")
+    union_schema = pa.schema(
+        [
+            pa.field("subj", pa.string()),
+            pa.field("pred", pa.string()),
+            pa.field("obj", pa.string()),
+            pa.field("valid_from", ts),
+            pa.field("valid_to", ts),
+            pa.field("_side", pa.int8()),
+            pa.field("_bucket", pa.int32()),
+        ]
+    )
 
     def best(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["url", "valid_to"], kind="stable")
@@ -269,24 +298,64 @@ def kg_temporal(
         top["_bucket"] = bucket_of(top["url"], num_buckets)
         return top
 
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = best(df)[cols].copy()
+    def iv_rows(df: pd.DataFrame) -> pa.Table:
+        out = best(df)[cols]
         # crawl url suffix = zero-padded doc id = page url suffix
-        out["subj"] = URL_PREFIX + out["url"].str[-8:]
-        return out[["subj", "valid_from", "valid_to"]]
+        subj = (URL_PREFIX + out["url"].str[-8:]).to_numpy(dtype=object)
+        n = len(out)
+        return pa.Table.from_arrays(
+            [
+                pa.array(subj, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.nulls(n, pa.string()),
+                pa.array(out["valid_from"].to_numpy()).cast(ts),
+                pa.array(out["valid_to"].to_numpy()).cast(ts),
+                pa.array(np.full(n, 1, np.int8)),
+                pa.array(
+                    bucket_of(pd.Series(subj, dtype=object), num_buckets)
+                ),
+            ],
+            schema=union_schema,
+        )
 
-    latest = (
+    def tri_rows(batch: pa.Table) -> pa.Table:
+        subj = batch["subj"].to_numpy(zero_copy_only=False).astype(object)
+        n = len(subj)
+        return pa.Table.from_arrays(
+            [
+                batch["subj"].cast(pa.string()),
+                batch["pred"].cast(pa.string()),
+                batch["obj"].cast(pa.string()),
+                pa.nulls(n, ts),
+                pa.nulls(n, ts),
+                pa.array(np.zeros(n, np.int8)),
+                pa.array(
+                    bucket_of(pd.Series(subj, dtype=object), num_buckets)
+                ),
+            ],
+            schema=union_schema,
+        )
+
+    tagged = (
         iv.map_batches(arrowed(partial), batch_format="pyarrow")
         .groupby("_bucket")
-        .map_groups(arrowed(merge), batch_format="pandas")
+        .map_groups(iv_rows, batch_format="pandas")
+        .union(
+            triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+                tri_rows, batch_format="pyarrow", batch_size=16384
+            )
+        )
     )
-    triples = kg_triples(synth.read_pages(sf_dir), cfg or KGConfig())
-    return hash_join(
-        triples.select_columns(["subj", "pred", "obj"]),
-        latest,
-        on="subj",
-        num_partitions=num_partitions,
-    ).select_columns(["subj", "pred", "obj", "valid_from", "valid_to"])
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["_side"].to_numpy()
+        left = df.loc[side == 0, ["subj", "pred", "obj"]]
+        right = df.loc[side == 1, ["subj", "valid_from", "valid_to"]]
+        return left.merge(right, on="subj", how="inner")
+
+    return tagged.groupby("_bucket").map_groups(
+        arrowed(join_bucket), batch_format="pandas"
+    )
 
 
 def run_kg_sharded(
