@@ -271,11 +271,13 @@ def kg_temporal_join(triples_ds, sf_dir: str, num_partitions=None):
     from ..sources.crawl import read_crawl
     from ..sources.synth import URL_PREFIX
     from ..stages.common import arrowed, bucket_of, resolve_parallelism
-    from ..stages.crawl import snapshot_intervals
+    from ..stages.crawl import latest_intervals
 
     num_buckets = resolve_parallelism(num_partitions)
-    iv = snapshot_intervals(read_crawl(sf_dir))
-    cols = ["url", "valid_from", "valid_to"]
+    # fused compaction + latest-run argmax: ONE exchange over the
+    # snapshot stream (stages/crawl.latest_intervals), then the join
+    # sort — two all-to-alls total for the whole provenance attach
+    iv = latest_intervals(read_crawl(sf_dir))
     ts = pa.timestamp("us")
     union_schema = pa.schema(
         [
@@ -289,27 +291,18 @@ def kg_temporal_join(triples_ds, sf_dir: str, num_partitions=None):
         ]
     )
 
-    def best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["url", "valid_to"], kind="stable")
-        return df.groupby("url", sort=False).tail(1)
-
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        top = best(batch.select(cols).to_pandas()).copy()
-        top["_bucket"] = bucket_of(top["url"], num_buckets)
-        return top
-
-    def iv_rows(df: pd.DataFrame) -> pa.Table:
-        out = best(df)[cols]
+    def iv_rows(batch: pa.Table) -> pa.Table:
         # crawl url suffix = zero-padded doc id = page url suffix
-        subj = (URL_PREFIX + out["url"].str[-8:]).to_numpy(dtype=object)
-        n = len(out)
+        url = pd.Series(batch["url"].to_pandas().astype(str))
+        subj = (URL_PREFIX + url.str[-8:]).to_numpy(dtype=object)
+        n = len(url)
         return pa.Table.from_arrays(
             [
                 pa.array(subj, pa.string()),
                 pa.nulls(n, pa.string()),
                 pa.nulls(n, pa.string()),
-                pa.array(out["valid_from"].to_numpy()).cast(ts),
-                pa.array(out["valid_to"].to_numpy()).cast(ts),
+                batch["valid_from"].cast(ts),
+                batch["valid_to"].cast(ts),
                 pa.array(np.full(n, 1, np.int8)),
                 pa.array(
                     bucket_of(pd.Series(subj, dtype=object), num_buckets)
@@ -336,14 +329,9 @@ def kg_temporal_join(triples_ds, sf_dir: str, num_partitions=None):
             schema=union_schema,
         )
 
-    tagged = (
-        iv.map_batches(arrowed(partial), batch_format="pyarrow")
-        .groupby("_bucket")
-        .map_groups(iv_rows, batch_format="pandas")
-        .union(
-            triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
-                tri_rows, batch_format="pyarrow", batch_size=16384
-            )
+    tagged = iv.map_batches(iv_rows, batch_format="pyarrow").union(
+        triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+            tri_rows, batch_format="pyarrow", batch_size=16384
         )
     )
 

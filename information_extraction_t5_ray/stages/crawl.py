@@ -244,6 +244,56 @@ def snapshot_intervals(crawl_ds, num_buckets: Optional[int] = None):
     )
 
 
+def latest_intervals(crawl_ds, num_buckets: Optional[int] = None):
+    """Per-url LATEST content-validity interval
+    ``(url, valid_from, valid_to)`` — :func:`snapshot_intervals`'s
+    gaps-and-islands compaction FUSED with the tail-1 argmax on
+    ``valid_to`` in the same bucket pass: the interval exchange already
+    co-locates each url's snapshots, so selecting the newest run there
+    costs nothing extra, where composing the two stages would pay a
+    second all-to-all over the interval stream.  (Temporal-KG
+    provenance input, pipelines/kg.kg_temporal_join.)
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(batch["url"].to_pandas().astype(str), num_buckets)
+        return batch.select(["url", "warc_ts", "content_id"]).append_column(
+            "_bucket", pa.array(b, pa.int32())
+        )
+
+    def compact_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["url", "warc_ts"], kind="stable")
+        url = df["url"].to_numpy(dtype=object)
+        content = df["content_id"].to_numpy(np.int64)
+        new_run = np.ones(len(df), dtype=bool)
+        new_run[1:] = (url[1:] != url[:-1]) | (content[1:] != content[:-1])
+        run_id = np.cumsum(new_run)
+        g = pd.DataFrame(
+            {
+                "url": url,
+                "warc_ts": df["warc_ts"].to_numpy(),
+                "_run": run_id,
+            }
+        ).groupby("_run", sort=False)
+        iv = g.agg(
+            url=("url", "first"),
+            valid_from=("warc_ts", "min"),
+            valid_to=("warc_ts", "max"),
+        ).reset_index(drop=True)
+        # rows are url-major and time-ordered, so each url's LAST run
+        # is its latest interval
+        return iv.groupby("url", sort=False).tail(1)[
+            ["url", "valid_from", "valid_to"]
+        ]
+
+    return (
+        crawl_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(arrowed(compact_latest), batch_format="pandas")
+    )
+
+
 def url_frontier(
     crawl_ds,
     k: int = 10,

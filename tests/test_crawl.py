@@ -215,3 +215,31 @@ def test_kg_temporal_latest_interval_semantics(ray_session):
     s4 = per_subj.loc[f"{URL_PREFIX}{4:08d}"]
     assert s4["valid_from"] == base + 4 * minute
     assert s4["valid_to"] == base + 4 * minute + day
+
+
+def test_latest_intervals_matches_composed(ray_session):
+    """The fused compaction+argmax must equal snapshot_intervals
+    followed by a per-url tail-1 on valid_to."""
+    from information_extraction_t5_ray.sources.crawl import read_crawl
+    from information_extraction_t5_ray.stages.crawl import (
+        latest_intervals,
+        snapshot_intervals,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    fused = (
+        latest_intervals(read_crawl(sf))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    composed = (
+        snapshot_intervals(read_crawl(sf))
+        .to_pandas()
+        .sort_values(["url", "valid_to"], kind="stable")
+        .groupby("url", sort=False)
+        .tail(1)[["url", "valid_from", "valid_to"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fused, composed)
