@@ -146,6 +146,28 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_diff(sf_dir: str):
+    """KG delta after a simulated extractor upgrade: v1 lacks form.cpf,
+    v2 drops form.agencia — the diff stream is (added cpf triples) +
+    (removed agencia triples), one exchange, bounded by the churn."""
+    import pyarrow.compute as pc
+
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.triples import diff_triples
+
+    tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
+
+    def drop_pred(p):
+        def f(batch):
+            return batch.filter(pc.not_equal(batch["pred"], p))
+
+        return f
+
+    old = tri.map_batches(drop_pred("form.cpf"), batch_format="pyarrow")
+    new = tri.map_batches(drop_pred("form.agencia"), batch_format="pyarrow")
+    return diff_triples(old, new)
+
+
 def _q_kg_temporal(sf_dir: str):
     """Temporal KG: triples joined with their page's latest
     content-validity interval (SCD-2 over the multi-snapshot crawl)."""
@@ -435,6 +457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
         "kg_temporal": _q_kg_temporal,  # triples x latest validity interval
+        "kg_diff": _q_kg_diff,  # extractor-upgrade delta stream
         "kg_communities": _q_kg_communities,  # new r3: fixed-round LPA
         "kg_communities_stable": _q_kg_communities_stable,  # self-loop LPA
         "kg_edge_jaccard": _q_kg_edge_jaccard,  # new: per-edge Jaccard
@@ -545,6 +568,7 @@ def oracle_sql() -> dict[str, str]:
         kg_kcore_sql,
         kg_degree_sql,
         kg_communities_sql,
+        kg_diff_sql,
         kg_temporal_sql,
         kg_components_sql,
         kg_edge_jaccard_sql,
@@ -569,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_from_crawl": kg_from_crawl_sql(),
         "kg_write_roundtrip": oracle_triples_sql(),
         "kg_temporal": kg_temporal_sql(),
+        "kg_diff": kg_diff_sql(),
         "kg_communities": kg_communities_sql(),
         "kg_communities_stable": kg_communities_sql(self_loops=True),
         "kg_edge_jaccard": kg_edge_jaccard_sql(),

@@ -528,3 +528,20 @@ c{i} AS MATERIALIZED (SELECT a, b FROM {prev}
         )
     parts.append(f" SELECT node AS entity FROM s{n_rounds}")
     return "".join(parts)
+
+
+def kg_diff_sql(
+    added_pred: str = "form.cpf", removed_pred: str = "form.agencia"
+) -> str:
+    """Extractor-upgrade delta — ground truth for
+    stages/triples.diff_triples as driven by _q_kg_diff: v1 = triples
+    minus ``added_pred``, v2 = triples minus ``removed_pred``; the diff
+    is the two set differences with a change marker."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+old AS (SELECT subj, pred, obj FROM t WHERE pred <> '{added_pred}'),
+new AS (SELECT subj, pred, obj FROM t WHERE pred <> '{removed_pred}')
+SELECT subj, pred, obj, 'added' AS change
+FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+UNION ALL
+SELECT subj, pred, obj, 'removed' AS change
+FROM (SELECT * FROM old EXCEPT SELECT * FROM new)"""

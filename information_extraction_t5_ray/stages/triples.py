@@ -345,3 +345,59 @@ def merge_triples(old_ds, new_ds, num_buckets=None):
         .groupby("_bucket")
         .map_groups(arrowed(merge), batch_format="pandas")
     )
+
+
+def diff_triples(old_ds, new_ds, num_buckets=None):
+    """KG delta after an extractor upgrade / re-extraction:
+    ``(subj, pred, obj, change)`` with ``change`` = 'added' (in new,
+    not old) or 'removed' (in old, not new).  Unchanged triples emit
+    nothing — the output is the review/alerting stream, bounded by the
+    churn, not the KG size.
+
+    ONE exchange: both sides tag a side marker and bucket on the full
+    (subj, pred, obj) key hash; per bucket a single vectorized pandas
+    groupby counts each distinct triple's side presence (per-batch
+    drop_duplicates keeps the wire at one row per (batch, triple,
+    side)).  Deterministic under any partitioning.
+    """
+    from .common import arrowed, resolve_parallelism
+
+    num_buckets = resolve_parallelism(num_buckets)
+    cols = ["subj", "pred", "obj"]
+
+    def tag(side: int):
+        def add(batch: pa.Table) -> pd.DataFrame:
+            df = batch.select(cols).to_pandas().drop_duplicates(cols)
+            df["_side"] = np.int8(side)
+            df["_bucket"] = bucket_of(
+                df["subj"].astype(str)
+                + "\x1f"
+                + df["pred"].astype(str)
+                + "\x1f"
+                + df["obj"].astype(str),
+                num_buckets,
+            )
+            return df
+
+        add.__name__ = f"tag_side{side}"
+        return add
+
+    def delta(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(cols, sort=False)["_side"]
+            .agg(["min", "max"])
+            .reset_index()
+        )
+        one_side = g["min"] == g["max"]
+        out = g.loc[one_side, cols].copy()
+        out["change"] = np.where(
+            g.loc[one_side, "max"] == 1, "added", "removed"
+        )
+        return out
+
+    tagged = old_ds.map_batches(
+        arrowed(tag(0)), batch_format="pyarrow"
+    ).union(new_ds.map_batches(arrowed(tag(1)), batch_format="pyarrow"))
+    return tagged.groupby("_bucket").map_groups(
+        arrowed(delta), batch_format="pandas"
+    )

@@ -274,3 +274,36 @@ def test_build_t5_inputs_cross_product(ray_session):
 
     with pytest.raises(ImportError, match="MockT5Scorer"):
         T5Scorer()
+
+
+def test_diff_triples_directions_and_suppression(ray_session):
+    """added = in new only, removed = in old only, unchanged emits
+    nothing; duplicates within a side collapse."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.triples import diff_triples
+
+    def tbl(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "obj": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    old = tbl([("s1", "p", "a"), ("s2", "p", "b"), ("s2", "p", "b")])
+    new = tbl([("s1", "p", "a"), ("s3", "p", "c")])
+    got = (
+        diff_triples(old, new)
+        .to_pandas()
+        .sort_values(["subj"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        ["s2", "p", "b", "removed"],
+        ["s3", "p", "c", "added"],
+    ]
