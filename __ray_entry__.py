@@ -431,6 +431,57 @@ def _q_eval_by_document(sf_dir: str):
     return kg_eval_metrics(sf_dir, granularity="document")
 
 
+def _q_kg_support(sf_dir: str):
+    """Per-assertion provenance/support: (pred, obj) -> distinct
+    supporting pages + first/last page (the fusion-confidence signal)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import triple_support
+
+    return triple_support(run_kg(sf_dir))
+
+
+def _q_kg_schema_profile(sf_dir: str):
+    """Per-predicate cardinality profile (ontology induction input):
+    n_triples, distinct subj/obj, functionality maxima."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        predicate_profile,
+    )
+
+    return predicate_profile(run_kg(sf_dir))
+
+
+def _q_kg_constraints(sf_dir: str):
+    """Per-predicate format validation (valid/invalid counts against
+    the shared rule table)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        constraint_report,
+    )
+
+    return constraint_report(run_kg(sf_dir))
+
+
+def _q_kg_sameas(sf_dir: str):
+    """Blocking-based entity resolution: page pairs sharing >= 3 of the
+    4 identifying attributes (names / birth date), with shared counts."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import sameas_pairs
+
+    return sameas_pairs(run_kg(sf_dir))
+
+
+def _q_kg_negatives(sf_dir: str):
+    """KG-embedding training negatives: deterministic LCG corruption of
+    graph-predicate tails against the broadcast entity vocabulary."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        corruption_negatives,
+    )
+
+    return corruption_negatives(run_kg(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """92 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (r2 evidence: CORRECTNESS_r02 is exactly the first 50
@@ -464,6 +515,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_predict": _q_kg_link_predict,  # new: common-neighbor top-k
         "kg_bfs": _q_kg_bfs,  # new: bounded multi-source BFS layers
         "kg_kcore": _q_kg_kcore,  # new: fixed-round k-core peeling
+        # --- NEW r3 late: KG statistics / fusion-support layer ---
+        "kg_support": _q_kg_support,  # per-assertion provenance
+        "kg_schema_profile": _q_kg_schema_profile,  # pred cardinalities
+        "kg_constraints": _q_kg_constraints,  # format validation
+        "kg_sameas": _q_kg_sameas,  # blocked entity resolution
+        "kg_negatives": _q_kg_negatives,  # embedding-training corruption
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -578,6 +635,11 @@ def oracle_sql() -> dict[str, str]:
         kg_neighbors_sql,
         kg_triangles_sql,
         kg_pagerank_sql,
+        kg_support_sql,
+        kg_profile_sql,
+        kg_constraints_sql,
+        kg_sameas_sql,
+        kg_negatives_sql,
     )
 
     return {
@@ -600,6 +662,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_predict": kg_link_predict_sql(),
         "kg_bfs": kg_bfs_sql(),
         "kg_kcore": kg_kcore_sql(),
+        "kg_support": kg_support_sql(),
+        "kg_schema_profile": kg_profile_sql(),
+        "kg_constraints": kg_constraints_sql(),
+        "kg_sameas": kg_sameas_sql(),
+        "kg_negatives": kg_negatives_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

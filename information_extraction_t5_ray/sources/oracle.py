@@ -545,3 +545,102 @@ FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
 UNION ALL
 SELECT subj, pred, obj, 'removed' AS change
 FROM (SELECT * FROM old EXCEPT SELECT * FROM new)"""
+
+
+def kg_support_sql() -> str:
+    """Per-assertion provenance — ground truth for
+    stages/kgstats.triple_support."""
+    return f"""WITH t AS ({oracle_triples_sql()})
+SELECT pred, obj,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_pages,
+       min(subj) AS first_page,
+       max(subj) AS last_page
+FROM t GROUP BY pred, obj"""
+
+
+def kg_profile_sql() -> str:
+    """Per-predicate schema profile — ground truth for
+    stages/kgstats.predicate_profile."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+s AS (SELECT pred, subj AS key, count(*) AS c FROM t GROUP BY pred, subj),
+o AS (SELECT pred, obj  AS key, count(*) AS c FROM t GROUP BY pred, obj),
+s2 AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(sum(c) AS BIGINT) AS n_rows,
+              CAST(max(c) AS BIGINT) AS max_per FROM s GROUP BY pred),
+o2 AS (SELECT pred, CAST(count(*) AS BIGINT) AS n_keys,
+              CAST(max(c) AS BIGINT) AS max_per FROM o GROUP BY pred)
+SELECT s2.pred AS pred, s2.n_rows AS n_triples, s2.n_keys AS n_subj,
+       o2.n_keys AS n_obj, s2.max_per AS max_per_subj,
+       o2.max_per AS max_per_obj
+FROM s2 JOIN o2 ON s2.pred = o2.pred"""
+
+
+def kg_constraints_sql() -> str:
+    """Per-predicate format validation — ground truth for
+    stages/kgstats.constraint_report (same rule table, both engines
+    fullmatch the RE2-and-Python-common pattern subset)."""
+    from ..stages.kgstats import DEFAULT_CONSTRAINTS
+
+    values = ",".join(
+        f"('{p}', '{pat}')" for p, pat in DEFAULT_CONSTRAINTS.items()
+    )
+    return f"""WITH t AS ({oracle_triples_sql()}),
+r(pred, pat) AS (VALUES {values})
+SELECT t.pred AS pred,
+       CAST(sum(CASE WHEN regexp_full_match(t.obj, r.pat)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN regexp_full_match(t.obj, r.pat)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
+FROM t JOIN r ON t.pred = r.pred GROUP BY t.pred"""
+
+
+def kg_sameas_sql(min_shared: int = 3, max_df: int = 10_000) -> str:
+    """Blocking-based entity-resolution pairs — ground truth for
+    stages/kgstats.sameas_pairs (same identifying-pred set, same
+    semantic max_df block cap)."""
+    from ..stages.kgstats import ER_PREDS
+
+    preds = ",".join(f"'{p}'" for p in ER_PREDS)
+    return f"""WITH t AS ({oracle_triples_sql()}),
+attrs AS (SELECT DISTINCT subj, pred || chr(31) || obj AS attr
+          FROM t WHERE pred IN ({preds})),
+blocks AS (SELECT attr FROM attrs
+           GROUP BY attr HAVING count(*) BETWEEN 2 AND {max_df}),
+p AS (SELECT x.subj AS a, y.subj AS b
+      FROM attrs x
+      JOIN attrs y ON x.attr = y.attr AND x.subj < y.subj
+      JOIN blocks d ON x.attr = d.attr)
+SELECT a, b, CAST(count(*) AS BIGINT) AS shared
+FROM p GROUP BY a, b HAVING count(*) >= {min_shared}"""
+
+
+def kg_negatives_sql() -> str:
+    """Deterministic corruption negatives — ground truth for
+    stages/kgstats.corruption_negatives: glibc LCG over
+    (page_id * |preds| + pred_idx), high bits (raw >> 16) indexing the
+    row_number()-ordered distinct entity vocabulary, +1 step on self-collision."""
+    from ..stages.balance import LCG_INC, LCG_MULT
+    from ..stages.graph import GRAPH_PREDS
+
+    preds = ",".join(f"'{p}'" for p in GRAPH_PREDS)
+    cases = " ".join(
+        f"WHEN '{p}' THEN {i}" for i, p in enumerate(GRAPH_PREDS)
+    )
+    return f"""WITH t AS ({oracle_triples_sql()}),
+g AS (SELECT subj, pred, obj FROM t WHERE pred IN ({preds})),
+v AS (SELECT ent, CAST(row_number() OVER (ORDER BY ent) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT obj AS ent FROM g)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+k AS (SELECT subj, pred, obj,
+        ((CAST(right(subj, 8) AS BIGINT) * {len(GRAPH_PREDS)}
+          + CASE pred {cases} END) * {LCG_MULT} + {LCG_INC})
+        % {2**31} AS raw
+      FROM g),
+i AS (SELECT k.subj, k.pred, k.obj, (k.raw // 65536) % nn.n AS idx,
+             nn.n AS n
+      FROM k, nn)
+SELECT i.subj AS subj, i.pred AS pred, i.obj AS obj,
+       CASE WHEN v1.ent = i.obj THEN v2.ent ELSE v1.ent END AS neg_obj
+FROM i
+JOIN v v1 ON v1.idx = i.idx
+JOIN v v2 ON v2.idx = (i.idx + 1) % i.n"""

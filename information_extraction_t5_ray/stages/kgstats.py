@@ -1,0 +1,421 @@
+"""KG-construction statistics & fusion-support operators.
+
+The reference pipeline stops at the (subj, pred, obj) edge list
+(reference: `predict.py` writes per-example triples, `utils/metrics.py`
+scores them).  A production KG build needs the layer ABOVE the raw
+extraction too: per-assertion provenance/support (how many pages back a
+triple — the fusion signal), predicate schema profiling (cardinalities
+and functionality, the ontology-induction input), attribute-blocked
+entity resolution (which pages describe the same real-world entity),
+constraint validation (format rules per predicate), and corruption
+negatives (training data for KG-embedding models).  Every operator here
+is a bucketed two-phase aggregation over the triples Dataset — nothing
+materializes on the driver, every reduce key is salted through
+``bucket_of``.
+
+Scale notes (100 TB / 10^12 pages):
+
+* ``triple_support`` never co-locates one hot assertion's rows before
+  reduction — the distinct-page count is computed by hashing the FULL
+  (pred, obj, subj) key first (so a ("estado","sp")-scale hot key
+  spreads over all buckets) and only then re-keying the per-bucket
+  partial counts on (pred, obj).
+* ``sameas_pairs`` is standard blocking-based ER: attributes more
+  frequent than ``max_df`` are non-identifying and skipped (the cap is
+  part of the SEMANTICS and mirrored in the SQL oracle), so pair volume
+  is bounded by ``max_df**2 / 2`` per block.
+* ``corruption_negatives`` broadcasts the entity vocabulary — by
+  construction the canonical-entity side of the graph predicates, i.e.
+  the alias dictionary's value space (reference
+  `utils/aux_functions.py` city/UF lists), which is bounded and small.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .balance import LCG_INC, LCG_MULT
+from .common import arrowed, bucket_of, resolve_parallelism
+from .graph import GRAPH_PREDS, _pairs_by_size_class
+
+_LCG_M = np.uint64(2147483648)  # 2^31, shared with stages/sampling.py
+_SEP = "\x1f"  # composite-key separator (chr(31) in the SQL mirrors)
+
+# Attributes a human record-linker would block on: person names and
+# birth date.  High-frequency attributes (cities, states) are
+# non-identifying and are excluded by construction; max_df guards the
+# residual hot values at web scale.
+ER_PREDS: Tuple[str, ...] = (
+    "form.nome_completo",
+    "form.nome_mae",
+    "form.nome_pai",
+    "form.data_nascimento",
+)
+
+# Per-predicate obj format rules (RE2-and-Python-safe character classes
+# only: digits, lowercase ASCII, literal space).  Both engines anchor
+# via fullmatch.  n_doc_serie and endereco.numero are deliberately
+# strict (<=6 / <=3 digits) — real extractions exceed them, so the
+# report carries real violation counts instead of a degenerate all-valid
+# table.
+DEFAULT_CONSTRAINTS: Dict[str, str] = {
+    "form.etiqueta": "[0-9]{6}",
+    "form.agencia": "[0-9]{4}",
+    "form.conta_corrente": "[0-9]{6}",
+    "form.cpf": "[0-9]{11}",
+    "form.n_doc_serie": "[0-9]{1,6}",
+    "form.data_emissao": "[0-9]{8}",
+    "form.data_nascimento": "[0-9]{8}",
+    "form.endereco.numero": "[0-9]{1,3}",
+    "form.endereco.cep": "[0-9]{8}",
+    "form.endereco.estado": "[a-z]{2}",
+    "form.endereco.complemento": "apto [0-9]{1,2}",
+}
+
+
+def triple_support(triples_ds, num_buckets: Optional[int] = None):
+    """Per-assertion provenance: (pred, obj) -> distinct supporting
+    pages + first/last page id (lexicographic min/max subj).
+
+    Exchange 1 hashes the full (pred, obj, subj) key so duplicate
+    mentions of one assertion (recrawls, multi-window hits) collapse
+    WITHOUT co-locating a hot assertion; exchange 2 sums the per-bucket
+    partials on (pred, obj).
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "subj": batch["subj"].to_pandas().astype(str),
+                "pred": batch["pred"].to_pandas().astype(str),
+                "obj": batch["obj"].to_pandas().astype(str),
+            }
+        ).drop_duplicates()
+        key = df["pred"] + _SEP + df["obj"] + _SEP + df["subj"]
+        df["_bucket"] = bucket_of(key.to_numpy(), num_buckets)
+        return df
+
+    def dedup_then_count(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["pred", "obj", "subj"])
+        g = d.groupby(["pred", "obj"], sort=False).agg(
+            n_pages=("subj", "size"),
+            first_page=("subj", "min"),
+            last_page=("subj", "max"),
+        )
+        g = g.reset_index()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        g["_b2"] = bucket_of(
+            (g["pred"] + _SEP + g["obj"]).to_numpy(), num_buckets
+        )
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pred", "obj"], sort=False).agg(
+            n_pages=("n_pages", "sum"),
+            first_page=("first_page", "min"),
+            last_page=("last_page", "max"),
+        )
+        g = g.reset_index()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        return g[["pred", "obj", "n_pages", "first_page", "last_page"]]
+
+    parts = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    counted = parts.groupby("_bucket").map_groups(
+        arrowed(dedup_then_count), batch_format="pandas"
+    )
+    return counted.groupby("_b2").map_groups(
+        arrowed(merge), batch_format="pandas"
+    )
+
+
+def predicate_profile(triples_ds, num_buckets: Optional[int] = None):
+    """Per-predicate schema profile for ontology induction:
+    (pred, n_triples, n_subj, n_obj, max_per_subj, max_per_obj).
+
+    ``max_per_subj == 1`` marks a FUNCTIONAL predicate (one value per
+    page), ``max_per_obj == 1`` an inverse-functional (identifying) one.
+    Both endpoint streams share one exchange via a side tag; distinct
+    counts are per-(pred, side, key) partials summed on a hash of the
+    full key, never a count-distinct over a co-located group.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pred = batch["pred"].to_pandas().astype(str)
+        frames = []
+        for side, col in (("s", "subj"), ("o", "obj")):
+            key = batch[col].to_pandas().astype(str)
+            g = (
+                pd.DataFrame({"pred": pred, "key": key})
+                .groupby(["pred", "key"], sort=False)
+                .size()
+                .rename("cnt")
+                .reset_index()
+            )
+            g["side"] = side
+            frames.append(g)
+        df = pd.concat(frames, ignore_index=True)
+        df["cnt"] = df["cnt"].astype(np.int64)
+        composite = df["pred"] + _SEP + df["side"] + _SEP + df["key"]
+        df["_bucket"] = bucket_of(composite.to_numpy(), num_buckets)
+        return df
+
+    def per_key(df: pd.DataFrame) -> pd.DataFrame:
+        # all copies of one (pred, side, key) land here -> exact per-key
+        # totals; then collapse to per-(pred, side) bucket partials.
+        k = df.groupby(["pred", "side", "key"], sort=False)["cnt"].sum()
+        g = k.groupby(["pred", "side"]).agg(["size", "sum", "max"])
+        g.columns = ["n_keys", "n_rows", "max_per"]
+        g = g.reset_index()
+        for c in ("n_keys", "n_rows", "max_per"):
+            g[c] = g[c].astype(np.int64)
+        g["_b2"] = bucket_of(g["pred"].to_numpy(), num_buckets)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["pred", "side"], sort=False)
+            .agg(
+                n_keys=("n_keys", "sum"),
+                n_rows=("n_rows", "sum"),
+                max_per=("max_per", "max"),
+            )
+            .reset_index()
+        )
+        s = g[g["side"] == "s"].set_index("pred")
+        o = g[g["side"] == "o"].set_index("pred")
+        out = pd.DataFrame(
+            {
+                "pred": s.index.astype(str),
+                "n_triples": s["n_rows"].to_numpy(np.int64),
+                "n_subj": s["n_keys"].to_numpy(np.int64),
+                "n_obj": o["n_keys"].reindex(s.index).to_numpy(np.int64),
+                "max_per_subj": s["max_per"].to_numpy(np.int64),
+                "max_per_obj": o["max_per"]
+                .reindex(s.index)
+                .to_numpy(np.int64),
+            }
+        )
+        return out
+
+    parts = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    keyed = parts.groupby("_bucket").map_groups(
+        arrowed(per_key), batch_format="pandas"
+    )
+    return keyed.groupby("_b2").map_groups(
+        arrowed(merge), batch_format="pandas"
+    )
+
+
+def constraint_report(
+    triples_ds,
+    rules: Optional[Dict[str, str]] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Per-predicate format validation: (pred, n_valid, n_invalid).
+
+    ``rules`` maps pred -> fullmatch regex (RE2/Python-common subset
+    only).  Predicates without a rule are ignored.  Partials are one row
+    per (batch, pred) — the exchange moves O(n_batches * n_rules) rows.
+    """
+    rules = DEFAULT_CONSTRAINTS if rules is None else rules
+    compiled = {p: re.compile(pat) for p, pat in rules.items()}
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pred = batch["pred"].to_pandas().astype(str)
+        obj = batch["obj"].to_pandas().astype(str)
+        rows = []
+        for p, rx in compiled.items():
+            mask = pred == p
+            n = int(mask.sum())
+            if not n:
+                continue
+            ok = int(obj[mask].str.fullmatch(rx).sum())
+            rows.append((p, ok, n - ok))
+        df = pd.DataFrame(rows, columns=["pred", "n_valid", "n_invalid"])
+        df["n_valid"] = df["n_valid"].astype(np.int64)
+        df["n_invalid"] = df["n_invalid"].astype(np.int64)
+        df["_bucket"] = bucket_of(df["pred"].to_numpy(), num_buckets)
+        return df
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("pred", sort=False, as_index=False)[
+            ["n_valid", "n_invalid"]
+        ].sum()
+        g["n_valid"] = g["n_valid"].astype(np.int64)
+        g["n_invalid"] = g["n_invalid"].astype(np.int64)
+        return g[["pred", "n_valid", "n_invalid"]]
+
+    parts = triples_ds.select_columns(["pred", "obj"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    return parts.groupby("_bucket").map_groups(
+        arrowed(merge), batch_format="pandas"
+    )
+
+
+def sameas_pairs(
+    triples_ds,
+    preds: Sequence[str] = ER_PREDS,
+    min_shared: int = 3,
+    max_df: int = 10_000,
+    num_buckets: Optional[int] = None,
+):
+    """Blocking-based entity resolution over page-level attributes:
+    pairs of pages sharing >= ``min_shared`` identifying (pred, obj)
+    attributes, with the shared count: (a, b, shared).
+
+    Attributes backed by more than ``max_df`` pages are non-identifying
+    blocks and are skipped — the cap is semantic (mirrored in the SQL
+    oracle), and it bounds per-block pair volume at web scale.  Pair
+    emission is the shared vectorized size-class kernel (no Python loop
+    over blocks).
+    """
+    preds = tuple(preds)
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pred = batch["pred"].to_pandas().astype(str)
+        keep = pred.isin(preds).to_numpy()
+        subj = batch["subj"].to_pandas().astype(str)[keep]
+        attr = (
+            pred[keep] + _SEP + batch["obj"].to_pandas().astype(str)[keep]
+        )
+        df = pd.DataFrame({"subj": subj, "attr": attr}).drop_duplicates()
+        df["_bucket"] = bucket_of(df["attr"].to_numpy(), num_buckets)
+        return df
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["subj", "attr"]).sort_values(
+            ["attr", "subj"], kind="stable"
+        )
+        attrs = d["attr"].to_numpy()
+        starts = np.flatnonzero(
+            np.r_[True, attrs[1:] != attrs[:-1]]
+        )
+        sizes = np.diff(np.r_[starts, len(attrs)])
+        ok = (sizes >= 2) & (sizes <= max_df)
+        a, b, _ = _pairs_by_size_class(
+            starts[ok], sizes[ok], d["subj"].to_numpy()
+        )
+        out = pd.DataFrame({"a": a.astype(str), "b": b.astype(str)})
+        out["_b2"] = bucket_of(
+            (out["a"] + _SEP + out["b"]).to_numpy(), num_buckets
+        )
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["a", "b"], sort=False)
+            .size()
+            .rename("shared")
+            .reset_index()
+        )
+        g = g[g["shared"] >= min_shared]
+        g["shared"] = g["shared"].astype(np.int64)
+        return g[["a", "b", "shared"]]
+
+    parts = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    blocked = parts.groupby("_bucket").map_groups(
+        arrowed(pairs), batch_format="pandas"
+    )
+    return blocked.groupby("_b2").map_groups(
+        arrowed(merge), batch_format="pandas"
+    )
+
+
+def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
+    """Sorted distinct canonical-entity vocabulary over ``preds``.
+
+    Per-batch unique partials -> driver set-union.  Bounded by the
+    alias dictionary's value space (the linker maps surface forms INTO
+    this closed vocabulary), so the driver holds at most
+    n_batches x |vocab| short strings in flight — this is the sanctioned
+    small-side broadcast, not a corpus materialization.
+    """
+    plist = list(preds)
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["pred"], value_set=pa.array(plist))
+        vals = pc.unique(batch.filter(mask)["obj"])
+        return pa.table({"obj": vals.cast(pa.string())})
+
+    rows = (
+        triples_ds.select_columns(["pred", "obj"])
+        .map_batches(uniq, batch_format="pyarrow")
+        .take_all()
+    )
+    return np.array(sorted({r["obj"] for r in rows}), dtype=object)
+
+
+def corruption_negatives(
+    triples_ds, preds: Sequence[str] = GRAPH_PREDS
+):
+    """KG-embedding training negatives: per graph triple, one corrupted
+    tail drawn deterministically from the entity vocabulary:
+    (subj, pred, obj, neg_obj).
+
+    The draw index is the repo's glibc LCG over a per-triple integer key
+    (page id * |preds| + pred index), taking the HIGH bits of the
+    residue (``raw >> 16``) modulo |vocab| — the low bits of a power-of-
+    two-modulus LCG cycle with period 2^k, and with the stride-4 key the
+    draw's low bit would be CONSTANT per predicate.  A draw that lands
+    on the true object steps to the next vocabulary slot (standard
+    filtered corruption).  The vocabulary is broadcast once (see
+    :func:`_entity_vocab`); the map is fully vectorized.
+    """
+    preds = tuple(preds)
+    vocab = _entity_vocab(triples_ds, preds)
+    n = len(vocab)
+    if n < 2:
+        raise ValueError(
+            f"corruption_negatives: need >=2 distinct entities, got {n}"
+        )
+    pidx_map = {p: i for i, p in enumerate(preds)}
+    stride = np.uint64(len(preds))
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
+        t = batch.filter(mask).select(["subj", "pred", "obj"])
+        subj = t["subj"].to_pandas().astype(str)
+        pred = t["pred"].to_pandas().astype(str)
+        obj = t["obj"].to_pandas().astype(str)
+        # page id is the last 8 url chars by the pages-source contract
+        d = subj.str[-8:].astype(np.int64).to_numpy().astype(np.uint64)
+        p = pred.map(pidx_map).to_numpy().astype(np.uint64)
+        key = d * stride + p
+        raw = (key * np.uint64(LCG_MULT) + np.uint64(LCG_INC)) % _LCG_M
+        idx = ((raw >> np.uint64(16)) % np.uint64(n)).astype(np.int64)
+        neg = vocab[idx].astype(str)
+        coll = neg == obj.to_numpy()
+        if coll.any():
+            neg[coll] = vocab[(idx[coll] + 1) % n].astype(str)
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj": pa.array(obj, pa.string()),
+                "neg_obj": pa.array(neg, pa.string()),
+            }
+        )
+
+    return triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        corrupt, batch_format="pyarrow"
+    )

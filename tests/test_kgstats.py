@@ -1,0 +1,197 @@
+"""KG statistics / fusion-support layer (stages/kgstats.py): kernel
+unit checks on tiny in-memory triple sets.  Oracle parity for all five
+queries (kg_support / kg_schema_profile / kg_constraints / kg_sameas /
+kg_negatives) runs in tests/test_oracle.py against the DuckDB mirrors."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from information_extraction_t5_ray.stages import kgstats as K
+
+
+def _triples(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_triple_support_dedups_pages(ray_session):
+    # p1 asserted twice by d1 (multi-window duplicate) and once by d2:
+    # n_pages counts DISTINCT pages, min/max are lexicographic.
+    rows = [
+        ("d1", "p1", "x"),
+        ("d1", "p1", "x"),
+        ("d2", "p1", "x"),
+        ("d3", "p2", "y"),
+    ]
+    got = (
+        K.triple_support(_triples(rows), num_buckets=3)
+        .to_pandas()
+        .sort_values(["pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert got["n_pages"].tolist() == [2, 1]
+    assert got["first_page"].tolist() == ["d1", "d3"]
+    assert got["last_page"].tolist() == ["d2", "d3"]
+    assert got["n_pages"].dtype == np.int64
+
+
+def test_predicate_profile_functionality(ray_session):
+    # p1: d1 has TWO values (max_per_subj=2), obj 'x' backs two subjs
+    # (max_per_obj=2).  p2 is functional and inverse-functional.
+    rows = [
+        ("d1", "p1", "x"),
+        ("d1", "p1", "y"),
+        ("d2", "p1", "x"),
+        ("d1", "p2", "z"),
+        ("d2", "p2", "w"),
+    ]
+    got = (
+        K.predicate_profile(_triples(rows), num_buckets=3)
+        .to_pandas()
+        .set_index("pred")
+        .sort_index()
+    )
+    assert got.loc["p1", "n_triples"] == 3
+    assert got.loc["p1", "n_subj"] == 2
+    assert got.loc["p1", "n_obj"] == 2
+    assert got.loc["p1", "max_per_subj"] == 2
+    assert got.loc["p1", "max_per_obj"] == 2
+    assert got.loc["p2", "max_per_subj"] == 1
+    assert got.loc["p2", "max_per_obj"] == 1
+
+
+def test_constraint_report_counts_invalid(ray_session):
+    rows = [
+        ("d1", "form.endereco.numero", "17"),
+        ("d2", "form.endereco.numero", "1764"),  # 4 digits: invalid
+        ("d3", "form.agencia", "1234"),
+        ("d4", "form.nome_completo", "ana lima"),  # no rule: ignored
+    ]
+    got = (
+        K.constraint_report(_triples(rows), num_buckets=2)
+        .to_pandas()
+        .set_index("pred")
+    )
+    assert set(got.index) == {"form.endereco.numero", "form.agencia"}
+    assert got.loc["form.endereco.numero", "n_valid"] == 1
+    assert got.loc["form.endereco.numero", "n_invalid"] == 1
+    assert got.loc["form.agencia", "n_invalid"] == 0
+
+
+def test_sameas_pairs_threshold_and_max_df(ray_session):
+    P = K.ER_PREDS
+    rows = [
+        # d1/d2 agree on three identifying attrs -> pair (shared=3)
+        ("d1", P[0], "ana lima"),
+        ("d2", P[0], "ana lima"),
+        ("d1", P[1], "eva reis"),
+        ("d2", P[1], "eva reis"),
+        ("d1", P[3], "01011990"),
+        ("d2", P[3], "01011990"),
+        # d3 agrees with d1 on one attr only: below min_shared
+        ("d3", P[0], "ana lima"),
+    ]
+    got = K.sameas_pairs(
+        _triples(rows), min_shared=3, num_buckets=2
+    ).to_pandas()
+    assert got.values.tolist() == [["d1", "d2", 3]]
+    # max_df=2: the 'ana lima' block (3 pages) is non-identifying and
+    # skipped, dropping the pair below the threshold.
+    capped = K.sameas_pairs(
+        _triples(rows), min_shared=3, max_df=2, num_buckets=2
+    ).to_pandas()
+    assert len(capped) == 0
+
+
+def test_corruption_negatives_deterministic_and_filtered(ray_session):
+    CITY = "form.endereco.cidade"
+    UF = "form.endereco.estado"
+    rows = [
+        (f"https://example.org/{d:08d}", p, o)
+        for d, p, o in [
+            (0, CITY, "recife"),
+            (1, CITY, "natal"),
+            (2, UF, "pe"),
+            (3, "form.nome_completo", "ana"),  # non-graph: dropped
+        ]
+    ]
+    got = (
+        K.corruption_negatives(_triples(rows))
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 3  # the non-graph triple is excluded
+    vocab = np.array(sorted({"recife", "natal", "pe"}), dtype=object)
+    from information_extraction_t5_ray.stages.balance import (
+        LCG_INC,
+        LCG_MULT,
+    )
+
+    pidx = {p: i for i, p in enumerate(K.GRAPH_PREDS)}
+    for _, r in got.iterrows():
+        d = int(r["subj"][-8:])
+        key = d * len(K.GRAPH_PREDS) + pidx[r["pred"]]
+        idx = (((key * LCG_MULT + LCG_INC) % 2**31) >> 16) % len(vocab)
+        want = vocab[idx]
+        if want == r["obj"]:
+            want = vocab[(idx + 1) % len(vocab)]
+        assert r["neg_obj"] == want
+        assert r["neg_obj"] != r["obj"]
+    # two-entity minimum guard
+    with pytest.raises(ValueError):
+        K.corruption_negatives(_triples([("https://example.org/00000000", CITY, "x")]))
+
+
+def test_corruption_negatives_collision_steps(ray_session):
+    """Force the idx-lands-on-true-obj branch: with vocab {a, b}, find a
+    doc id whose LCG draw points at its own object."""
+    CITY = "form.endereco.cidade"
+    from information_extraction_t5_ray.stages.balance import (
+        LCG_INC,
+        LCG_MULT,
+    )
+
+    vocab = ["a", "b"]
+    hit = None
+    for d in range(64):
+        idx = ((((d * 4 + 0) * LCG_MULT + LCG_INC) % 2**31) >> 16) % 2
+        if vocab[idx] == "a":
+            hit = d
+            break
+    assert hit is not None
+    rows = [
+        (f"https://example.org/{hit:08d}", CITY, "a"),
+        ("https://example.org/00000063", CITY, "b"),
+    ]
+    got = K.corruption_negatives(_triples(rows)).to_pandas()
+    row = got[got["obj"] == "a"].iloc[0]
+    assert row["neg_obj"] == "b"  # stepped off the collision
+
+
+def test_empty_input_yields_typed_empty(ray_session):
+    empty = _triples([])
+    for fn in (
+        lambda ds: K.triple_support(ds, num_buckets=2),
+        lambda ds: K.predicate_profile(ds, num_buckets=2),
+        lambda ds: K.constraint_report(ds, num_buckets=2),
+        lambda ds: K.sameas_pairs(ds, num_buckets=2),
+    ):
+        out = fn(empty).to_pandas()
+        assert len(out) == 0
