@@ -114,6 +114,25 @@ def _bench_queries(sf_dir: str):
 
         return kg_temporal_join(_tri(), sf_dir).count()
 
+    def kg_support() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            triple_support,
+        )
+
+        return triple_support(_tri()).count()
+
+    def kg_sameas() -> int:
+        from information_extraction_t5_ray.stages.kgstats import sameas_pairs
+
+        return sameas_pairs(_tri()).count()
+
+    def kg_negatives() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            corruption_negatives,
+        )
+
+        return corruption_negatives(_tri()).count()
+
     def crawl_latest() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import latest_snapshot
@@ -135,6 +154,9 @@ def _bench_queries(sf_dir: str):
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,
         "kg_temporal": kg_temporal,
+        "kg_support": kg_support,
+        "kg_sameas": kg_sameas,
+        "kg_negatives": kg_negatives,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }
