@@ -471,6 +471,17 @@ def _q_kg_sameas(sf_dir: str):
     return sameas_pairs(run_kg(sf_dir))
 
 
+def _q_kg_canonical(sf_dir: str):
+    """ER loop closed: sameAs pairs -> transitive closure -> subject
+    rewrite onto each component's min-string root -> distinct triples."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        canonicalize_triples,
+    )
+
+    return canonicalize_triples(run_kg(sf_dir))
+
+
 def _q_kg_negatives(sf_dir: str):
     """KG-embedding training negatives: deterministic LCG corruption of
     graph-predicate tails against the broadcast entity vocabulary."""
@@ -520,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_schema_profile": _q_kg_schema_profile,  # pred cardinalities
         "kg_constraints": _q_kg_constraints,  # format validation
         "kg_sameas": _q_kg_sameas,  # blocked entity resolution
+        "kg_canonical": _q_kg_canonical,  # sameAs closure -> rewrite
         "kg_negatives": _q_kg_negatives,  # embedding-training corruption
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
@@ -639,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         kg_profile_sql,
         kg_constraints_sql,
         kg_sameas_sql,
+        kg_canonical_sql,
         kg_negatives_sql,
     )
 
@@ -666,6 +679,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_schema_profile": kg_profile_sql(),
         "kg_constraints": kg_constraints_sql(),
         "kg_sameas": kg_sameas_sql(),
+        "kg_canonical": kg_canonical_sql(),
         "kg_negatives": kg_negatives_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),

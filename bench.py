@@ -66,7 +66,15 @@ def _bench_queries(sf_dir: str):
 
     def _tri():
         if "tri" not in tri_cache:
-            tri_cache["tri"] = run_kg(sf_dir, cfg=KGConfig()).materialize()
+            # compacted like the production artifact (a write_triples
+            # parquet round-trip reads back byte-sized blocks, not the
+            # extraction pipeline's 64 tiny task-level blocks); every
+            # downstream exchange sizes its task count from this
+            from information_extraction_t5_ray.stages.common import (
+                compact_blocks,
+            )
+
+            tri_cache["tri"] = compact_blocks(run_kg(sf_dir, cfg=KGConfig()))
         return tri_cache["tri"]
 
     def _edges(symmetric: bool):

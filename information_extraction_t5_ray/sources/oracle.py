@@ -614,6 +614,33 @@ SELECT a, b, CAST(count(*) AS BIGINT) AS shared
 FROM p GROUP BY a, b HAVING count(*) >= {min_shared}"""
 
 
+def kg_canonical_sql(min_shared: int = 3, max_df: int = 10_000) -> str:
+    """sameAs-closure canonicalization — ground truth for
+    stages/kgstats.canonicalize_triples: the kg_sameas pair CTE, its
+    transitive closure (min-string root per component), then a
+    subject rewrite + DISTINCT over the full triples table."""
+    from ..stages.kgstats import ER_PREDS
+
+    preds = ",".join(f"'{p}'" for p in ER_PREDS)
+    return f"""WITH RECURSIVE t AS ({oracle_triples_sql()}),
+attrs AS (SELECT DISTINCT subj, pred || chr(31) || obj AS attr
+          FROM t WHERE pred IN ({preds})),
+blocks AS (SELECT attr FROM attrs
+           GROUP BY attr HAVING count(*) BETWEEN 2 AND {max_df}),
+p AS (SELECT x.subj AS a, y.subj AS b
+      FROM attrs x
+      JOIN attrs y ON x.attr = y.attr AND x.subj < y.subj
+      JOIN blocks d ON x.attr = d.attr),
+sp AS (SELECT a, b FROM p GROUP BY a, b HAVING count(*) >= {min_shared}),
+edges AS (SELECT a AS u, b AS v FROM sp UNION SELECT b, a FROM sp),
+cc AS (SELECT u AS node, u AS label FROM edges
+       UNION
+       SELECT e.u, cc.label FROM edges e JOIN cc ON cc.node = e.v),
+labels AS (SELECT node, min(label) AS root FROM cc GROUP BY node)
+SELECT DISTINCT COALESCE(l.root, t.subj) AS subj, t.pred, t.obj
+FROM t LEFT JOIN labels l ON l.node = t.subj"""
+
+
 def kg_negatives_sql() -> str:
     """Deterministic corruption negatives — ground truth for
     stages/kgstats.corruption_negatives: glibc LCG over

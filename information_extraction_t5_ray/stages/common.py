@@ -32,6 +32,46 @@ def resolve_parallelism(
     return max(floor, min(cap, cpus * per_cpu))
 
 
+def compact_blocks(
+    ds,
+    *,
+    target_block_bytes: int = 32 << 20,
+    floor: int | None = None,
+    cap: int = 4096,
+):
+    """Materialize ``ds`` compacted to a production-like block count.
+
+    A pipeline materialized mid-session keeps its upstream task-level
+    block count — e.g. 64 sub-megabyte blocks for a small triples table
+    — while the production shape of the same artifact is a Parquet
+    round-trip whose read blocks follow BYTES.  Every downstream sort /
+    groupby exchange sizes its task count from the input block count,
+    so the tiny-block shape pays 64-wide shuffle overhead to move a few
+    MiB (measured: 2x on the sf0.1 graph-analytics entries).
+
+    Width = clamp(ceil(size_bytes / target_block_bytes), floor, cap)
+    with ``floor`` defaulting to half the cluster CPUs so downstream
+    per-block compute still spreads across the machine; at data-
+    dominated sizes the bytes term takes over and this is a no-op
+    (never widens — returns the input when already at or below width).
+    """
+    import math
+
+    m = ds.materialize()
+    if floor is None:
+        try:
+            import ray
+
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # pragma: no cover - no cluster
+            cpus = 8
+        floor = max(4, cpus // 2)
+    width = max(floor, min(cap, math.ceil(m.size_bytes() / target_block_bytes)))
+    if m.num_blocks() <= width:
+        return m
+    return m.repartition(width).materialize()
+
+
 def maybe_scatter(ds, parallelism: int | None):
     """Optional pre-groupby re-scatter: ``None`` (the default everywhere)
     is a no-op, an explicit width inserts ``repartition(parallelism)``.

@@ -337,6 +337,126 @@ def sameas_pairs(
     )
 
 
+def canonicalize_triples(
+    triples_ds,
+    preds: Sequence[str] = ER_PREDS,
+    min_shared: int = 3,
+    max_df: int = 10_000,
+    num_buckets: Optional[int] = None,
+    broadcast_threshold: int = 4_000_000,
+):
+    """sameAs-closure canonicalization — the ER loop closed end to end.
+
+    :func:`sameas_pairs` proposes page pairs describing one real-world
+    entity; their transitive closure (graph.kg_components: min-string
+    root per component) assigns every merged page a canonical id; each
+    triple's SUBJECT is rewritten to its root, and the merged pages'
+    now-duplicate assertions collapse: output is the distinct
+    (subj, pred, obj) set over canonical subjects.
+
+    Scale shape: the rewrite map is bounded by the ER-pair node set
+    (min_shared-filtered, max_df-blocked) — orders of magnitude smaller
+    than the page corpus.  At or under ``broadcast_threshold`` entries
+    it ships ONCE via ``ray.put`` and the triples stream through a
+    vectorized ``searchsorted`` rewrite (zero shuffle on the big side);
+    above it a distributed LEFT OUTER hash join on subj rewrites
+    without a broadcast.  The final distinct is one bucketed exchange
+    on the full (subj, pred, obj) hash — never a co-location of one
+    hot subject.
+    """
+    import ray
+
+    from .graph import kg_components
+
+    width = resolve_parallelism(num_buckets)
+    pairs = sameas_pairs(
+        triples_ds,
+        preds=preds,
+        min_shared=min_shared,
+        max_df=max_df,
+        num_buckets=num_buckets,
+    )
+    comp = kg_components(pairs).materialize()  # (entity, component)
+    n_mapped = comp.count()
+
+    def non_roots(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["entity"] != df["component"]]
+
+    base = triples_ds.select_columns(["subj", "pred", "obj"])
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["subj", "pred", "obj"]].astype(str)
+        key = df["subj"] + _SEP + df["pred"] + _SEP + df["obj"]
+        df = df.copy()
+        df["_bucket"] = bucket_of(key.to_numpy(), width)
+        return df
+
+    if n_mapped == 0:
+        rewritten = base.map_batches(
+            arrowed(lambda b: bucketed(b.to_pandas())),
+            batch_format="pyarrow",
+        )
+    elif n_mapped <= broadcast_threshold:
+        m = comp.map_batches(non_roots, batch_format="pandas").to_pandas()
+        order = np.argsort(m["entity"].to_numpy(), kind="stable")
+        keys = m["entity"].to_numpy()[order]
+        roots = m["component"].to_numpy()[order]
+        ref = ray.put((keys, roots))
+
+        def rewrite(batch: pa.Table) -> pd.DataFrame:
+            ks, rs = ray.get(ref)
+            subj = batch["subj"].to_numpy(zero_copy_only=False).astype(str)
+            pos = np.clip(np.searchsorted(ks, subj), 0, len(ks) - 1)
+            hit = ks[pos] == subj
+            out = subj.copy()
+            out[hit] = rs[pos[hit]]
+            return bucketed(
+                pd.DataFrame(
+                    {
+                        "subj": out,
+                        "pred": batch["pred"].to_pandas().astype(str),
+                        "obj": batch["obj"].to_pandas().astype(str),
+                    }
+                )
+            )
+
+        rewritten = base.map_batches(arrowed(rewrite), batch_format="pyarrow")
+    else:  # pragma: no cover - exercised via a forced tiny threshold
+        from .joins import _as_arrow
+
+        mapping = _as_arrow(
+            comp.map_batches(arrowed(non_roots), batch_format="pandas")
+        )
+        joined = base.join(
+            mapping,
+            "left_outer",
+            num_partitions=width,
+            on=("subj",),
+            right_on=("entity",),
+        )
+
+        def coalesce(batch: pa.Table) -> pd.DataFrame:
+            df = batch.to_pandas()
+            root = df["component"]
+            df["subj"] = np.where(
+                root.notna(), root.astype(str), df["subj"].astype(str)
+            )
+            return bucketed(df)
+
+        rewritten = joined.map_batches(
+            arrowed(coalesce), batch_format="pyarrow"
+        )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["subj", "pred", "obj"])[
+            ["subj", "pred", "obj"]
+        ]
+
+    return rewritten.groupby("_bucket").map_groups(
+        arrowed(distinct), batch_format="pandas"
+    )
+
+
 def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
     """Sorted distinct canonical-entity vocabulary over ``preds``.
 

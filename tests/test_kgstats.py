@@ -195,3 +195,52 @@ def test_empty_input_yields_typed_empty(ray_session):
     ):
         out = fn(empty).to_pandas()
         assert len(out) == 0
+
+
+def _er_rows(subjs):
+    """Each subj asserts the same 3 identifying attributes -> all pair
+    up (shared=3) into ONE component, plus one distinctive fact each."""
+    rows = []
+    for i, s in enumerate(subjs):
+        rows += [
+            (s, "form.nome_completo", "ana"),
+            (s, "form.nome_mae", "bia"),
+            (s, "form.data_nascimento", "19900101"),
+            (s, "form.cpf", f"{i:011d}"),
+        ]
+    return rows
+
+
+def test_canonicalize_rewrites_and_dedups(ray_session):
+    subjs = ["p3", "p1", "p2"]
+    out = K.canonicalize_triples(
+        _triples(_er_rows(subjs)), min_shared=3
+    ).to_pandas()
+    # every subject rewritten to the min-string root
+    assert set(out["subj"]) == {"p1"}
+    # shared attributes collapsed to one row each; cpf facts all kept
+    got = out.sort_values(["pred", "obj"]).reset_index(drop=True)
+    assert (got["pred"] == "form.cpf").sum() == 3
+    assert (got["pred"] == "form.nome_completo").sum() == 1
+    assert len(got) == 6
+
+
+def test_canonicalize_join_path_matches_broadcast(ray_session):
+    rows = _er_rows(["p3", "p1", "p2"]) + [("q9", "form.cpf", "x")]
+    a = (
+        K.canonicalize_triples(_triples(rows), min_shared=3)
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    b = (
+        K.canonicalize_triples(
+            _triples(rows), min_shared=3, broadcast_threshold=0
+        )
+        .to_pandas()
+        .sort_values(["subj", "pred", "obj"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # the pairless page survives untouched on both paths
+    assert ("q9" == a["subj"]).sum() == 1

@@ -414,3 +414,20 @@ def test_label_propagation_rejects_one_directional_edges(ray_session):
     )
     with pytest.raises(ValueError, match="SYMMETRIC"):
         label_propagation(edges).to_pandas()
+
+
+def test_compact_blocks_narrows_tiny_artifacts(ray_session):
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.common import compact_blocks
+
+    wide = rd.range(1000).repartition(40)
+    m = compact_blocks(wide, floor=4)
+    # 1000 int rows are far below one 32 MiB target block -> floor wins
+    assert m.num_blocks() <= 4
+    assert m.count() == 1000
+    # already-narrow input is returned as-is (never widened)
+    narrow = rd.range(100).repartition(2).materialize()
+    same = compact_blocks(narrow, floor=8)
+    assert same.num_blocks() == 2
+    assert same.count() == 100
