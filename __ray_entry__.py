@@ -146,6 +146,18 @@ def _q_kg_triangles(sf_dir: str):
     return triangle_counts(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Local clustering coefficient per entity: 2*T/(d*(d-1)) over the
+    co-mention graph (triangle kernel + broadcast degree attach)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        clustering_coefficient,
+        cooccur_edges,
+    )
+
+    return clustering_coefficient(cooccur_edges(run_kg(sf_dir)))
+
+
 def _q_kg_diff(sf_dir: str):
     """KG delta after a simulated extractor upgrade: v1 lacks form.cpf,
     v2 drops form.agencia — the diff stream is (added cpf triples) +
@@ -515,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbors": _q_kg_neighbors,  # new r3: per-entity top-k
         "kg_components": _q_kg_components,  # new r3: entity clusters (CC)
         "kg_triangles": _q_kg_triangles,  # new r3: triangle counts
+        "kg_clustering": _q_kg_clustering,  # local clustering coefficient
         "kg_merge": _q_kg_merge,  # new r3: incremental latest-wins fusion
         "kg_from_crawl": _q_kg_from_crawl,  # new r3: intake-gated extraction
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
@@ -646,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
         kg_merge_sql,
         kg_neighbors_sql,
         kg_triangles_sql,
+        kg_clustering_sql,
         kg_pagerank_sql,
         kg_support_sql,
         kg_profile_sql,
@@ -664,6 +678,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbors": kg_neighbors_sql(),
         "kg_components": kg_components_sql(),
         "kg_triangles": kg_triangles_sql(),
+        "kg_clustering": kg_clustering_sql(),
         "kg_merge": kg_merge_sql(),
         "kg_from_crawl": kg_from_crawl_sql(),
         "kg_write_roundtrip": oracle_triples_sql(),

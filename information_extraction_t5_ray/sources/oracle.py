@@ -331,6 +331,36 @@ FROM w n LEFT JOIN (
 ) t ON t.node = n.node"""
 
 
+def kg_clustering_sql() -> str:
+    """Per-node local clustering coefficient 2*T/(d*(d-1)) over the
+    a<b edge CTE (0.0 below degree 2) — ground truth for
+    stages/graph.clustering_coefficient."""
+    return f"""{_graph_cte()},
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+tc AS (SELECT node, count(*) AS c FROM corners GROUP BY node),
+deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY node)
+SELECT deg.node AS entity,
+       deg.d AS degree,
+       CAST(COALESCE(tc.c, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(tc.c, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1))
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN tc ON tc.node = deg.node"""
+
+
 def kg_merge_sql() -> str:
     """Latest-wins fusion of the base triples (src_ts=1) with the
     even-doc-shard re-extraction (src_ts=2) — ground truth for

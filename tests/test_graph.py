@@ -578,3 +578,32 @@ def test_with_self_loops_rows(ray_session):
     loops = aug[aug["a"] == aug["b"]].set_index("a")["cnt"]
     assert dict(loops) == {"a": 5, "b": 5, "c": 2}
     assert len(aug) == 4 + 3  # 2 mirrored edges + 3 loops
+
+
+def test_clustering_coefficient_both_paths(ray_session):
+    """K4 minus cd: lcc(a)=2*2/(3*2)=2/3, lcc(b)=2/3, lcc(c)=2*1/(2*1)=1,
+    lcc(d)=1; a pendant node e-f chain gets 0.0 (degree < 2 guard)."""
+    rows = [
+        ("a", "b", 1),
+        ("a", "c", 1),
+        ("a", "d", 1),
+        ("b", "c", 1),
+        ("b", "d", 1),
+        ("e", "f", 1),
+    ]
+    for thresh in (0, 4_000_000):
+        got = (
+            G.clustering_coefficient(
+                _edges(rows, blocks=2), local_threshold=thresh
+            )
+            .to_pandas()
+            .sort_values("entity")
+            .reset_index(drop=True)
+        )
+        assert list(got["entity"]) == ["a", "b", "c", "d", "e", "f"], thresh
+        assert list(got["degree"]) == [3, 3, 2, 2, 1, 1], thresh
+        assert list(got["n_triangles"]) == [2, 2, 1, 1, 0, 0], thresh
+        assert got["lcc"].tolist() == pytest.approx(
+            [2 / 3, 2 / 3, 1.0, 1.0, 0.0, 0.0]
+        ), thresh
+        assert got["lcc"].dtype == np.float64
