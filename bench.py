@@ -122,6 +122,20 @@ def _bench_queries(sf_dir: str):
 
         return kg_temporal_join(_tri(), sf_dir).count()
 
+    def kg_clustering() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            clustering_coefficient,
+        )
+
+        return clustering_coefficient(_edges(False)).count()
+
+    def kg_canonical() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            canonicalize_triples,
+        )
+
+        return canonicalize_triples(_tri()).count()
+
     def kg_support() -> int:
         from information_extraction_t5_ray.stages.kgstats import (
             triple_support,
@@ -161,6 +175,8 @@ def _bench_queries(sf_dir: str):
         "kg_components": kg_components,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,
+        "kg_clustering": kg_clustering,
+        "kg_canonical": kg_canonical,
         "kg_temporal": kg_temporal,
         "kg_support": kg_support,
         "kg_sameas": kg_sameas,
