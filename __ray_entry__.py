@@ -494,6 +494,26 @@ def _q_kg_canonical(sf_dir: str):
     return canonicalize_triples(run_kg(sf_dir))
 
 
+def _q_kg_yield(sf_dir: str):
+    """Per-source-host fact yield: doc-bucketed co-group of per-page
+    triple counts with the pruned documents table -> host merge."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        extraction_yield,
+    )
+
+    return extraction_yield(run_kg(sf_dir), sf_dir)
+
+
+def _q_kg_encode(sf_dir: str):
+    """Dense-id (h, r, t) export for KG-embedding training (page-id
+    heads, predicate indices, broadcast entity-vocab tail indices)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import encode_triples
+
+    return encode_triples(run_kg(sf_dir))
+
+
 def _q_kg_negatives(sf_dir: str):
     """KG-embedding training negatives: deterministic LCG corruption of
     graph-predicate tails against the broadcast entity vocabulary."""
@@ -545,6 +565,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_constraints": _q_kg_constraints,  # format validation
         "kg_sameas": _q_kg_sameas,  # blocked entity resolution
         "kg_canonical": _q_kg_canonical,  # sameAs closure -> rewrite
+        "kg_yield": _q_kg_yield,  # per-host fact yield (crawl bridge)
+        "kg_encode": _q_kg_encode,  # dense-id (h, r, t) KGE export
         "kg_negatives": _q_kg_negatives,  # embedding-training corruption
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
@@ -666,6 +688,8 @@ def oracle_sql() -> dict[str, str]:
         kg_constraints_sql,
         kg_sameas_sql,
         kg_canonical_sql,
+        kg_yield_sql,
+        kg_encode_sql,
         kg_negatives_sql,
     )
 
@@ -695,6 +719,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_constraints": kg_constraints_sql(),
         "kg_sameas": kg_sameas_sql(),
         "kg_canonical": kg_canonical_sql(),
+        "kg_yield": kg_yield_sql(),
+        "kg_encode": kg_encode_sql(),
         "kg_negatives": kg_negatives_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),

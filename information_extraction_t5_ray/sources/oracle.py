@@ -671,6 +671,44 @@ SELECT DISTINCT COALESCE(l.root, t.subj) AS subj, t.pred, t.obj
 FROM t LEFT JOIN labels l ON l.node = t.subj"""
 
 
+def kg_yield_sql() -> str:
+    """Per-source-host fact yield over ALL pages (zero-triple pages
+    count) — ground truth for stages/kgstats.extraction_yield."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+pc AS (SELECT subj, CAST(count(*) AS BIGINT) AS nt FROM t GROUP BY subj),
+d AS (SELECT source || '.example.org' AS host,
+             'https://example.org/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
+               AS url
+      FROM documents),
+j AS (SELECT d.host, COALESCE(pc.nt, 0) AS nt
+      FROM d LEFT JOIN pc ON pc.subj = d.url)
+SELECT host,
+       CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(nt) AS BIGINT) AS n_triples,
+       CAST(sum(nt) AS DOUBLE) / count(*) AS yield
+FROM j GROUP BY host"""
+
+
+def kg_encode_sql() -> str:
+    """Dense-id (h, r, t) encoding of the graph-predicate triples —
+    ground truth for stages/kgstats.encode_triples (page-id head,
+    predicate-list index, row_number-ordered entity-vocab index)."""
+    from ..stages.graph import GRAPH_PREDS
+
+    preds = ",".join(f"'{p}'" for p in GRAPH_PREDS)
+    cases = " ".join(
+        f"WHEN '{p}' THEN {i}" for i, p in enumerate(GRAPH_PREDS)
+    )
+    return f"""WITH tt AS ({oracle_triples_sql()}),
+g AS (SELECT subj, pred, obj FROM tt WHERE pred IN ({preds})),
+v AS (SELECT ent, CAST(row_number() OVER (ORDER BY ent) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT obj AS ent FROM g))
+SELECT CAST(right(subj, 8) AS BIGINT) AS h,
+       CAST(CASE pred {cases} END AS BIGINT) AS r,
+       v.idx AS t
+FROM g JOIN v ON v.ent = g.obj"""
+
+
 def kg_negatives_sql() -> str:
     """Deterministic corruption negatives — ground truth for
     stages/kgstats.corruption_negatives: glibc LCG over

@@ -457,6 +457,98 @@ def canonicalize_triples(
     )
 
 
+def extraction_yield(triples_ds, sf_dir: str, num_buckets: Optional[int] = None):
+    """Per-source-host fact yield: (host, n_pages, n_triples, yield) —
+    the crawl-scheduling signal ("which hosts are worth recrawling for
+    facts").  ``yield = n_triples / n_pages`` over ALL of the host's
+    pages (a page yielding zero triples still counts — that is the
+    point of the metric).
+
+    Scale shape: a doc-bucketed co-group joins the per-page triple-count
+    partials (combiner-reduced in the map phase: one row per page per
+    batch) with the column-pruned documents table — both sides hash on
+    the page url, so no side is ever broadcast (the page table is
+    corpus-sized).  The per-bucket output is one row per (bucket, host);
+    the final merge re-keys on host — web-domain-bounded, and the single
+    IEEE division per host matches the SQL mirror bit-for-bit.
+    """
+    from ..sources.synth import URL_PREFIX
+    from .common import read_parquet_clean
+
+    width = resolve_parallelism(num_buckets)
+
+    def tri_partial(batch: pa.Table) -> pd.DataFrame:
+        url = batch["subj"].to_pandas().astype(str)
+        g = url.value_counts()
+        df = pd.DataFrame(
+            {
+                "url": g.index.astype(str),
+                "host": "",
+                "nt": g.to_numpy(np.int64),
+                "_side": np.int8(1),
+            }
+        )
+        df["_bucket"] = bucket_of(df["url"].to_numpy(), width)
+        return df
+
+    def doc_rows(batch: pa.Table) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_pandas().astype(str)
+        df = pd.DataFrame(
+            {
+                "url": URL_PREFIX + pd.Series(d).astype(str).str.zfill(8),
+                "host": (src + ".example.org").to_numpy(),
+                "nt": np.int64(0),
+                "_side": np.int8(0),
+            }
+        )
+        df["_bucket"] = bucket_of(df["url"].to_numpy(), width)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["_side"] == 0][["url", "host"]]
+        tri = (
+            df[df["_side"] == 1]
+            .groupby("url", sort=False, as_index=False)["nt"]
+            .sum()
+        )
+        j = docs.merge(tri, on="url", how="left")
+        j["nt"] = j["nt"].fillna(0).astype(np.int64)
+        g = j.groupby("host", sort=False).agg(
+            n_pages=("url", "size"), n_triples=("nt", "sum")
+        )
+        g = g.reset_index()
+        for c in ("n_pages", "n_triples"):
+            g[c] = g[c].astype(np.int64)
+        g["_b2"] = bucket_of(g["host"].to_numpy(), width)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("host", sort=False, as_index=False).agg(
+            n_pages=("n_pages", "sum"), n_triples=("n_triples", "sum")
+        )
+        for c in ("n_pages", "n_triples"):
+            g[c] = g[c].astype(np.int64)
+        g["yield"] = g["n_triples"].to_numpy(np.int64) / g[
+            "n_pages"
+        ].to_numpy(np.int64)
+        return g[["host", "n_pages", "n_triples", "yield"]]
+
+    tri = triples_ds.select_columns(["subj"]).map_batches(
+        arrowed(tri_partial), batch_format="pyarrow"
+    )
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(arrowed(doc_rows), batch_format="pyarrow")
+    return (
+        docs.union(tri)
+        .groupby("_bucket")
+        .map_groups(arrowed(per_bucket), batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )
+
+
 def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
     """Sorted distinct canonical-entity vocabulary over ``preds``.
 
@@ -481,6 +573,55 @@ def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
         .take_all()
     )
     return np.array(sorted({r["obj"] for r in rows}), dtype=object)
+
+
+def encode_triples(triples_ds, preds: Sequence[str] = GRAPH_PREDS):
+    """Dense-id triple encoding for KG-embedding training: one
+    ``(h, r, t)`` int64 row per graph-predicate triple — the tensor
+    input TransE-family trainers take, and the positive companion to
+    :func:`corruption_negatives` (same key spaces on every axis).
+
+    * ``h``: the page id — dense by the pages-source contract (the
+      last 8 url chars; the same contract corruption_negatives keys
+      its LCG on).
+    * ``r``: index into the closed graph-predicate list.
+    * ``t``: index into the row_number-ordered entity vocabulary —
+      the bounded alias-dictionary value space, broadcast once (see
+      :func:`_entity_vocab`); the lookup is one vectorized
+      ``searchsorted`` against the sorted vocab.
+
+    Zero exchanges: encoding is a stateless map over the triples
+    stream.
+    """
+    preds = tuple(preds)
+    vocab = _entity_vocab(triples_ds, preds)
+    if len(vocab) == 0:
+        raise ValueError("encode_triples: empty entity vocabulary")
+    vocab_str = vocab.astype(str)
+    pidx_map = {p: i for i, p in enumerate(preds)}
+
+    def encode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
+        t = batch.filter(mask)
+        subj = t["subj"].to_pandas().astype(str)
+        pred = t["pred"].to_pandas().astype(str)
+        obj = t["obj"].to_pandas().astype(str).to_numpy()
+        h = subj.str[-8:].astype(np.int64).to_numpy()
+        r = pred.map(pidx_map).to_numpy().astype(np.int64)
+        tt = np.searchsorted(vocab_str, obj)
+        return pa.table(
+            {
+                "h": pa.array(h, pa.int64()),
+                "r": pa.array(r, pa.int64()),
+                "t": pa.array(tt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        encode, batch_format="pyarrow"
+    )
 
 
 def corruption_negatives(

@@ -244,3 +244,28 @@ def test_canonicalize_join_path_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # the pairless page survives untouched on both paths
     assert ("q9" == a["subj"]).sum() == 1
+
+
+def test_encode_triples_roundtrip(ray_session):
+    CITY = "form.endereco.cidade"
+    rows = [
+        ("https://example.org/00000002", CITY, "b"),
+        ("https://example.org/00000001", CITY, "c"),
+        ("https://example.org/00000001", "form.cpf", "x"),  # non-graph
+        ("https://example.org/00000003", CITY, "a"),
+    ]
+    got = (
+        K.encode_triples(_triples(rows))
+        .to_pandas()
+        .sort_values("h")
+        .reset_index(drop=True)
+    )
+    # non-graph predicate dropped; vocab = sorted {a,b,c} -> 0,1,2
+    assert list(got["h"]) == [1, 2, 3]
+    assert list(got["t"]) == [2, 1, 0]
+    assert set(got["r"]) <= set(range(len(K.GRAPH_PREDS)))
+    for c in ("h", "r", "t"):
+        assert got[c].dtype == np.int64
+
+    with pytest.raises(ValueError, match="empty entity vocab"):
+        K.encode_triples(_triples([("s", "form.cpf", "x")])).to_pandas()
