@@ -148,6 +148,20 @@ def _bench_queries(sf_dir: str):
 
         return sameas_pairs(_tri()).count()
 
+    def kg_yield() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            extraction_yield,
+        )
+
+        return extraction_yield(_tri(), sf_dir).count()
+
+    def kg_encode() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            encode_triples,
+        )
+
+        return encode_triples(_tri()).count()
+
     def kg_negatives() -> int:
         from information_extraction_t5_ray.stages.kgstats import (
             corruption_negatives,
@@ -180,6 +194,8 @@ def _bench_queries(sf_dir: str):
         "kg_temporal": kg_temporal,
         "kg_support": kg_support,
         "kg_sameas": kg_sameas,
+        "kg_yield": kg_yield,
+        "kg_encode": kg_encode,
         "kg_negatives": kg_negatives,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
