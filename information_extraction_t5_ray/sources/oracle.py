@@ -677,8 +677,7 @@ def kg_yield_sql() -> str:
     return f"""WITH t AS ({oracle_triples_sql()}),
 pc AS (SELECT subj, CAST(count(*) AS BIGINT) AS nt FROM t GROUP BY subj),
 d AS (SELECT source || '.example.org' AS host,
-             'https://example.org/' || lpad(CAST(doc_id AS VARCHAR), 8, '0')
-               AS url
+             {URL_SQL} AS url
       FROM documents),
 j AS (SELECT d.host, COALESCE(pc.nt, 0) AS nt
       FROM d LEFT JOIN pc ON pc.subj = d.url)

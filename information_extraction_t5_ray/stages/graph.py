@@ -836,6 +836,7 @@ def triangle_counts(
     edges_ds,
     num_buckets: Optional[int] = None,
     local_threshold: int = 4_000_000,
+    _deg: Optional[pd.DataFrame] = None,
 ):
     """Per-entity triangle counts over the a<b co-mention edge list:
     ``(entity, n_triangles)`` for every edge-endpoint node (zeros
@@ -867,7 +868,10 @@ def triangle_counts(
             _local_triangles, batch_format="pyarrow", batch_size=None
         )
 
-    deg = _degree_frame(edges, num_buckets)
+    # _deg: callers that already hold the node-bounded degree frame
+    # (clustering_coefficient) pass it in so the edge scan + bucketed
+    # exchange + driver collect are not paid twice
+    deg = _degree_frame(edges, num_buckets) if _deg is None else _deg
     # total order: (degree, name); rank = position
     deg = deg.sort_values(["c", "node"], kind="stable").reset_index(drop=True)
     rank_ref = ray.put(dict(zip(deg["node"], range(len(deg)))))
@@ -1853,10 +1857,15 @@ def clustering_coefficient(
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
-    tri = triangle_counts(
-        edges, num_buckets=num_buckets, local_threshold=local_threshold
-    )
+    # one degree pass, shared with the triangle kernel's rank map (the
+    # distributed path would otherwise recompute the identical frame)
     deg = _degree_frame(edges, num_buckets)
+    tri = triangle_counts(
+        edges,
+        num_buckets=num_buckets,
+        local_threshold=local_threshold,
+        _deg=deg,
+    )
     deg_ref = ray.put(dict(zip(deg["node"], deg["c"].astype(np.int64))))
 
     def attach(batch: pa.Table) -> pa.Table:

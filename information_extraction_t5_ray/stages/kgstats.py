@@ -408,7 +408,10 @@ def canonicalize_triples(
             subj = batch["subj"].to_numpy(zero_copy_only=False).astype(str)
             pos = np.clip(np.searchsorted(ks, subj), 0, len(ks) - 1)
             hit = ks[pos] == subj
-            out = subj.copy()
+            # object dtype: a fixed-width unicode copy of subj would
+            # silently TRUNCATE any root longer than the batch's widest
+            # subject (e.g. root 'ab' written into a <U1 slot as 'a')
+            out = subj.astype(object)
             out[hit] = rs[pos[hit]]
             return bucketed(
                 pd.DataFrame(

@@ -269,3 +269,15 @@ def test_encode_triples_roundtrip(ray_session):
 
     with pytest.raises(ValueError, match="empty entity vocab"):
         K.encode_triples(_triples([("s", "form.cpf", "x")])).to_pandas()
+
+
+def test_canonicalize_no_fixed_width_truncation(ray_session):
+    """Root 'ab' rewritten into a batch whose own subjects are all one
+    char wide must survive intact — a fixed-width unicode copy of the
+    batch's subj array would silently truncate it to 'a'."""
+    import ray.data as rd
+
+    short = _triples(_er_rows(["b"]))  # block of 1-char subjects
+    long = _triples(_er_rows(["ab"]))  # 'ab' < 'b' -> component root
+    out = K.canonicalize_triples(short.union(long), min_shared=3).to_pandas()
+    assert set(out["subj"]) == {"ab"}
