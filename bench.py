@@ -149,11 +149,17 @@ def _bench_queries(sf_dir: str):
         return sameas_pairs(_tri()).count()
 
     def kg_yield() -> int:
+        from information_extraction_t5_ray.stages.common import (
+            resolve_parallelism,
+        )
         from information_extraction_t5_ray.stages.kgstats import (
             extraction_yield,
         )
 
-        return extraction_yield(_tri(), sf_dir).count()
+        # small fixture: coalesce the tiny-block documents read (see
+        # extraction_yield.docs_scatter; a 100 TB corpus passes None)
+        width = max(4, resolve_parallelism(per_cpu=1) // 2)
+        return extraction_yield(_tri(), sf_dir, docs_scatter=width).count()
 
     def kg_encode() -> int:
         from information_extraction_t5_ray.stages.kgstats import (

@@ -460,7 +460,12 @@ def canonicalize_triples(
     )
 
 
-def extraction_yield(triples_ds, sf_dir: str, num_buckets: Optional[int] = None):
+def extraction_yield(
+    triples_ds,
+    sf_dir: str,
+    num_buckets: Optional[int] = None,
+    docs_scatter: Optional[int] = None,
+):
     """Per-source-host fact yield: (host, n_pages, n_triples, yield) —
     the crawl-scheduling signal ("which hosts are worth recrawling for
     facts").  ``yield = n_triples / n_pages`` over ALL of the host's
@@ -474,6 +479,15 @@ def extraction_yield(triples_ds, sf_dir: str, num_buckets: Optional[int] = None)
     corpus-sized).  The per-bucket output is one row per (bucket, host);
     the final merge re-keys on host — web-domain-bounded, and the single
     IEEE division per host matches the SQL mirror bit-for-bit.
+
+    ``docs_scatter`` follows the :func:`~.common.maybe_scatter`
+    convention in reverse: a small pruned documents read arrives as
+    many TINY blocks (Ray splits one file to ~2x CPUs regardless of
+    bytes) and the union's sort width follows the block count, so an
+    explicit width coalesces the doc partials first (measured 2.4 s ->
+    1.4 s at sf0.1/32 CPUs).  Leave ``None`` for data-dominated corpora
+    — there the repartition would be a full exchange of one row per
+    page and the sort width is already byte-driven.
     """
     from ..sources.synth import URL_PREFIX
     from .common import read_parquet_clean
@@ -543,6 +557,8 @@ def extraction_yield(triples_ds, sf_dir: str, num_buckets: Optional[int] = None)
     docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     ).map_batches(arrowed(doc_rows), batch_format="pyarrow")
+    if docs_scatter is not None:
+        docs = docs.repartition(docs_scatter)
     return (
         docs.union(tri)
         .groupby("_bucket")
