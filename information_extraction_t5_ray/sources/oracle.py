@@ -738,3 +738,52 @@ SELECT i.subj AS subj, i.pred AS pred, i.obj AS obj,
 FROM i
 JOIN v v1 ON v1.idx = i.idx
 JOIN v v2 ON v2.idx = (i.idx + 1) % i.n"""
+
+
+def kg_assoc_sql() -> str:
+    """Predicate association rules — ground truth for
+    stages/kgstats.predicate_assoc: ordered pairs over the distinct
+    (subj, pred) set, the diagonal supplying n_p1, one IEEE division."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+sp AS (SELECT DISTINCT subj, pred FROM t),
+pairs AS (SELECT x.pred AS p1, y.pred AS p2,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM sp x JOIN sp y ON x.subj = y.subj
+          GROUP BY x.pred, y.pred)
+SELECT a.p1, a.p2, a.n AS n_both, d.n AS n_p1,
+       CAST(a.n AS DOUBLE) / d.n AS confidence
+FROM pairs a JOIN pairs d ON d.p1 = a.p1 AND d.p2 = a.p1
+WHERE a.p1 <> a.p2"""
+
+
+def kg_summary_sql(k: int = 3) -> str:
+    """Per-entity top-k fact summary — ground truth for
+    stages/kgstats.entity_summary: distinct-page support per
+    (entity, pred), row_number ordered (n_pages desc, pred asc)."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+s AS (SELECT obj AS entity, pred,
+             CAST(count(DISTINCT subj) AS BIGINT) AS n_pages
+      FROM t GROUP BY obj, pred)
+SELECT entity, pred, n_pages FROM (
+  SELECT entity, pred, n_pages,
+         row_number() OVER (PARTITION BY entity
+                            ORDER BY n_pages DESC, pred) AS rnk
+  FROM s
+) WHERE rnk <= {k}"""
+
+
+def kg_starquery_sql(constraints=None) -> str:
+    """Conjunctive star-pattern bindings — ground truth for
+    stages/kgstats.star_query (same fullmatch regexes via DuckDB RE2)."""
+    from ..stages.kgstats import STAR_CONSTRAINTS
+
+    rules = STAR_CONSTRAINTS if constraints is None else constraints
+    where = " OR ".join(
+        f"(pred = '{p}' AND regexp_full_match(obj, '{rx}'))"
+        for p, rx in rules.items()
+    )
+    return f"""WITH t AS ({oracle_triples_sql()}),
+m AS (SELECT DISTINCT subj, pred, obj FROM t WHERE {where}),
+ok AS (SELECT subj FROM (SELECT DISTINCT subj, pred FROM m)
+       GROUP BY subj HAVING count(*) = {len(rules)})
+SELECT m.subj, m.pred, m.obj FROM m JOIN ok USING (subj)"""

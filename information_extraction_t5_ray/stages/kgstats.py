@@ -568,6 +568,191 @@ def extraction_yield(
     )
 
 
+def predicate_assoc(triples_ds, num_buckets: Optional[int] = None):
+    """Predicate co-occurrence association rules (schema induction):
+    for every ordered predicate pair ``p1 <> p2``,
+    ``(p1, p2, n_both, n_p1, confidence)`` where ``n_both`` is the
+    number of pages asserting BOTH predicates, ``n_p1`` the number
+    asserting ``p1`` at all, and ``confidence = n_both / n_p1`` — the
+    classic rule-mining signal ("pages with nome_pai almost always
+    carry data_nascimento"), the input an ontology-induction step uses
+    to propose mandatory/optional attribute sets per page type.
+    (The reference stops at per-field extraction —
+    ``predict.py`` emits fields independently; this is the layer above.)
+
+    Scale shape: exchange 1 moves the per-batch-distinct (subj, pred)
+    rows hashed on subj (a page's predicate set co-locates; P is
+    schema-bounded, so per-subject pair volume is <= P**2, emitted as
+    one vectorized self-merge per bucket — never a Python loop over
+    subjects).  Exchange 2 moves one (p1, p2) count row per (bucket,
+    pair) — O(buckets x P**2) rows total — keyed on p1 ONLY so every
+    pair co-locates with its diagonal ``(p1, p1)`` row, whose count IS
+    ``n_p1``: the confidence division needs no third exchange or
+    broadcast.  The single IEEE division per rule matches the SQL
+    mirror bit-for-bit.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "subj": batch["subj"].to_pandas().astype(str),
+                "pred": batch["pred"].to_pandas().astype(str),
+            }
+        ).drop_duplicates()
+        df["_bucket"] = bucket_of(df["subj"].to_numpy(), num_buckets)
+        return df
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["subj", "pred"])[["subj", "pred"]]
+        m = d.merge(d, on="subj")  # includes the (p, p) diagonal
+        g = (
+            m.groupby(["pred_x", "pred_y"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        g["n"] = g["n"].astype(np.int64)
+        g["_b2"] = bucket_of(g["pred_x"].to_numpy(), num_buckets)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["pred_x", "pred_y"], sort=False, as_index=False)["n"]
+            .sum()
+        )
+        diag = g[g["pred_x"] == g["pred_y"]].set_index("pred_x")["n"]
+        out = g[g["pred_x"] != g["pred_y"]].copy()
+        n_p1 = diag.reindex(out["pred_x"]).to_numpy(np.int64)
+        out = pd.DataFrame(
+            {
+                "p1": out["pred_x"].astype(str),
+                "p2": out["pred_y"].astype(str),
+                "n_both": out["n"].to_numpy(np.int64),
+                "n_p1": n_p1,
+            }
+        )
+        out["confidence"] = out["n_both"].to_numpy(np.int64) / n_p1
+        return out
+
+    parts = triples_ds.select_columns(["subj", "pred"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    paired = parts.groupby("_bucket").map_groups(
+        arrowed(pair_counts), batch_format="pandas"
+    )
+    return paired.groupby("_b2").map_groups(
+        arrowed(merge), batch_format="pandas"
+    )
+
+
+def entity_summary(triples_ds, k: int = 3, num_buckets: Optional[int] = None):
+    """Per-entity fact summary: for every object entity, the top-``k``
+    predicates by distinct-page support — ``(entity, pred, n_pages)``,
+    ordered within each entity by (n_pages desc, pred asc).  This is the
+    entity-card builder ("what does the KG say about 'sp'?"): fusion
+    keeps an assertion's strongest provenance first.
+
+    Composition: :func:`triple_support` (full-key-hashed distinct-page
+    counts — a hot entity never co-locates pre-reduce) re-keyed on the
+    object entity through the shared two-phase
+    :func:`~.aggregates.grouped_topk` (each batch keeps <= k rows per
+    entity before the exchange).
+    """
+    from .aggregates import grouped_topk
+
+    support = triple_support(triples_ds, num_buckets=num_buckets)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": batch["obj"].cast(pa.string()),
+                "pred": batch["pred"].cast(pa.string()),
+                "n_pages": batch["n_pages"].cast(pa.int64()),
+            }
+        )
+
+    facts = support.map_batches(project, batch_format="pyarrow")
+    return grouped_topk(
+        facts,
+        group_col="entity",
+        order_col="n_pages",
+        k=k,
+        tie_col="pred",
+        num_buckets=num_buckets,
+    )
+
+
+# Star-pattern constraints for the showcase query: RE2-and-Python-safe
+# fullmatch regexes (same subset contract as DEFAULT_CONSTRAINTS).
+# Chosen to cross the synth table's modular correlations (estado keys on
+# doc_id*5 % 27, orgao on doc_id % 6, numero on doc_id % 2000), so the
+# conjunction selects a non-trivial pseudo-random page subset.
+STAR_CONSTRAINTS: Dict[str, str] = {
+    "form.endereco.estado": "s[a-z]",
+    "form.orgao_emissor": "ssp",
+    "form.endereco.numero": "[0-9]{1,3}",
+}
+
+
+def star_query(
+    triples_ds,
+    constraints: Optional[Dict[str, str]] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Conjunctive star-pattern query answering over the constructed KG
+    (the SPARQL basic-graph-pattern shape ``?s p1 ?v1 . ?s p2 ?v2 ...``
+    with a regex filter per predicate): returns the matched bindings —
+    one ``(subj, pred, obj)`` row per queried predicate for every
+    subject satisfying ALL constraints.
+
+    Scale shape: the filter is map-side (one vectorized fullmatch per
+    constraint per batch — non-matching triples never reach the wire),
+    then ONE exchange hashed on subj co-locates each candidate page's
+    surviving bindings; the per-bucket fold keeps subjects whose
+    distinct matched-predicate count equals the constraint count.  Wire
+    volume is bounded by the match selectivity, not the corpus.
+    """
+    rules = STAR_CONSTRAINTS if constraints is None else constraints
+    if not rules:
+        raise ValueError("star_query: need at least one constraint")
+    compiled = {p: re.compile(rx) for p, rx in rules.items()}
+    n_constraints = len(compiled)
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        pred = batch["pred"].to_pandas().astype(str)
+        obj = batch["obj"].to_pandas().astype(str)
+        subj = batch["subj"].to_pandas().astype(str)
+        keep = np.zeros(len(pred), dtype=bool)
+        for p, rx in compiled.items():
+            mask = (pred == p).to_numpy()
+            if mask.any():
+                hit = obj[mask].str.fullmatch(rx).to_numpy()
+                keep[np.flatnonzero(mask)[hit]] = True
+        df = pd.DataFrame(
+            {"subj": subj[keep], "pred": pred[keep], "obj": obj[keep]}
+        ).drop_duplicates()
+        df["_bucket"] = bucket_of(df["subj"].to_numpy(), num_buckets)
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["subj", "pred", "obj"])
+        n_preds = d.drop_duplicates(["subj", "pred"]).groupby(
+            "subj", sort=False
+        ).size()
+        ok = set(n_preds[n_preds == n_constraints].index)
+        out = d[d["subj"].isin(ok)]
+        return out[["subj", "pred", "obj"]]
+
+    parts = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    return parts.groupby("_bucket").map_groups(
+        arrowed(fold), batch_format="pandas"
+    )
+
+
 def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
     """Sorted distinct canonical-entity vocabulary over ``preds``.
 

@@ -401,3 +401,137 @@ def diff_triples(old_ds, new_ds, num_buckets=None):
     return tagged.groupby("_bucket").map_groups(
         arrowed(delta), batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# N-Triples sink / source — the RDF interchange materialize.  The
+# reference stops at its own txt/sheet reports (models/qa_model.py
+# _save_outputs); a KG consumed by standard triple stores needs the
+# W3C line format.
+
+NT_PRED_NS = "https://example.org/kg/pred/"
+
+# N-Triples literal escapes (W3C N-Triples §2.3 ECHAR), both directions.
+_NT_ESCAPES = (("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+               ("\r", "\\r"), ("\t", "\\t"))
+_NT_UNESC = {esc[1:]: raw for raw, esc in _NT_ESCAPES}  # '\x' -> raw
+
+
+def _nt_escape(s: pd.Series) -> pd.Series:
+    # backslash FIRST (it is the escape introducer), then the rest —
+    # literal (regex=False) replaces, vectorized.
+    for raw, esc in _NT_ESCAPES:
+        s = s.str.replace(raw, esc, regex=False)
+    return s
+
+
+def _nt_unescape(s: pd.Series) -> pd.Series:
+    # single left-to-right pass: a chained literal replace would corrupt
+    # '\\n' (escaped backslash + literal n) into a newline.
+    if not s.str.contains("\\", regex=False).any():
+        return s  # hot path: no escapes in the block
+    return s.str.replace(
+        r"\\(.)", lambda m: _NT_UNESC[m.group(1)], regex=True
+    )
+
+
+def write_ntriples(triples_ds, out_dir: str):
+    """Materialize ``(subj, pred, obj)`` as sharded W3C N-Triples text:
+    ``<subj> <NT_PRED_NS + pred> "escaped obj" .`` — one ``.nt`` shard
+    per block, named by the blake2b hash of its bytes (content-
+    addressed: a resumed/repeated run rewrites byte-identical shards
+    idempotently instead of accumulating duplicates), plus a root
+    ``_MANIFEST.json`` with per-shard row counts for lineage.
+
+    The writer runs INSIDE the map tasks (each task writes its own
+    shard — the driver only ever holds one (file, rows) row per block);
+    an exclusive-create with a ``-k`` suffix loop preserves row
+    multiplicity in the measure-zero case of two distinct blocks
+    hashing identical bytes content.
+    """
+    import hashlib
+    import json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"file": pa.array([], pa.string()),
+                 "rows": pa.array([], pa.int64())}
+            )
+        subj = batch["subj"].to_pandas().astype(str)
+        pred = batch["pred"].to_pandas().astype(str)
+        obj = _nt_escape(batch["obj"].to_pandas().astype(str))
+        lines = (
+            "<" + subj + "> <" + NT_PRED_NS + pred + '> "' + obj + '" .'
+        )
+        payload = ("\n".join(lines.tolist()) + "\n").encode("utf-8")
+        digest = hashlib.blake2b(payload, digest_size=8).hexdigest()
+        name = f"{digest}.nt"
+        for k in range(1_000_000):
+            path = os.path.join(out_dir, name)
+            try:
+                fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                with open(path, "rb") as f:
+                    if f.read() == payload:
+                        break  # identical shard already present (resume)
+                name = f"{digest}-{k}.nt"
+                continue
+            with os.fdopen(fd, "wb") as f:
+                f.write(payload)
+            break
+        return pa.table(
+            {"file": pa.array([name]),
+             "rows": pa.array([batch.num_rows], pa.int64())}
+        )
+
+    shards = (
+        triples_ds.select_columns(["subj", "pred", "obj"])
+        .map_batches(write_block, batch_format="pyarrow")
+        .take_all()
+    )
+    manifest = {
+        "shards": {r["file"]: r["rows"] for r in shards},
+        "total_rows": int(sum(r["rows"] for r in shards)),
+    }
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return out_dir
+
+
+_NT_LINE = r'^<([^>]*)> <([^>]*)> "(.*)" \.$'
+
+
+def read_ntriples(nt_dir: str):
+    """Read an N-Triples shard directory back into a ``(subj, pred,
+    obj)`` Dataset — the inverse of :func:`write_ntriples` (predicate
+    namespace stripped, literal escapes decoded).  Built on
+    ``ray.data.read_text`` so shards stream block-parallel; the parse is
+    one vectorized regex extract per block."""
+    import glob
+
+    import ray.data as rd
+
+    files = sorted(glob.glob(f"{nt_dir}/*.nt"))
+    if not files:
+        raise FileNotFoundError(f"read_ntriples: no .nt shards in {nt_dir}")
+
+    def parse(batch: pa.Table) -> pa.Table:
+        text = batch["text"].to_pandas().astype(str)
+        m = text.str.extract(_NT_LINE)
+        if m[0].isna().any():
+            bad = text[m[0].isna()].iloc[0]
+            raise ValueError(f"read_ntriples: malformed line {bad!r}")
+        pred = m[1].str.removeprefix(NT_PRED_NS)
+        return pa.table(
+            {
+                "subj": pa.array(m[0], pa.string()),
+                "pred": pa.array(pred, pa.string()),
+                "obj": pa.array(_nt_unescape(m[2]), pa.string()),
+            }
+        )
+
+    return rd.read_text(files).map_batches(parse, batch_format="pyarrow")

@@ -281,3 +281,58 @@ def test_canonicalize_no_fixed_width_truncation(ray_session):
     long = _triples(_er_rows(["ab"]))  # 'ab' < 'b' -> component root
     out = K.canonicalize_triples(short.union(long), min_shared=3).to_pandas()
     assert set(out["subj"]) == {"ab"}
+
+
+def test_predicate_assoc_counts_and_confidence(ray_session):
+    # d1: {p1, p2}; d2: {p1}; d3: {p1, p2, p3}.  Duplicate assertions
+    # (multi-window) must not inflate the distinct-page counts.
+    rows = [
+        ("d1", "p1", "x"), ("d1", "p1", "x2"), ("d1", "p2", "y"),
+        ("d2", "p1", "x"),
+        ("d3", "p1", "x"), ("d3", "p2", "y"), ("d3", "p3", "z"),
+    ]
+    got = (
+        K.predicate_assoc(_triples(rows), num_buckets=3)
+        .to_pandas()
+        .set_index(["p1", "p2"])
+        .sort_index()
+    )
+    assert got.loc[("p1", "p2"), "n_both"] == 2
+    assert got.loc[("p1", "p2"), "n_p1"] == 3
+    assert got.loc[("p1", "p2"), "confidence"] == pytest.approx(2 / 3)
+    assert got.loc[("p2", "p1"), "n_both"] == 2
+    assert got.loc[("p2", "p1"), "n_p1"] == 2  # asymmetric direction
+    assert got.loc[("p2", "p1"), "confidence"] == 1.0
+    assert ("p1", "p1") not in got.index  # diagonal consumed, not emitted
+    assert got.loc[("p3", "p1"), "n_both"] == 1
+
+
+def test_entity_summary_topk_order(ray_session):
+    # entity e backed by p1 (2 pages), p2 (2 pages), p3 (1 page):
+    # k=2 keeps (p1, p2) — n_pages desc then pred asc.
+    rows = [
+        ("d1", "p1", "e"), ("d2", "p1", "e"),
+        ("d1", "p2", "e"), ("d3", "p2", "e"),
+        ("d1", "p3", "e"),
+        ("d1", "p1", "other"),
+    ]
+    got = K.entity_summary(_triples(rows), k=2, num_buckets=3).to_pandas()
+    e = got[got["entity"] == "e"].sort_values(["pred"])
+    assert e["pred"].tolist() == ["p1", "p2"]
+    assert e["n_pages"].tolist() == [2, 2]
+    assert got[got["entity"] == "other"]["pred"].tolist() == ["p1"]
+
+
+def test_star_query_requires_all_constraints(ray_session):
+    rows = [
+        ("d1", "p1", "aa"), ("d1", "p2", "77"),
+        ("d2", "p1", "ab"),              # missing p2 -> dropped
+        ("d3", "p1", "zz"), ("d3", "p2", "88"),  # p1 regex miss
+    ]
+    got = K.star_query(
+        _triples(rows), {"p1": "a[a-z]", "p2": "[0-9]{2}"}, num_buckets=3
+    ).to_pandas()
+    assert sorted(got["subj"].unique()) == ["d1"]
+    assert sorted(got["pred"]) == ["p1", "p2"]
+    with pytest.raises(ValueError):
+        K.star_query(_triples(rows), {})
