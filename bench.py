@@ -175,6 +175,43 @@ def _bench_queries(sf_dir: str):
 
         return corruption_negatives(_tri()).count()
 
+    def kg_assoc() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            predicate_assoc,
+        )
+
+        return predicate_assoc(_tri()).count()
+
+    def kg_summary() -> int:
+        from information_extraction_t5_ray.stages.kgstats import (
+            entity_summary,
+        )
+
+        return entity_summary(_tri()).count()
+
+    def kg_starquery() -> int:
+        from information_extraction_t5_ray.stages.kgstats import star_query
+
+        return star_query(_tri()).count()
+
+    def kg_ntriples() -> int:
+        # times the full sink+source round trip (serialize, shard write,
+        # read_text, parse+unescape) over the shared triples table
+        import shutil
+        import tempfile
+
+        from information_extraction_t5_ray.stages.triples import (
+            read_ntriples,
+            write_ntriples,
+        )
+
+        out = tempfile.mkdtemp(prefix="bench_nt_")
+        try:
+            write_ntriples(_tri(), out)
+            return read_ntriples(out).count()
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
     def crawl_latest() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import latest_snapshot
@@ -203,6 +240,10 @@ def _bench_queries(sf_dir: str):
         "kg_yield": kg_yield,
         "kg_encode": kg_encode,
         "kg_negatives": kg_negatives,
+        "kg_assoc": kg_assoc,
+        "kg_summary": kg_summary,
+        "kg_starquery": kg_starquery,
+        "kg_ntriples": kg_ntriples,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }
