@@ -554,6 +554,28 @@ def _q_kg_starquery(sf_dir: str):
     return star_query(run_kg(sf_dir))
 
 
+def _q_kg_degree_delta(sf_dir: str):
+    """Incremental degree maintenance: per-node (d_out, d_in) change
+    computed from the kg_diff churn stream (same v1-lacks-cpf /
+    v2-drops-agencia derivation), never a full recount."""
+    import pyarrow.compute as pc
+
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import degree_delta
+
+    tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
+
+    def drop_pred(p):
+        def f(batch):
+            return batch.filter(pc.not_equal(batch["pred"], p))
+
+        return f
+
+    old = tri.map_batches(drop_pred("form.cpf"), batch_format="pyarrow")
+    new = tri.map_batches(drop_pred("form.agencia"), batch_format="pyarrow")
+    return degree_delta(old, new)
+
+
 def _q_kg_nt_roundtrip(sf_dir: str):
     """RDF interchange sink validated end-to-end: triples serialized as
     sharded W3C N-Triples text (content-addressed shards + manifest),
@@ -624,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_summary": _q_kg_summary,  # per-entity top-k fact summary
         "kg_starquery": _q_kg_starquery,  # conjunctive BGP query answering
         "kg_nt_roundtrip": _q_kg_nt_roundtrip,  # N-Triples sink validated
+        "kg_degree_delta": _q_kg_degree_delta,  # incremental degree maint
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -750,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
         kg_assoc_sql,
         kg_summary_sql,
         kg_starquery_sql,
+        kg_degree_delta_sql,
     )
 
     return {
@@ -785,6 +809,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_summary": kg_summary_sql(),
         "kg_starquery": kg_starquery_sql(),
         "kg_nt_roundtrip": oracle_triples_sql(),
+        "kg_degree_delta": kg_degree_delta_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

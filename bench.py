@@ -212,6 +212,25 @@ def _bench_queries(sf_dir: str):
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    def kg_degree_delta() -> int:
+        import pyarrow.compute as pc
+
+        from information_extraction_t5_ray.stages.graph import degree_delta
+
+        tri = _tri()
+
+        def drop_pred(p):
+            def f(batch):
+                return batch.filter(pc.not_equal(batch["pred"], p))
+
+            return f
+
+        old = tri.map_batches(drop_pred("form.cpf"), batch_format="pyarrow")
+        new = tri.map_batches(
+            drop_pred("form.agencia"), batch_format="pyarrow"
+        )
+        return degree_delta(old, new).count()
+
     def crawl_latest() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import latest_snapshot
@@ -244,6 +263,7 @@ def _bench_queries(sf_dir: str):
         "kg_summary": kg_summary,
         "kg_starquery": kg_starquery,
         "kg_ntriples": kg_ntriples,
+        "kg_degree_delta": kg_degree_delta,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }

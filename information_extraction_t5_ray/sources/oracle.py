@@ -577,6 +577,29 @@ SELECT subj, pred, obj, 'removed' AS change
 FROM (SELECT * FROM old EXCEPT SELECT * FROM new)"""
 
 
+def kg_degree_delta_sql(
+    added_pred: str = "form.cpf", removed_pred: str = "form.agencia"
+) -> str:
+    """Per-node degree change from the v1/v2 churn (same extractor-
+    upgrade derivation as kg_diff_sql) — ground truth for
+    stages/graph.degree_delta; zero-net nodes emit nothing."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+old AS (SELECT subj, pred, obj FROM t WHERE pred <> '{added_pred}'),
+new AS (SELECT subj, pred, obj FROM t WHERE pred <> '{removed_pred}'),
+d AS (SELECT subj, obj, 1 AS sign
+      FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+      UNION ALL
+      SELECT subj, obj, -1 AS sign
+      FROM (SELECT * FROM old EXCEPT SELECT * FROM new)),
+n AS (SELECT node, CAST(SUM(o) AS BIGINT) AS d_out,
+             CAST(SUM(i) AS BIGINT) AS d_in
+      FROM (SELECT subj AS node, sign AS o, 0 AS i FROM d
+            UNION ALL
+            SELECT obj, 0, sign FROM d)
+      GROUP BY node)
+SELECT node, d_out, d_in FROM n WHERE d_out <> 0 OR d_in <> 0"""
+
+
 def kg_support_sql() -> str:
     """Per-assertion provenance — ground truth for
     stages/kgstats.triple_support."""

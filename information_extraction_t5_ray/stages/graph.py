@@ -135,6 +135,62 @@ def node_degrees(triples_ds, num_buckets: Optional[int] = None):
     )
 
 
+def degree_delta(old_ds, new_ds, num_buckets: Optional[int] = None):
+    """Incremental degree maintenance: per-node ``(d_out, d_in)`` CHANGE
+    between two triple sets, computed from the churn stream
+    (:func:`~.triples.diff_triples`), never from a full recount — the
+    maintenance path that keeps :func:`node_degrees` materializations
+    fresh after an extractor upgrade or recrawl.  Nodes whose degrees
+    are unchanged emit nothing: output is bounded by the churn, not the
+    KG.  Set-semantic like ``diff_triples`` (degrees over the distinct
+    (subj, pred, obj) set).
+
+    One exchange past the diff's own: the signed (+1 added / -1
+    removed) endpoint partials are per-batch combined, then summed per
+    node in a bucketed merge; zero-net rows (a node that lost one
+    triple and gained another) are dropped there.
+    """
+    from .triples import diff_triples
+
+    num_buckets = resolve_parallelism(num_buckets)
+    diff = diff_triples(old_ds, new_ds, num_buckets=num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        sign = np.where(
+            batch["change"].to_pandas().astype(str) == "added", 1, -1
+        ).astype(np.int64)
+        subj = batch["subj"].to_pandas().astype(str)
+        obj = batch["obj"].to_pandas().astype(str)
+        df = pd.concat(
+            [
+                pd.DataFrame({"node": subj, "d_out": sign, "d_in": 0}),
+                pd.DataFrame({"node": obj, "d_out": 0, "d_in": sign}),
+            ],
+            ignore_index=True,
+        )
+        g = df.groupby("node", sort=False, as_index=False)[
+            ["d_out", "d_in"]
+        ].sum()
+        for c in ("d_out", "d_in"):
+            g[c] = g[c].astype(np.int64)
+        g["_bucket"] = bucket_of(g["node"].to_numpy(), num_buckets)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)[
+            ["d_out", "d_in"]
+        ].sum()
+        g = g[(g["d_out"] != 0) | (g["d_in"] != 0)]
+        for c in ("d_out", "d_in"):
+            g[c] = g[c].astype(np.int64)
+        return g[["node", "d_out", "d_in"]]
+
+    parts = diff.map_batches(arrowed(partial), batch_format="pyarrow")
+    return parts.groupby("_bucket").map_groups(
+        arrowed(merge), batch_format="pandas"
+    )
+
+
 def cooccur_edges(
     triples_ds,
     preds: Sequence[str] = GRAPH_PREDS,

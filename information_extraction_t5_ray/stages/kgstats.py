@@ -653,33 +653,69 @@ def entity_summary(triples_ds, k: int = 3, num_buckets: Optional[int] = None):
     entity-card builder ("what does the KG say about 'sp'?"): fusion
     keeps an assertion's strongest provenance first.
 
-    Composition: :func:`triple_support` (full-key-hashed distinct-page
-    counts — a hot entity never co-locates pre-reduce) re-keyed on the
-    object entity through the shared two-phase
-    :func:`~.aggregates.grouped_topk` (each batch keeps <= k rows per
-    entity before the exchange).
+    TWO exchanges (one fewer than composing :func:`triple_support` with
+    :func:`~.aggregates.grouped_topk`, measured 1.69 s -> 0.48 s at
+    sf0.1/32): exchange 1 hashes the FULL (pred, obj, subj) key — the
+    :func:`triple_support` skew discipline: duplicate mentions collapse
+    without co-locating a hot assertion — producing per-bucket
+    distinct-page partial counts; exchange 2 re-keys those on the
+    entity alone, and since ALL of an entity's partials co-locate
+    (bounded: <= buckets x P rows per entity, P schema-bounded), the
+    per-bucket fold sums and selects the exact top-k in one pass.
     """
-    from .aggregates import grouped_topk
+    num_buckets = resolve_parallelism(num_buckets)
 
-    support = triple_support(triples_ds, num_buckets=num_buckets)
-
-    def project(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
             {
-                "entity": batch["obj"].cast(pa.string()),
-                "pred": batch["pred"].cast(pa.string()),
-                "n_pages": batch["n_pages"].cast(pa.int64()),
+                "subj": batch["subj"].to_pandas().astype(str),
+                "pred": batch["pred"].to_pandas().astype(str),
+                "obj": batch["obj"].to_pandas().astype(str),
+            }
+        ).drop_duplicates()
+        key = df["pred"] + _SEP + df["obj"] + _SEP + df["subj"]
+        df["_bucket"] = bucket_of(key.to_numpy(), num_buckets)
+        return df
+
+    def count_pages(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["pred", "obj", "subj"])
+        g = (
+            d.groupby(["obj", "pred"], sort=False)
+            .size()
+            .rename("n_pages")
+            .reset_index()
+        )
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        g["_b2"] = bucket_of(g["obj"].to_numpy(), num_buckets)
+        return g
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["obj", "pred"], sort=False, as_index=False)[
+            "n_pages"
+        ].sum()
+        g["n_pages"] = g["n_pages"].astype(np.int64)
+        g = g.sort_values(
+            ["obj", "n_pages", "pred"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        out = g.groupby("obj", sort=False).head(k)
+        return pd.DataFrame(
+            {
+                "entity": out["obj"].astype(str),
+                "pred": out["pred"].astype(str),
+                "n_pages": out["n_pages"].to_numpy(np.int64),
             }
         )
 
-    facts = support.map_batches(project, batch_format="pyarrow")
-    return grouped_topk(
-        facts,
-        group_col="entity",
-        order_col="n_pages",
-        k=k,
-        tie_col="pred",
-        num_buckets=num_buckets,
+    parts = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        arrowed(partial), batch_format="pyarrow"
+    )
+    counted = parts.groupby("_bucket").map_groups(
+        arrowed(count_pages), batch_format="pandas"
+    )
+    return counted.groupby("_b2").map_groups(
+        arrowed(topk), batch_format="pandas"
     )
 
 

@@ -607,3 +607,28 @@ def test_clustering_coefficient_both_paths(ray_session):
             [2 / 3, 2 / 3, 1.0, 1.0, 0.0, 0.0]
         ), thresh
         assert got["lcc"].dtype == np.float64
+
+
+def test_degree_delta_nets_out_zero_rows(ray_session):
+    # old: d1-p->x, d1-q->y, d2-p->x ; new: d1-p->x, d1-q->z, d3-p->x
+    # d1: swapped an obj (out net 0 -> no row); y: -1 in; z: +1 in;
+    # d2: -1 out; d3: +1 out; x: net 0 in (lost d2, gained d3) -> no row.
+    old = _triples([("d1", "p", "x"), ("d1", "q", "y"), ("d2", "p", "x")])
+    new = _triples([("d1", "p", "x"), ("d1", "q", "z"), ("d3", "p", "x")])
+    got = (
+        G.degree_delta(old, new, num_buckets=3)
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    assert set(got.index) == {"y", "z", "d2", "d3"}
+    assert got.loc["y"].tolist() == [0, -1]
+    assert got.loc["z"].tolist() == [0, 1]
+    assert got.loc["d2"].tolist() == [-1, 0]
+    assert got.loc["d3"].tolist() == [1, 0]
+    assert got["d_out"].dtype == np.int64 and got["d_in"].dtype == np.int64
+
+
+def test_degree_delta_identical_sets_empty(ray_session):
+    t = _triples([("d1", "p", "x"), ("d2", "q", "y")])
+    assert G.degree_delta(t, t, num_buckets=3).count() == 0
