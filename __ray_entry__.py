@@ -554,6 +554,19 @@ def _q_kg_starquery(sf_dir: str):
     return star_query(run_kg(sf_dir))
 
 
+def _q_kg_entity_vecs(sf_dir: str):
+    """Entity-embedding construction (KG x embeddings bridge, the
+    bi-encoder side of the linking rerank): mean page vector per
+    graph-pred entity, fixed-point int64 accumulation so the
+    distributed sum is order-free and oracle-exact."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        entity_embeddings,
+    )
+
+    return entity_embeddings(run_kg(sf_dir), sf_dir)
+
+
 def _q_kg_degree_delta(sf_dir: str):
     """Incremental degree maintenance: per-node (d_out, d_in) change
     computed from the kg_diff churn stream (same v1-lacks-cpf /
@@ -647,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_starquery": _q_kg_starquery,  # conjunctive BGP query answering
         "kg_nt_roundtrip": _q_kg_nt_roundtrip,  # N-Triples sink validated
         "kg_degree_delta": _q_kg_degree_delta,  # incremental degree maint
+        "kg_entity_vecs": _q_kg_entity_vecs,  # entity embeddings (fixed-point)
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -774,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         kg_summary_sql,
         kg_starquery_sql,
         kg_degree_delta_sql,
+        kg_entity_vecs_sql,
     )
 
     return {
@@ -810,6 +825,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_starquery": kg_starquery_sql(),
         "kg_nt_roundtrip": oracle_triples_sql(),
         "kg_degree_delta": kg_degree_delta_sql(),
+        "kg_entity_vecs": kg_entity_vecs_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

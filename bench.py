@@ -212,6 +212,19 @@ def _bench_queries(sf_dir: str):
         finally:
             shutil.rmtree(out, ignore_errors=True)
 
+    def kg_entity_vecs() -> int:
+        from information_extraction_t5_ray.stages.common import (
+            resolve_parallelism,
+        )
+        from information_extraction_t5_ray.stages.kgstats import (
+            entity_embeddings,
+        )
+
+        # small fixture: coalesce the tiny-block embeddings read (see
+        # entity_embeddings.vecs_scatter; a 100 TB corpus passes None)
+        width = max(4, resolve_parallelism(per_cpu=1) // 2)
+        return entity_embeddings(_tri(), sf_dir, vecs_scatter=width).count()
+
     def kg_degree_delta() -> int:
         import pyarrow.compute as pc
 
@@ -264,6 +277,7 @@ def _bench_queries(sf_dir: str):
         "kg_starquery": kg_starquery,
         "kg_ntriples": kg_ntriples,
         "kg_degree_delta": kg_degree_delta,
+        "kg_entity_vecs": kg_entity_vecs,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }

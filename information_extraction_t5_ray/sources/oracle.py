@@ -763,6 +763,30 @@ JOIN v v1 ON v1.idx = i.idx
 JOIN v v2 ON v2.idx = (i.idx + 1) % i.n"""
 
 
+def kg_entity_vecs_sql(scale: int = 1_000_000) -> str:
+    """Entity embeddings (mean page vector per graph-pred entity) —
+    ground truth for stages/kgstats.entity_embeddings.  Fixed-point
+    parity: both engines sum floor(float64(v) * scale) as exact int64
+    (order-free) and divide ONCE by (n_pages * scale)."""
+    from ..stages.graph import GRAPH_PREDS
+
+    preds = ",".join(f"'{p}'" for p in GRAPH_PREDS)
+    return f"""WITH t AS ({oracle_triples_sql()}),
+g AS (SELECT DISTINCT CAST(right(subj, 8) AS BIGINT) AS pid, obj AS entity
+      FROM t WHERE pred IN ({preds})),
+q AS (SELECT vec_id AS pid, i - 1 AS dim,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
+               AS qv
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS u(i)),
+n AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_pages
+      FROM g GROUP BY entity)
+SELECT g.entity, CAST(q.dim AS BIGINT) AS dim,
+       CAST(SUM(q.qv) AS DOUBLE) / (n.n_pages * {scale}) AS avg
+FROM g JOIN q ON q.pid = g.pid JOIN n ON n.entity = g.entity
+GROUP BY g.entity, q.dim, n.n_pages"""
+
+
 def kg_assoc_sql() -> str:
     """Predicate association rules — ground truth for
     stages/kgstats.predicate_assoc: ordered pairs over the distinct

@@ -789,6 +789,205 @@ def star_query(
     )
 
 
+def entity_embeddings(
+    triples_ds,
+    sf_dir: str,
+    preds: Sequence[str] = GRAPH_PREDS,
+    scale: int = 1_000_000,
+    num_buckets: Optional[int] = None,
+    vecs_scatter: Optional[int] = None,
+):
+    """Entity-embedding construction — the KG x embeddings bridge: each
+    canonical entity's vector is the mean of the page embeddings that
+    assert it (graph predicates), the bi-encoder side of the
+    north-star's entity-link rerank (north_star stage 3: alias dict +
+    embedding rerank; this builds the entity side from the corpus
+    itself).  Output is exploded ``(entity, dim, avg)`` rows.
+
+    Determinism at scale: float sums are order-dependent, and a
+    distributed reduce cannot fix its addition order — so the page
+    vectors are quantized to FIXED-POINT int64 (``floor(v * scale)``)
+    at the read, summed exactly (order-free), and divided ONCE at the
+    end: ``avg = q_sum / (n_pages * scale)``.  Bit-identical under any
+    partitioning and to the SQL mirror.
+
+    Shape: exchange 1 co-groups the distinct (page, entity) mention
+    pairs with the quantized page vectors on a page-id hash (both sides
+    corpus-sized, neither broadcast); per bucket a ``reduceat`` produces
+    one (entity, sum_vec, n) row per (bucket, entity); exchange 2 is
+    entity-keyed — bounded by the alias-dictionary vocabulary.
+
+    ``vecs_scatter`` follows :func:`extraction_yield`'s ``docs_scatter``
+    convention: a small embeddings fixture arrives as ~2x-CPUs tiny
+    blocks and the union sort width follows the block count, so an
+    explicit width coalesces the quantized-vector partials first
+    (measured 2.5 s -> 1.4 s at sf0.1/32).  Leave ``None`` for
+    data-dominated corpora.
+    """
+    from ..sources.synth import URL_PREFIX  # noqa: F401  (page-id contract)
+    from .common import read_parquet_clean
+
+    preds = tuple(preds)
+    width = resolve_parallelism(num_buckets)
+    qvec_t = pa.list_(pa.int64())
+
+    def _union_table(pid, entity, qvec, side):
+        n = len(pid)
+        return pa.table(
+            {
+                "pid": pa.array(pid, pa.int64()),
+                "entity": pa.array(entity, pa.string()),
+                "qvec": qvec
+                if qvec is not None
+                else pa.nulls(n, qvec_t),
+                "_side": pa.array(
+                    np.full(n, side, dtype=np.int8), pa.int8()
+                ),
+                "_bucket": pa.array(
+                    (pid % width).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+
+    def mention_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
+        t = batch.filter(mask)
+        df = pd.DataFrame(
+            {
+                "pid": t["subj"]
+                .to_pandas()
+                .astype(str)
+                .str[-8:]
+                .astype(np.int64),
+                "entity": t["obj"].to_pandas().astype(str),
+            }
+        ).drop_duplicates()
+        return _union_table(
+            df["pid"].to_numpy(np.int64),
+            df["entity"].to_numpy(),
+            None,
+            1,
+        )
+
+    def vec_rows(batch: pa.Table) -> pa.Table:
+        arr = batch["embedding"].combine_chunks()
+        if isinstance(arr, pa.ChunkedArray):  # pragma: no cover
+            arr = arr.combine_chunks()
+        offsets = arr.offsets.to_numpy()
+        widths = np.diff(offsets)
+        if len(widths) and not (widths == widths[0]).all():
+            raise ValueError("entity_embeddings: ragged embedding column")
+        # .values is the ABSOLUTE buffer: a sliced block's offsets need
+        # not start at 0, so slice before reshaping
+        flat = arr.values.to_numpy(zero_copy_only=False)
+        flat = flat[offsets[0] : offsets[-1]] if len(offsets) else flat
+        mat = flat.reshape(len(arr), -1) if len(arr) else flat.reshape(0, 0)
+        qflat = np.floor(mat.astype(np.float64) * scale).astype(
+            np.int64
+        ).ravel()
+        rel = offsets - offsets[0] if len(offsets) else offsets
+        qcol = pa.ListArray.from_arrays(
+            pa.array(rel, pa.int32()), pa.array(qflat, pa.int64())
+        )
+        pid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _union_table(pid, np.full(len(pid), "", object), qcol, 0)
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        vecs = df[df["_side"] == 0]
+        men = df[df["_side"] == 1].drop_duplicates(["pid", "entity"])[
+            ["pid", "entity"]
+        ]
+        j = men.merge(vecs[["pid", "qvec"]], on="pid", how="inner")
+        if not len(j):
+            return pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "svec": pa.array([], qvec_t),
+                    "_b2": pa.array([], pa.int32()),
+                }
+            )
+        j = j.sort_values("entity", kind="stable")
+        ents = j["entity"].to_numpy()
+        mat = np.stack(j["qvec"].to_numpy()).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, ents[1:] != ents[:-1]])
+        sums = np.add.reduceat(mat, starts, axis=0)
+        n = np.diff(np.r_[starts, len(ents)]).astype(np.int64)
+        uniq = ents[starts]
+        dim = mat.shape[1]
+        svec = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(len(uniq) + 1, dtype=np.int64) * dim, pa.int32()
+            ),
+            pa.array(sums.ravel(), pa.int64()),
+        )
+        return pa.table(
+            {
+                "entity": pa.array(uniq.astype(str), pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "svec": svec,
+                "_b2": pa.array(
+                    bucket_of(uniq.astype(str), width), pa.int32()
+                ),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return pa.table(
+                {
+                    "entity": pa.array([], pa.string()),
+                    "dim": pa.array([], pa.int64()),
+                    "avg": pa.array([], pa.float64()),
+                }
+            )
+        df = df.sort_values("entity", kind="stable")
+        ents = df["entity"].to_numpy()
+        lens = np.fromiter(
+            (len(v) for v in df["svec"]), dtype=np.int64, count=len(df)
+        )
+        if len(lens) and not (lens == lens[0]).all():
+            # raggedness split across read blocks evades the per-batch
+            # width check in vec_rows; catch it at the reduce
+            raise ValueError("entity_embeddings: ragged embedding column")
+        mat = np.stack(df["svec"].to_numpy()).astype(np.int64)
+        starts = np.flatnonzero(np.r_[True, ents[1:] != ents[:-1]])
+        sums = np.add.reduceat(mat, starts, axis=0)
+        counts = np.add.reduceat(df["n"].to_numpy(np.int64), starts)
+        uniq = ents[starts]
+        dim = mat.shape[1]
+        avg = sums / (counts[:, None] * np.float64(scale))
+        return pa.table(
+            {
+                "entity": pa.array(
+                    np.repeat(uniq, dim).astype(str), pa.string()
+                ),
+                "dim": pa.array(
+                    np.tile(np.arange(dim, dtype=np.int64), len(uniq)),
+                    pa.int64(),
+                ),
+                "avg": pa.array(avg.ravel(), pa.float64()),
+            }
+        )
+
+    mentions = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        mention_rows, batch_format="pyarrow"
+    )
+    vecs = read_parquet_clean(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(vec_rows, batch_format="pyarrow")
+    if vecs_scatter is not None:
+        vecs = vecs.repartition(vecs_scatter)
+    partials = (
+        mentions.union(vecs)
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+    return partials.groupby("_b2").map_groups(merge, batch_format="pandas")
+
+
 def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
     """Sorted distinct canonical-entity vocabulary over ``preds``.
 

@@ -336,3 +336,77 @@ def test_star_query_requires_all_constraints(ray_session):
     assert sorted(got["pred"]) == ["p1", "p2"]
     with pytest.raises(ValueError):
         K.star_query(_triples(rows), {})
+
+
+def test_entity_embeddings_fixed_point_exact(ray_session, tmp_path):
+    # pages 0,1 mention 'e' (graph pred), page 2 mentions 'f'.
+    # avg must be floor(v*1e6)-exact: (q0+q1)/(2e6) regardless of
+    # partitioning or summation order.
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    vecs = np.array(
+        [[0.25, -0.125], [0.75, 0.375], [1.0, -1.0]], dtype=np.float32
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in vecs],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    pred = K.GRAPH_PREDS[0]
+    rows = [
+        ("https://example.org/00000000", pred, "e"),
+        ("https://example.org/00000001", pred, "e"),
+        ("https://example.org/00000001", pred, "e"),  # dup mention
+        ("https://example.org/00000002", pred, "f"),
+    ]
+    for nblocks in (1, 4):
+        tri = _triples(rows)
+        if nblocks > 1:
+            tri = tri.repartition(nblocks)
+        got = (
+            K.entity_embeddings(tri, str(tmp_path), num_buckets=3)
+            .to_pandas()
+            .set_index(["entity", "dim"])
+            .sort_index()
+        )
+        q = np.floor(vecs.astype(np.float64) * 1e6)
+        assert got.loc[("e", 0), "avg"] == (q[0, 0] + q[1, 0]) / 2e6
+        assert got.loc[("e", 1), "avg"] == (q[0, 1] + q[1, 1]) / 2e6
+        assert got.loc[("f", 0), "avg"] == q[2, 0] / 1e6
+        assert len(got) == 4
+
+
+def test_entity_embeddings_ragged_raises(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[0.1, 0.2], [0.3]], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    pred = K.GRAPH_PREDS[0]
+    # same entity on both pages: even when the reader splits the ragged
+    # rows into separate (per-batch-uniform) blocks, their partials meet
+    # at the entity reduce and must fail loudly there
+    tri = _triples(
+        [
+            ("https://example.org/00000000", pred, "e"),
+            ("https://example.org/00000001", pred, "e"),
+        ]
+    )
+    with pytest.raises(Exception, match="ragged"):
+        K.entity_embeddings(tri, str(tmp_path), num_buckets=2).to_pandas()
