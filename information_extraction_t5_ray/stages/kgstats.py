@@ -824,7 +824,8 @@ def entity_embeddings(
     (measured 2.5 s -> 1.4 s at sf0.1/32).  Leave ``None`` for
     data-dominated corpora.
     """
-    from ..sources.synth import URL_PREFIX  # noqa: F401  (page-id contract)
+    # page id = last 8 url chars, the pages-source contract shared with
+    # encode_triples / corruption_negatives
     from .common import read_parquet_clean
 
     preds = tuple(preds)

@@ -425,14 +425,20 @@ def _nt_escape(s: pd.Series) -> pd.Series:
     return s
 
 
+def _unesc_char(m) -> str:
+    c = m.group(1)
+    try:
+        return _NT_UNESC[c]
+    except KeyError:
+        raise ValueError(f"read_ntriples: invalid escape \\{c}") from None
+
+
 def _nt_unescape(s: pd.Series) -> pd.Series:
     # single left-to-right pass: a chained literal replace would corrupt
     # '\\n' (escaped backslash + literal n) into a newline.
     if not s.str.contains("\\", regex=False).any():
         return s  # hot path: no escapes in the block
-    return s.str.replace(
-        r"\\(.)", lambda m: _NT_UNESC[m.group(1)], regex=True
-    )
+    return s.str.replace(r"\\(.)", _unesc_char, regex=True)
 
 
 def write_ntriples(triples_ds, out_dir: str):
@@ -499,6 +505,14 @@ def write_ntriples(triples_ds, out_dir: str):
     }
     with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+    # the manifest is authoritative: a rerun whose blocks split
+    # differently must not leave a previous run's shards behind for
+    # read_ntriples to double-count
+    import glob
+
+    for path in glob.glob(os.path.join(out_dir, "*.nt")):
+        if os.path.basename(path) not in manifest["shards"]:
+            os.remove(path)
     return out_dir
 
 

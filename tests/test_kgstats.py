@@ -192,6 +192,9 @@ def test_empty_input_yields_typed_empty(ray_session):
         lambda ds: K.predicate_profile(ds, num_buckets=2),
         lambda ds: K.constraint_report(ds, num_buckets=2),
         lambda ds: K.sameas_pairs(ds, num_buckets=2),
+        lambda ds: K.predicate_assoc(ds, num_buckets=2),
+        lambda ds: K.entity_summary(ds, num_buckets=2),
+        lambda ds: K.star_query(ds, {"p": "x"}, num_buckets=2),
     ):
         out = fn(empty).to_pandas()
         assert len(out) == 0

@@ -86,3 +86,37 @@ def test_read_ntriples_rejects_malformed(ray_session, tmp_path):
 def test_read_ntriples_missing_dir(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_ntriples(str(tmp_path / "nope"))
+
+
+def test_write_ntriples_rerun_removes_stale_shards(ray_session, tmp_path):
+    import ray.data as rd
+
+    def tbl(objs):
+        return pa.table(
+            {
+                "subj": pa.array(
+                    [f"https://example.org/{i:08d}" for i in range(len(objs))]
+                ),
+                "pred": pa.array(["form.f"] * len(objs)),
+                "obj": pa.array(objs),
+            }
+        )
+
+    out = str(tmp_path / "nt")
+    write_ntriples(rd.from_arrow(tbl(["a", "b", "c"])), out)
+    # second run over DIFFERENT content: previous shards must not leak
+    # into the read
+    write_ntriples(rd.from_arrow(tbl(["x", "y"])), out)
+    back = read_ntriples(out).to_pandas()
+    assert sorted(back["obj"]) == ["x", "y"]
+
+    manifest = json.loads((tmp_path / "nt" / "_MANIFEST.json").read_text())
+    assert manifest["total_rows"] == 2
+
+
+def test_read_ntriples_invalid_escape(ray_session, tmp_path):
+    (tmp_path / "bad.nt").write_text(
+        '<https://a> <https://p> "oops\\z" .\n'
+    )
+    with pytest.raises(Exception, match="invalid escape"):
+        read_ntriples(str(tmp_path)).materialize()
