@@ -162,21 +162,14 @@ def _q_kg_diff(sf_dir: str):
     """KG delta after a simulated extractor upgrade: v1 lacks form.cpf,
     v2 drops form.agencia — the diff stream is (added cpf triples) +
     (removed agencia triples), one exchange, bounded by the churn."""
-    import pyarrow.compute as pc
-
-    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.pipelines.kg import (
+        run_kg,
+        simulate_extractor_upgrade,
+    )
     from information_extraction_t5_ray.stages.triples import diff_triples
 
     tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
-
-    def drop_pred(p):
-        def f(batch):
-            return batch.filter(pc.not_equal(batch["pred"], p))
-
-        return f
-
-    old = tri.map_batches(drop_pred("form.cpf"), batch_format="pyarrow")
-    new = tri.map_batches(drop_pred("form.agencia"), batch_format="pyarrow")
+    old, new = simulate_extractor_upgrade(tri)
     return diff_triples(old, new)
 
 
@@ -571,21 +564,14 @@ def _q_kg_degree_delta(sf_dir: str):
     """Incremental degree maintenance: per-node (d_out, d_in) change
     computed from the kg_diff churn stream (same v1-lacks-cpf /
     v2-drops-agencia derivation), never a full recount."""
-    import pyarrow.compute as pc
-
-    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.pipelines.kg import (
+        run_kg,
+        simulate_extractor_upgrade,
+    )
     from information_extraction_t5_ray.stages.graph import degree_delta
 
     tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
-
-    def drop_pred(p):
-        def f(batch):
-            return batch.filter(pc.not_equal(batch["pred"], p))
-
-        return f
-
-    old = tri.map_batches(drop_pred("form.cpf"), batch_format="pyarrow")
-    new = tri.map_batches(drop_pred("form.agencia"), batch_format="pyarrow")
+    old, new = simulate_extractor_upgrade(tri)
     return degree_delta(old, new)
 
 

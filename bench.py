@@ -226,22 +226,12 @@ def _bench_queries(sf_dir: str):
         return entity_embeddings(_tri(), sf_dir, vecs_scatter=width).count()
 
     def kg_degree_delta() -> int:
-        import pyarrow.compute as pc
-
+        from information_extraction_t5_ray.pipelines.kg import (
+            simulate_extractor_upgrade,
+        )
         from information_extraction_t5_ray.stages.graph import degree_delta
 
-        tri = _tri()
-
-        def drop_pred(p):
-            def f(batch):
-                return batch.filter(pc.not_equal(batch["pred"], p))
-
-            return f
-
-        old = tri.map_batches(drop_pred("form.cpf"), batch_format="pyarrow")
-        new = tri.map_batches(
-            drop_pred("form.agencia"), batch_format="pyarrow"
-        )
+        old, new = simulate_extractor_upgrade(_tri())
         return degree_delta(old, new).count()
 
     def crawl_latest() -> int:

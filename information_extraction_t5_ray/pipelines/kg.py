@@ -219,6 +219,37 @@ def run_kg(
     return triples
 
 
+def simulate_extractor_upgrade(
+    triples_ds,
+    added_pred: str = "form.cpf",
+    removed_pred: str = "form.agencia",
+):
+    """The repo's canonical churn pair for incremental-maintenance
+    demos: derive ``(old, new)`` triple sets from ONE extraction, where
+    v1 lacks ``added_pred`` and v2 drops ``removed_pred`` — so the diff
+    stream is exactly (added ``added_pred`` triples) + (removed
+    ``removed_pred`` triples).  Single source of truth for kg_diff,
+    kg_degree_delta and the bench entries; the defaults MUST mirror
+    ``sources/oracle.kg_diff_sql`` / ``kg_degree_delta_sql``.
+    """
+    import pyarrow.compute as pc
+
+    def drop_pred(p):
+        def f(batch):
+            return batch.filter(pc.not_equal(batch["pred"], p))
+
+        f.__name__ = f"drop_{p.split('.')[-1]}"
+        return f
+
+    old = triples_ds.map_batches(
+        drop_pred(added_pred), batch_format="pyarrow"
+    )
+    new = triples_ds.map_batches(
+        drop_pred(removed_pred), batch_format="pyarrow"
+    )
+    return old, new
+
+
 def kg_temporal(
     sf_dir: str,
     cfg: Optional[KGConfig] = None,

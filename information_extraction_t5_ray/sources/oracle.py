@@ -767,18 +767,24 @@ def kg_entity_vecs_sql(scale: int = 1_000_000) -> str:
     """Entity embeddings (mean page vector per graph-pred entity) —
     ground truth for stages/kgstats.entity_embeddings.  Fixed-point
     parity: both engines sum floor(float64(v) * scale) as exact int64
-    (order-free) and divide ONCE by (n_pages * scale)."""
+    (order-free) and divide ONCE by (n_pages * scale).  ``n_pages``
+    counts only mentioning pages that HAVE an embedding row (the
+    engine's inner-join semantics): a page missing from the embeddings
+    table contributes neither numerator nor denominator, so the mean
+    is over observed vectors — not dragged toward zero."""
     from ..stages.graph import GRAPH_PREDS
 
     preds = ",".join(f"'{p}'" for p in GRAPH_PREDS)
     return f"""WITH t AS ({oracle_triples_sql()}),
-g AS (SELECT DISTINCT CAST(right(subj, 8) AS BIGINT) AS pid, obj AS entity
-      FROM t WHERE pred IN ({preds})),
+g0 AS (SELECT DISTINCT CAST(right(subj, 8) AS BIGINT) AS pid, obj AS entity
+       FROM t WHERE pred IN ({preds})),
 q AS (SELECT vec_id AS pid, i - 1 AS dim,
              CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT)
                AS qv
       FROM embeddings,
            UNNEST(generate_series(1, len(embedding))) AS u(i)),
+g AS (SELECT g0.* FROM g0
+      JOIN (SELECT DISTINCT pid FROM q) p ON p.pid = g0.pid),
 n AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_pages
       FROM g GROUP BY entity)
 SELECT g.entity, CAST(q.dim AS BIGINT) AS dim,

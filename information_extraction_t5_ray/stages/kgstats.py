@@ -802,7 +802,11 @@ def entity_embeddings(
     assert it (graph predicates), the bi-encoder side of the
     north-star's entity-link rerank (north_star stage 3: alias dict +
     embedding rerank; this builds the entity side from the corpus
-    itself).  Output is exploded ``(entity, dim, avg)`` rows.
+    itself).  Output is exploded ``(entity, dim, avg)`` rows.  The mean
+    is over mentioning pages that HAVE an embedding row (inner join): a
+    page absent from the embeddings table contributes neither numerator
+    nor denominator — missing vectors must not drag the mean toward
+    zero.  The SQL mirror counts the same post-join page set.
 
     Determinism at scale: float sums are order-dependent, and a
     distributed reduce cannot fix its addition order — so the page

@@ -438,6 +438,12 @@ def _nt_unescape(s: pd.Series) -> pd.Series:
     # '\\n' (escaped backslash + literal n) into a newline.
     if not s.str.contains("\\", regex=False).any():
         return s  # hot path: no escapes in the block
+    # a literal ending in an ODD run of backslashes has a dangling
+    # escape introducer that \\(.) cannot match — fail loudly instead
+    # of passing the corrupt tail through
+    trail = s.str.extract(r"(\\+)\Z")[0].str.len()
+    if (trail % 2 == 1).fillna(False).any():
+        raise ValueError("read_ntriples: dangling escape at end of literal")
     return s.str.replace(r"\\(.)", _unesc_char, regex=True)
 
 
@@ -451,9 +457,12 @@ def write_ntriples(triples_ds, out_dir: str):
 
     The writer runs INSIDE the map tasks (each task writes its own
     shard — the driver only ever holds one (file, rows) row per block);
-    an exclusive-create with a ``-k`` suffix loop preserves row
-    multiplicity in the measure-zero case of two distinct blocks
-    hashing identical bytes content.
+    an exclusive-create with a ``-k`` suffix loop allocates a FRESH
+    name whenever the target exists — even for byte-identical content,
+    since two duplicate blocks are indistinguishable from a task retry
+    and silently coalescing them would lose rows.  Orphans from retries
+    or earlier runs are removed at the end: the manifest (built from
+    the consumed task results) is authoritative over the directory.
     """
     import hashlib
     import json
@@ -481,9 +490,6 @@ def write_ntriples(triples_ds, out_dir: str):
             try:
                 fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
             except FileExistsError:
-                with open(path, "rb") as f:
-                    if f.read() == payload:
-                        break  # identical shard already present (resume)
                 name = f"{digest}-{k}.nt"
                 continue
             with os.fdopen(fd, "wb") as f:

@@ -413,3 +413,37 @@ def test_entity_embeddings_ragged_raises(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="ragged"):
         K.entity_embeddings(tri, str(tmp_path), num_buckets=2).to_pandas()
+
+
+def test_entity_embeddings_missing_vector_page_excluded(
+    ray_session, tmp_path
+):
+    # pages 0 and 1 mention 'e' but only page 0 has an embedding: the
+    # mean is over OBSERVED vectors (inner join), denominator 1 — and
+    # must match the SQL mirror's post-join page count.
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([0], pa.int64()),
+                "embedding": pa.array([[0.5, 0.25]], pa.list_(pa.float32())),
+            }
+        ),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    pred = K.GRAPH_PREDS[0]
+    tri = _triples(
+        [
+            ("https://example.org/00000000", pred, "e"),
+            ("https://example.org/00000001", pred, "e"),
+        ]
+    )
+    got = (
+        K.entity_embeddings(tri, str(tmp_path), num_buckets=2)
+        .to_pandas()
+        .set_index("dim")
+        .sort_index()
+    )
+    assert got.loc[0, "avg"] == np.floor(0.5 * 1e6) / 1e6
+    assert got.loc[1, "avg"] == np.floor(np.float64(np.float32(0.25)) * 1e6) / 1e6

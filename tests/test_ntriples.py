@@ -120,3 +120,34 @@ def test_read_ntriples_invalid_escape(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="invalid escape"):
         read_ntriples(str(tmp_path)).materialize()
+
+
+def test_write_ntriples_duplicate_blocks_keep_multiplicity(
+    ray_session, tmp_path
+):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "subj": pa.array(["https://example.org/00000001"]),
+            "pred": pa.array(["form.f"]),
+            "obj": pa.array(["v"]),
+        }
+    )
+    # two byte-identical blocks: both rows must survive the round trip
+    ds = rd.from_arrow(t).union(rd.from_arrow(t))
+    out = str(tmp_path / "nt")
+    write_ntriples(ds, out)
+    manifest = json.loads((tmp_path / "nt" / "_MANIFEST.json").read_text())
+    assert manifest["total_rows"] == 2
+    assert sum(manifest["shards"].values()) == 2
+    back = read_ntriples(out).to_pandas()
+    assert len(back) == 2
+
+
+def test_read_ntriples_dangling_escape(ray_session, tmp_path):
+    # literal ending in an ODD backslash run: the escape introducer has
+    # no following char — must fail loudly, not pass through
+    (tmp_path / "bad.nt").write_text('<https://a> <https://p> "abc\\" .\n')
+    with pytest.raises(Exception, match="dangling escape"):
+        read_ntriples(str(tmp_path)).materialize()
