@@ -575,6 +575,20 @@ def _q_kg_degree_delta(sf_dir: str):
     return degree_delta(old, new)
 
 
+def _q_kg_fuse(sf_dir: str):
+    """Truth-discovery fusion: three disagreeing extractor versions
+    (v2/v3 perturb pages divisible by 3/5) majority-voted per
+    (subj, pred) — 'alt-' wins only where both perturbations agree."""
+    from information_extraction_t5_ray.pipelines.kg import (
+        perturb_objs,
+        run_kg,
+    )
+    from information_extraction_t5_ray.stages.triples import fuse_majority
+
+    tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
+    return fuse_majority([tri, perturb_objs(tri, 3), perturb_objs(tri, 5)])
+
+
 def _q_kg_nt_roundtrip(sf_dir: str):
     """RDF interchange sink validated end-to-end: triples serialized as
     sharded W3C N-Triples text (content-addressed shards + manifest),
@@ -649,6 +663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nt_roundtrip": _q_kg_nt_roundtrip,  # N-Triples sink validated
         "kg_degree_delta": _q_kg_degree_delta,  # incremental degree maint
         "kg_entity_vecs": _q_kg_entity_vecs,  # entity embeddings (fixed-point)
+        "kg_fuse": _q_kg_fuse,  # majority-vote truth discovery
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -779,6 +794,7 @@ def oracle_sql() -> dict[str, str]:
         kg_starquery_sql,
         kg_degree_delta_sql,
         kg_entity_vecs_sql,
+        kg_fuse_sql,
     )
 
     return {
@@ -816,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nt_roundtrip": oracle_triples_sql(),
         "kg_degree_delta": kg_degree_delta_sql(),
         "kg_entity_vecs": kg_entity_vecs_sql(),
+        "kg_fuse": kg_fuse_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

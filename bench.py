@@ -234,6 +234,17 @@ def _bench_queries(sf_dir: str):
         old, new = simulate_extractor_upgrade(_tri())
         return degree_delta(old, new).count()
 
+    def kg_fuse() -> int:
+        from information_extraction_t5_ray.pipelines.kg import perturb_objs
+        from information_extraction_t5_ray.stages.triples import (
+            fuse_majority,
+        )
+
+        tri = _tri()
+        return fuse_majority(
+            [tri, perturb_objs(tri, 3), perturb_objs(tri, 5)]
+        ).count()
+
     def crawl_latest() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import latest_snapshot
@@ -268,6 +279,7 @@ def _bench_queries(sf_dir: str):
         "kg_ntriples": kg_ntriples,
         "kg_degree_delta": kg_degree_delta,
         "kg_entity_vecs": kg_entity_vecs,
+        "kg_fuse": kg_fuse,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
     }

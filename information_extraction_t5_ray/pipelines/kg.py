@@ -250,6 +250,35 @@ def simulate_extractor_upgrade(
     return old, new
 
 
+def perturb_objs(triples_ds, mod: int, prefix: str = "alt-"):
+    """Deterministic disagreement injector for fusion demos: rewrite
+    every object to ``prefix + obj`` on pages whose id (last 8 url
+    chars, the pages-source contract) is divisible by ``mod``.  Used by
+    the kg_fuse query to derive disagreeing extractor versions from one
+    extraction; the SQL mirror applies the same CASE."""
+    import numpy as np
+    import pyarrow as pa
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        subj = batch["subj"].to_pandas().astype(str)
+        obj = batch["obj"].to_pandas().astype(str)
+        hit = (subj.str[-8:].astype(np.int64) % mod == 0).to_numpy()
+        out = obj.to_numpy(dtype=object)
+        out[hit] = prefix + obj.to_numpy(dtype=object)[hit]
+        return pa.table(
+            {
+                "subj": pa.array(subj, pa.string()),
+                "pred": pa.array(
+                    batch["pred"].to_pandas().astype(str), pa.string()
+                ),
+                "obj": pa.array(out.astype(str), pa.string()),
+            }
+        )
+
+    perturb.__name__ = f"perturb_mod{mod}"
+    return triples_ds.map_batches(perturb, batch_format="pyarrow")
+
+
 def kg_temporal(
     sf_dir: str,
     cfg: Optional[KGConfig] = None,

@@ -793,6 +793,27 @@ FROM g JOIN q ON q.pid = g.pid JOIN n ON n.entity = g.entity
 GROUP BY g.entity, q.dim, n.n_pages"""
 
 
+def kg_fuse_sql(m2: int = 3, m3: int = 5) -> str:
+    """Majority-vote fusion ground truth for the kg_fuse query: three
+    versions of the triples (v1 = original, v2 = objects perturbed to
+    'alt-'||obj on pages divisible by m2, v3 = the same on m3) — the
+    winner per (subj, pred) is 'alt-' only where BOTH perturbations hit
+    (page % lcm(m2, m3) == 0, support 2), the original elsewhere
+    (support 3 where no perturbation hit, else 2).  Mirrors
+    stages/triples.fuse_majority over pipelines/kg.perturb_objs."""
+    import math
+
+    lcm = math.lcm(m2, m3)
+    return f"""WITH t AS ({oracle_triples_sql()}),
+k AS (SELECT subj, pred, obj,
+             CAST(right(subj, 8) AS BIGINT) AS pid FROM t)
+SELECT subj, pred,
+       CASE WHEN pid % {lcm} = 0 THEN 'alt-' || obj ELSE obj END AS obj,
+       CAST(CASE WHEN pid % {m2} = 0 OR pid % {m3} = 0
+            THEN 2 ELSE 3 END AS BIGINT) AS support
+FROM k"""
+
+
 def kg_assoc_sql() -> str:
     """Predicate association rules — ground truth for
     stages/kgstats.predicate_assoc: ordered pairs over the distinct

@@ -403,6 +403,69 @@ def diff_triples(old_ds, new_ds, num_buckets=None):
     )
 
 
+def fuse_majority(sources, num_buckets=None):
+    """Truth-discovery fusion across extractor versions (the
+    Knowledge-Vault-style complement to :func:`merge_triples`'
+    latest-wins): per ``(subj, pred)``, keep the object asserted by the
+    MOST sources — ``(subj, pred, obj, support)`` — ties broken by the
+    lexicographically smallest object (deterministic under any
+    partitioning).  Each element of ``sources`` is one extraction run's
+    ``(subj, pred, obj)`` Dataset; a source asserting the same object
+    twice (multi-window duplicates) still votes once.
+
+    ONE exchange: each source's batches emit per-(subj, pred, obj)
+    vote partials tagged with the source index (so the per-source
+    distinct is exact without a second exchange), bucketed on the
+    ``(subj, pred)`` hash; the per-bucket fold de-duplicates
+    (source, triple) votes, sums support, and argmaxes per key.
+    """
+    from .common import arrowed, resolve_parallelism
+
+    if not sources:
+        raise ValueError("fuse_majority: need at least one source")
+    num_buckets = resolve_parallelism(num_buckets)
+    cols = ["subj", "pred", "obj"]
+
+    def tag(src_idx: int):
+        def votes(batch: pa.Table) -> pd.DataFrame:
+            df = batch.select(cols).to_pandas().drop_duplicates(cols)
+            df = df.astype(str)
+            df["_src"] = np.int32(src_idx)
+            df["_bucket"] = bucket_of(
+                (df["subj"] + "\x1f" + df["pred"]).to_numpy(), num_buckets
+            )
+            return df
+
+        votes.__name__ = f"votes_src{src_idx}"
+        return votes
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(cols + ["_src"])
+        g = (
+            d.groupby(cols, sort=False)
+            .size()
+            .rename("support")
+            .reset_index()
+        )
+        g["support"] = g["support"].astype(np.int64)
+        g = g.sort_values(
+            ["subj", "pred", "support", "obj"],
+            ascending=[True, True, False, True],
+            kind="stable",
+        )
+        out = g.groupby(["subj", "pred"], sort=False).head(1)
+        return out[["subj", "pred", "obj", "support"]]
+
+    tagged = sources[0].map_batches(arrowed(tag(0)), batch_format="pyarrow")
+    for i, src in enumerate(sources[1:], start=1):
+        tagged = tagged.union(
+            src.map_batches(arrowed(tag(i)), batch_format="pyarrow")
+        )
+    return tagged.groupby("_bucket").map_groups(
+        arrowed(fold), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-Triples sink / source — the RDF interchange materialize.  The
 # reference stops at its own txt/sheet reports (models/qa_model.py

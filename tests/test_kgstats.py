@@ -447,3 +447,65 @@ def test_entity_embeddings_missing_vector_page_excluded(
     )
     assert got.loc[0, "avg"] == np.floor(0.5 * 1e6) / 1e6
     assert got.loc[1, "avg"] == np.floor(np.float64(np.float32(0.25)) * 1e6) / 1e6
+
+
+def test_fuse_majority_ties_and_vote_dedup(ray_session):
+    import ray.data as rd
+
+    def src(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "obj": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    from information_extraction_t5_ray.stages.triples import fuse_majority
+
+    # s1 asserts (d1, p, "b") TWICE (multi-window) — still one vote, so
+    # the 1-1 tie against s2's "a" resolves to the min obj "a".
+    s1 = src([("d1", "p", "b"), ("d1", "p", "b"), ("d2", "p", "x")])
+    s2 = src([("d1", "p", "a")])
+    got = (
+        fuse_majority([s1, s2], num_buckets=3)
+        .to_pandas()
+        .set_index("subj")
+        .sort_index()
+    )
+    assert got.loc["d1", "obj"] == "a"
+    assert got.loc["d1", "support"] == 1
+    assert got.loc["d2", "obj"] == "x"
+    assert got.loc["d2", "support"] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fuse_majority([])
+
+
+def test_fuse_majority_majority_wins(ray_session):
+    import ray.data as rd
+
+    def src(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "subj": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "obj": pa.array([r[2] for r in rows], pa.string()),
+                }
+            )
+        )
+
+    from information_extraction_t5_ray.stages.triples import fuse_majority
+
+    srcs = [
+        src([("d1", "p", "v")]),
+        src([("d1", "p", "v")]),
+        src([("d1", "p", "w")]),
+    ]
+    got = fuse_majority(srcs, num_buckets=2).to_pandas()
+    assert got["obj"].tolist() == ["v"]
+    assert got["support"].tolist() == [2]
