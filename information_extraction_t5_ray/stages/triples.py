@@ -183,6 +183,32 @@ def entities_stage(
 
     num_buckets = resolve_parallelism(num_buckets)
 
+    def _fold(df, keys, n_col):
+        """Sort-boundary grouped fold: summed ``n_col`` (row counts when
+        None) and MIN ``example_surface`` per distinct ``keys`` tuple —
+        pandas' grouped string min was the dominant cost of all three
+        phases (kg_entities 3.17 s -> 0.58 s at sf0.1/32); the
+        surface sorts last, so the group minimum sits at each boundary.
+        Returns (frame, composite-key array) so callers bucket for free.
+        """
+        d = df.sort_values(keys + ["example_surface"], kind="stable")
+        key = d[keys[0]].astype(str)
+        for k in keys[1:]:
+            key = key + "\x1f" + d[k].astype(str)
+        arr = key.to_numpy()
+        starts = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
+        if n_col is None:
+            ends = np.r_[starts[1:], len(arr)]
+            n = (ends - starts).astype(np.int64)
+        elif len(starts):
+            n = np.add.reduceat(d[n_col].to_numpy(np.int64), starts)
+        else:
+            n = np.array([], dtype=np.int64)
+        out = {k: d[k].to_numpy()[starts] for k in keys}
+        out["n_mentions"] = n
+        out["example_surface"] = d["example_surface"].to_numpy()[starts]
+        return pd.DataFrame(out), arr[starts]
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # crc32 over the distinct subjects only (urls repeat ~#qa_ids
         # times per batch), scattered back through factorize codes
@@ -192,45 +218,23 @@ def entities_stage(
             np.int32,
             count=len(uniques),
         )
-        df = df.assign(salt=salts[codes])
-        g = (
-            df.groupby(["obj", "salt"], sort=False)
-            .agg(
-                n_mentions=("subj", "size"),
-                # min, not first: arrival order varies across shuffles
-                example_surface=("obj_surface", "min"),
-            )
-            .reset_index()
+        # min surface, not first: arrival order varies across shuffles
+        df = df.assign(
+            salt=salts[codes], example_surface=df["obj_surface"]
         )
+        g, key = _fold(df, ["obj", "salt"], None)
         # bucket on (obj, salt) so a hot entity's partials spread
-        g["bucket"] = bucket_of(
-            g["obj"] + "\x1f" + g["salt"].astype(str), num_buckets
-        )
+        g["bucket"] = bucket_of(key, num_buckets)
         return g
 
     def merge_salted(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            bucket_df.groupby(["obj", "salt"], sort=False)
-            .agg(
-                n_mentions=("n_mentions", "sum"),
-                example_surface=("example_surface", "min"),
-            )
-            .reset_index()
-        )
+        out, _ = _fold(bucket_df, ["obj", "salt"], "n_mentions")
         out["bucket2"] = bucket_of(out["obj"], num_buckets)
         return out
 
     def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            bucket_df.groupby("obj", sort=False)
-            .agg(
-                n_mentions=("n_mentions", "sum"),
-                example_surface=("example_surface", "min"),
-            )
-            .reset_index()
-            .rename(columns={"obj": "entity_id"})
-        )
-        return out
+        out, _ = _fold(bucket_df, ["obj"], "n_mentions")
+        return out.rename(columns={"obj": "entity_id"})
 
     partials = triples_ds.map_batches(
         arrowed(partial), batch_format="pandas", batch_size=batch_size
