@@ -90,6 +90,13 @@ def _bench_queries(sf_dir: str):
             ).materialize()
         return tri_cache[key]
 
+    def kg_entities() -> int:
+        from information_extraction_t5_ray.pipelines.kg import (
+            kg_entities as ents,
+        )
+
+        return ents(_tri()).count()
+
     def kg_pagerank() -> int:
         from information_extraction_t5_ray.stages.graph import pagerank
 
@@ -261,6 +268,7 @@ def _bench_queries(sf_dir: str):
 
     out = {
         "kg_triples": kg_triples,
+        "kg_entities": kg_entities,
         "kg_pagerank": kg_pagerank,
         "kg_components": kg_components,
         "kg_edge_jaccard": kg_edge_jaccard,
