@@ -241,6 +241,35 @@ def _bench_queries(sf_dir: str):
         old, new = simulate_extractor_upgrade(_tri())
         return degree_delta(old, new).count()
 
+    def kg_merge() -> int:
+        # times the MERGE itself (the query's 6.7s is dual-extraction
+        # dominated): both versions derive from the shared triples
+        # table, the re-extraction side simulated by the even-page
+        # shard perturbed to fresher objects
+        import pyarrow as pa
+
+        from information_extraction_t5_ray.pipelines.kg import perturb_objs
+        from information_extraction_t5_ray.stages.triples import (
+            merge_triples,
+        )
+
+        tri = _tri()
+
+        def tag(ts):
+            def add(batch: pa.Table) -> pa.Table:
+                return batch.select(["subj", "pred", "obj"]).append_column(
+                    "src_ts", pa.array([ts] * len(batch), pa.int64())
+                )
+
+            add.__name__ = f"tag_ts{ts}"
+            return add
+
+        old = tri.map_batches(tag(1), batch_format="pyarrow")
+        new = perturb_objs(tri, 2).map_batches(
+            tag(2), batch_format="pyarrow"
+        )
+        return merge_triples(old, new).count()
+
     def kg_fuse() -> int:
         from information_extraction_t5_ray.pipelines.kg import perturb_objs
         from information_extraction_t5_ray.stages.triples import (
@@ -287,6 +316,7 @@ def _bench_queries(sf_dir: str):
         "kg_ntriples": kg_ntriples,
         "kg_degree_delta": kg_degree_delta,
         "kg_entity_vecs": kg_entity_vecs,
+        "kg_merge": kg_merge,
         "kg_fuse": kg_fuse,
         "crawl_latest": crawl_latest,
         "url_frontier": url_frontier,
