@@ -580,13 +580,16 @@ def _q_kg_fuse(sf_dir: str):
     (v2/v3 perturb pages divisible by 3/5) majority-voted per
     (subj, pred) — 'alt-' wins only where both perturbations agree."""
     from information_extraction_t5_ray.pipelines.kg import (
+        FUSE_MODS,
         perturb_objs,
         run_kg,
     )
     from information_extraction_t5_ray.stages.triples import fuse_majority
 
     tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
-    return fuse_majority([tri, perturb_objs(tri, 3), perturb_objs(tri, 5)])
+    return fuse_majority(
+        [tri] + [perturb_objs(tri, m) for m in FUSE_MODS]
+    )
 
 
 def _q_kg_nt_roundtrip(sf_dir: str):

@@ -271,14 +271,17 @@ def _bench_queries(sf_dir: str):
         return merge_triples(old, new).count()
 
     def kg_fuse() -> int:
-        from information_extraction_t5_ray.pipelines.kg import perturb_objs
+        from information_extraction_t5_ray.pipelines.kg import (
+            FUSE_MODS,
+            perturb_objs,
+        )
         from information_extraction_t5_ray.stages.triples import (
             fuse_majority,
         )
 
         tri = _tri()
         return fuse_majority(
-            [tri, perturb_objs(tri, 3), perturb_objs(tri, 5)]
+            [tri] + [perturb_objs(tri, m) for m in FUSE_MODS]
         ).count()
 
     def crawl_latest() -> int:

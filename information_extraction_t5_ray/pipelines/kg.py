@@ -250,6 +250,12 @@ def simulate_extractor_upgrade(
     return old, new
 
 
+# the kg_fuse demo's disagreement mods — single source of truth shared
+# by the query, the bench entry, and sources/oracle.kg_fuse_sql's
+# defaults (same contract note as simulate_extractor_upgrade)
+FUSE_MODS = (3, 5)
+
+
 def perturb_objs(triples_ds, mod: int, prefix: str = "alt-"):
     """Deterministic disagreement injector for fusion demos: rewrite
     every object to ``prefix + obj`` on pages whose id (last 8 url
@@ -264,14 +270,14 @@ def perturb_objs(triples_ds, mod: int, prefix: str = "alt-"):
         obj = batch["obj"].to_pandas().astype(str)
         hit = (subj.str[-8:].astype(np.int64) % mod == 0).to_numpy()
         out = obj.to_numpy(dtype=object)
-        out[hit] = prefix + obj.to_numpy(dtype=object)[hit]
+        out[hit] = prefix + out[hit]
         return pa.table(
             {
                 "subj": pa.array(subj, pa.string()),
                 "pred": pa.array(
                     batch["pred"].to_pandas().astype(str), pa.string()
                 ),
-                "obj": pa.array(out.astype(str), pa.string()),
+                "obj": pa.array(out, pa.string()),
             }
         )
 

@@ -793,16 +793,24 @@ FROM g JOIN q ON q.pid = g.pid JOIN n ON n.entity = g.entity
 GROUP BY g.entity, q.dim, n.n_pages"""
 
 
-def kg_fuse_sql(m2: int = 3, m3: int = 5) -> str:
+def kg_fuse_sql(m2: int = None, m3: int = None) -> str:
     """Majority-vote fusion ground truth for the kg_fuse query: three
     versions of the triples (v1 = original, v2 = objects perturbed to
     'alt-'||obj on pages divisible by m2, v3 = the same on m3) — the
     winner per (subj, pred) is 'alt-' only where BOTH perturbations hit
     (page % lcm(m2, m3) == 0, support 2), the original elsewhere
     (support 3 where no perturbation hit, else 2).  Mirrors
-    stages/triples.fuse_majority over pipelines/kg.perturb_objs."""
+    stages/triples.fuse_majority over pipelines/kg.perturb_objs;
+    defaults read pipelines/kg.FUSE_MODS so the contract cannot
+    drift."""
     import math
 
+    from ..pipelines.kg import FUSE_MODS
+
+    if m2 is None:
+        m2 = FUSE_MODS[0]
+    if m3 is None:
+        m3 = FUSE_MODS[1]
     lcm = math.lcm(m2, m3)
     return f"""WITH t AS ({oracle_triples_sql()}),
 k AS (SELECT subj, pred, obj,

@@ -126,6 +126,37 @@ def _check_hash_stability() -> None:
     _siphash_checked = True
 
 
+def group_starts(*key_arrays) -> tuple:
+    """Run boundaries over PRE-SORTED parallel key arrays: returns
+    ``(starts, ends)`` index arrays, one entry per distinct key tuple —
+    the shared primitive of the sort-boundary grouped folds (pandas'
+    grouped string min/max is pathologically slow; sorting once and
+    gathering at the boundaries is ~10x cheaper, see triple_support /
+    entities_stage).  Comparing the key COLUMNS directly (ORed
+    inequality) rather than a separator-concatenated composite keeps
+    two distinct tuples like ('p\\x1f', 'x') and ('p', '\\x1fx') in
+    separate groups.  Empty input yields two empty arrays (the naive
+    ``np.r_[True, ...]`` idiom returns ``[0]`` on empty and then every
+    downstream gather IndexErrors)."""
+    n = len(key_arrays[0])
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    neq = np.zeros(n - 1, dtype=bool)
+    for arr in key_arrays:
+        neq |= arr[1:] != arr[:-1]
+    starts = np.flatnonzero(np.r_[True, neq])
+    ends = np.r_[starts[1:], n]
+    return starts, ends
+
+
+def reduceat_sum(values: np.ndarray, starts: np.ndarray) -> np.ndarray:
+    """``np.add.reduceat`` that tolerates the zero-group case."""
+    if len(starts) == 0:
+        return np.zeros(0, dtype=values.dtype)
+    return np.add.reduceat(values, starts)
+
+
 def bucket_of(keys, num_buckets: int) -> np.ndarray:
     """Deterministic bucket id per key, identical in every worker
     process: integer keys take the modulo path, anything else goes

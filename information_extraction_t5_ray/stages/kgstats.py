@@ -107,23 +107,31 @@ def triple_support(triples_ds, num_buckets: Optional[int] = None):
         # (7.1 s remote wall in this stage alone; the sorted form gets
         # first/last for free at the group boundaries — operator total
         # 1.95 s -> 0.57 s at sf0.1/32)
+        # boundaries compare the key COLUMNS, not a separator-joined
+        # composite (see common.group_starts for the collision case);
+        # the concat form survives only as the bucket hash input, where
+        # a collision is harmless co-location
+        from .common import group_starts
+
         d = df.drop_duplicates(["pred", "obj", "subj"]).sort_values(
             ["pred", "obj", "subj"], kind="stable"
         )
-        key = (d["pred"] + _SEP + d["obj"]).to_numpy()
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        ends = np.r_[starts[1:], len(key)]
+        pred = d["pred"].to_numpy()
+        obj = d["obj"].to_numpy()
+        starts, ends = group_starts(pred, obj)
         subj = d["subj"].to_numpy()
         g = pd.DataFrame(
             {
-                "pred": d["pred"].to_numpy()[starts],
-                "obj": d["obj"].to_numpy()[starts],
+                "pred": pred[starts],
+                "obj": obj[starts],
                 "n_pages": (ends - starts).astype(np.int64),
                 "first_page": subj[starts],
-                "last_page": subj[ends - 1],
+                "last_page": subj[ends - 1] if len(ends) else subj[:0],
             }
         )
-        g["_b2"] = bucket_of(key[starts], num_buckets)
+        g["_b2"] = bucket_of(
+            (g["pred"] + _SEP + g["obj"]).to_numpy(), num_buckets
+        )
         return g
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
@@ -135,25 +143,25 @@ def triple_support(triples_ds, num_buckets: Optional[int] = None):
         # tiny partial frame are ~10x cheaper).  Both sorts share the
         # (pred, obj) primary order, so starts and starts2 walk the
         # SAME key sequence.
+        from .common import group_starts, reduceat_sum
+
         d1 = df.sort_values(["pred", "obj", "first_page"], kind="stable")
-        key = (d1["pred"] + _SEP + d1["obj"]).to_numpy()
-        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
-        sums = (
-            np.add.reduceat(d1["n_pages"].to_numpy(np.int64), starts)
-            if len(starts)
-            else np.array([], dtype=np.int64)
-        )
+        p1 = d1["pred"].to_numpy()
+        o1 = d1["obj"].to_numpy()
+        starts, _ = group_starts(p1, o1)
+        sums = reduceat_sum(d1["n_pages"].to_numpy(np.int64), starts)
         d2 = df.sort_values(
             ["pred", "obj", "last_page"],
             ascending=[True, True, False],
             kind="stable",
         )
-        key2 = (d2["pred"] + _SEP + d2["obj"]).to_numpy()
-        starts2 = np.flatnonzero(np.r_[True, key2[1:] != key2[:-1]])
+        starts2, _ = group_starts(
+            d2["pred"].to_numpy(), d2["obj"].to_numpy()
+        )
         return pd.DataFrame(
             {
-                "pred": d1["pred"].to_numpy()[starts],
-                "obj": d1["obj"].to_numpy()[starts],
+                "pred": p1[starts],
+                "obj": o1[starts],
                 "n_pages": sums,
                 "first_page": d1["first_page"].to_numpy()[starts],
                 "last_page": d2["last_page"].to_numpy()[starts2],

@@ -189,25 +189,22 @@ def entities_stage(
         pandas' grouped string min was the dominant cost of all three
         phases (kg_entities 3.17 s -> 0.58 s at sf0.1/32); the
         surface sorts last, so the group minimum sits at each boundary.
-        Returns (frame, composite-key array) so callers bucket for free.
+        ``df`` must carry ONLY ``keys`` + example_surface (+ n_col):
+        sort_values reorders every column it is given.
         """
+        from .common import group_starts, reduceat_sum
+
         d = df.sort_values(keys + ["example_surface"], kind="stable")
-        key = d[keys[0]].astype(str)
-        for k in keys[1:]:
-            key = key + "\x1f" + d[k].astype(str)
-        arr = key.to_numpy()
-        starts = np.flatnonzero(np.r_[True, arr[1:] != arr[:-1]])
+        cols = [d[k].to_numpy() for k in keys]
+        starts, ends = group_starts(*cols)
         if n_col is None:
-            ends = np.r_[starts[1:], len(arr)]
             n = (ends - starts).astype(np.int64)
-        elif len(starts):
-            n = np.add.reduceat(d[n_col].to_numpy(np.int64), starts)
         else:
-            n = np.array([], dtype=np.int64)
-        out = {k: d[k].to_numpy()[starts] for k in keys}
+            n = reduceat_sum(d[n_col].to_numpy(np.int64), starts)
+        out = {k: c[starts] for k, c in zip(keys, cols)}
         out["n_mentions"] = n
         out["example_surface"] = d["example_surface"].to_numpy()[starts]
-        return pd.DataFrame(out), arr[starts]
+        return pd.DataFrame(out)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         # crc32 over the distinct subjects only (urls repeat ~#qa_ids
@@ -218,22 +215,38 @@ def entities_stage(
             np.int32,
             count=len(uniques),
         )
-        # min surface, not first: arrival order varies across shuffles
-        df = df.assign(
-            salt=salts[codes], example_surface=df["obj_surface"]
+        # min surface, not first: arrival order varies across shuffles;
+        # slim to the 3 live columns before the fold's sort
+        slim = pd.DataFrame(
+            {
+                "obj": df["obj"],
+                "salt": salts[codes],
+                "example_surface": df["obj_surface"],
+            }
         )
-        g, key = _fold(df, ["obj", "salt"], None)
+        g = _fold(slim, ["obj", "salt"], None)
         # bucket on (obj, salt) so a hot entity's partials spread
-        g["bucket"] = bucket_of(key, num_buckets)
+        g["bucket"] = bucket_of(
+            g["obj"].astype(str) + "\x1f" + g["salt"].astype(str),
+            num_buckets,
+        )
         return g
 
     def merge_salted(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        out, _ = _fold(bucket_df, ["obj", "salt"], "n_mentions")
+        out = _fold(
+            bucket_df[["obj", "salt", "n_mentions", "example_surface"]],
+            ["obj", "salt"],
+            "n_mentions",
+        )
         out["bucket2"] = bucket_of(out["obj"], num_buckets)
         return out
 
     def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        out, _ = _fold(bucket_df, ["obj"], "n_mentions")
+        out = _fold(
+            bucket_df[["obj", "n_mentions", "example_surface"]],
+            ["obj"],
+            "n_mentions",
+        )
         return out.rename(columns={"obj": "entity_id"})
 
     partials = triples_ds.map_batches(

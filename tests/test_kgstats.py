@@ -509,3 +509,31 @@ def test_fuse_majority_majority_wins(ray_session):
     got = fuse_majority(srcs, num_buckets=2).to_pandas()
     assert got["obj"].tolist() == ["v"]
     assert got["support"].tolist() == [2]
+
+
+def test_group_starts_separator_collision_and_empty():
+    from information_extraction_t5_ray.stages.common import (
+        group_starts,
+        reduceat_sum,
+    )
+
+    # ('p\x1f', 'x') vs ('p', '\x1fx'): identical when concatenated with
+    # the \x1f separator, distinct as column tuples — must be 2 groups
+    pred = np.array(["p", "p\x1f"], dtype=object)
+    obj = np.array(["\x1fx", "x"], dtype=object)
+    starts, ends = group_starts(pred, obj)
+    assert starts.tolist() == [0, 1] and ends.tolist() == [1, 2]
+
+    s0, e0 = group_starts(np.array([], dtype=object))
+    assert len(s0) == 0 and len(e0) == 0
+    assert len(reduceat_sum(np.array([], dtype=np.int64), s0)) == 0
+
+
+def test_triple_support_separator_adversarial(ray_session):
+    rows = [
+        ("d1", "p\x1f", "x"),
+        ("d2", "p", "\x1fx"),
+    ]
+    got = K.triple_support(_triples(rows), num_buckets=2).to_pandas()
+    assert len(got) == 2  # two distinct assertions, not one merged row
+    assert sorted(got["n_pages"]) == [1, 1]
