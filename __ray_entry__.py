@@ -575,6 +575,33 @@ def _q_kg_degree_delta(sf_dir: str):
     return degree_delta(old, new)
 
 
+def _q_kg_pg_roundtrip(sf_dir: str):
+    """Property-graph materialize validated end-to-end: nodes + edges
+    written as sorted Parquet with flat-dir lineage manifests, the
+    EDGE table read back and compared against the kg_cooccur oracle."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from information_extraction_t5_ray.pipelines.kg import (
+        export_property_graph,
+        run_kg,
+    )
+
+    out = tempfile.mkdtemp(prefix="kg_pg_")
+    try:
+        _, edges_dir = export_property_graph(run_kg(sf_dir), out)
+        back = (
+            rd.read_parquet(edges_dir)
+            .select_columns(["a", "b", "cnt"])
+            .materialize()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return back
+
+
 def _q_kg_fuse(sf_dir: str):
     """Truth-discovery fusion: three disagreeing extractor versions
     (v2/v3 perturb pages divisible by 3/5) majority-voted per
@@ -667,6 +694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_degree_delta": _q_kg_degree_delta,  # incremental degree maint
         "kg_entity_vecs": _q_kg_entity_vecs,  # entity embeddings (fixed-point)
         "kg_fuse": _q_kg_fuse,  # majority-vote truth discovery
+        "kg_pg_roundtrip": _q_kg_pg_roundtrip,  # property-graph sink
         # --- NEW r3: crawl-intake operators (multi-snapshot page sets) ---
         "crawl_latest": _q_crawl_latest,  # newest snapshot per url
         "domain_stats": _q_domain_stats,  # per-domain inventory
@@ -836,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_delta": kg_degree_delta_sql(),
         "kg_entity_vecs": kg_entity_vecs_sql(),
         "kg_fuse": kg_fuse_sql(),
+        "kg_pg_roundtrip": kg_cooccur_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),

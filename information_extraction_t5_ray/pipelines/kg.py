@@ -250,6 +250,36 @@ def simulate_extractor_upgrade(
     return old, new
 
 
+def export_property_graph(triples_ds, out_dir: str):
+    """Graph materialize, property-graph shape: the node and edge
+    tables a graph database bulk-loader ingests —
+    ``{out_dir}/nodes/`` (entity_id, n_mentions, example_surface;
+    salted entities aggregation) and ``{out_dir}/edges/`` (a, b, cnt
+    co-mention list), each sorted Parquet with the same footer-only
+    ``_MANIFEST.json`` lineage as :func:`~..stages.triples.write_triples`.
+    Complements the (subj, pred, obj) edge-list sink and the N-Triples
+    interchange sink.  Returns ``(nodes_dir, edges_dir)``.
+    """
+    import os
+
+    from ..stages.graph import cooccur_edges
+    from ..stages.triples import _write_partition_manifest
+
+    nodes_dir = os.path.join(out_dir, "nodes")
+    edges_dir = os.path.join(out_dir, "edges")
+    nodes = kg_entities(triples_ds)
+    nodes.sort("entity_id").write_parquet(
+        nodes_dir, min_rows_per_file=100_000
+    )
+    _write_partition_manifest(nodes_dir)
+    edges = cooccur_edges(triples_ds)
+    edges.sort(["a", "b"]).write_parquet(
+        edges_dir, min_rows_per_file=100_000
+    )
+    _write_partition_manifest(edges_dir)
+    return nodes_dir, edges_dir
+
+
 # the kg_fuse demo's disagreement mods — single source of truth shared
 # by the query, the bench entry, and sources/oracle.kg_fuse_sql's
 # defaults (same contract note as simulate_extractor_upgrade)

@@ -298,10 +298,16 @@ def _write_partition_manifest(out_dir: str) -> None:
     import pyarrow.parquet as pq
 
     parts = {}
-    for pdir in sorted(glob.glob(os.path.join(out_dir, "partition_id=*"))):
+    pdirs = sorted(glob.glob(os.path.join(out_dir, "partition_id=*")))
+    if not pdirs:
+        # flat (unpartitioned) sink layout — e.g. the property-graph
+        # node/edge tables: record the root as one partition
+        pdirs = [out_dir]
+    for pdir in pdirs:
         files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
         rows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        parts[os.path.basename(pdir)] = {
+        name = "." if pdir == out_dir else os.path.basename(pdir)
+        parts[name] = {
             "files": [os.path.basename(f) for f in files],
             "rows": rows,
         }
