@@ -643,7 +643,7 @@ def _q_kg_nt_roundtrip(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """110 entries, ordered by driver value: the verify gate checks the
+    """112 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (r2 evidence: CORRECTNESS_r02 is exactly the first 50
     keys of the r2 dict), so queries that most need a fresh driver row
     come first — flagship KG + every round-3 family (graph analytics,
