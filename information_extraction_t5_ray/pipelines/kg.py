@@ -265,18 +265,21 @@ def export_property_graph(triples_ds, out_dir: str):
     from ..stages.graph import cooccur_edges
     from ..stages.triples import _write_partition_manifest
 
+    # two sinks consume the same triples: materialize once or the lazy
+    # extraction pipeline re-executes per consumer
+    triples_ds = triples_ds.materialize()
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
     nodes = kg_entities(triples_ds)
     nodes.sort("entity_id").write_parquet(
         nodes_dir, min_rows_per_file=100_000
     )
-    _write_partition_manifest(nodes_dir)
+    _write_partition_manifest(nodes_dir, partitioned=False)
     edges = cooccur_edges(triples_ds)
     edges.sort(["a", "b"]).write_parquet(
         edges_dir, min_rows_per_file=100_000
     )
-    _write_partition_manifest(edges_dir)
+    _write_partition_manifest(edges_dir, partitioned=False)
     return nodes_dir, edges_dir
 
 

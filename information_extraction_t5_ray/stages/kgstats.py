@@ -126,7 +126,7 @@ def triple_support(triples_ds, num_buckets: Optional[int] = None):
                 "obj": obj[starts],
                 "n_pages": (ends - starts).astype(np.int64),
                 "first_page": subj[starts],
-                "last_page": subj[ends - 1] if len(ends) else subj[:0],
+                "last_page": subj[ends - 1],
             }
         )
         g["_b2"] = bucket_of(

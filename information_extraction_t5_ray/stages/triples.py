@@ -284,13 +284,16 @@ def write_triples(
     return out_dir
 
 
-def _write_partition_manifest(out_dir: str) -> None:
+def _write_partition_manifest(out_dir: str, partitioned: bool = True) -> None:
     """Per-partition lineage manifest for the sink (north rule): one
     ``_MANIFEST.json`` at the root with file lists + row counts per
     partition directory, built from Parquet FOOTERS only (no data
     read).  The leading underscore keeps pyarrow dataset discovery
     (ignore_prefixes ``['.', '_']``) from treating it as data, so
-    ``read_parquet(out_dir)`` round-trips untouched."""
+    ``read_parquet(out_dir)`` round-trips untouched.  The layout is the
+    CALLER's declaration (``partitioned=False`` for flat sinks like the
+    property-graph tables) — inferring it from glob emptiness would
+    misdescribe a partitioned-but-empty sink as flat."""
     import glob
     import json
     import os
@@ -298,10 +301,9 @@ def _write_partition_manifest(out_dir: str) -> None:
     import pyarrow.parquet as pq
 
     parts = {}
-    pdirs = sorted(glob.glob(os.path.join(out_dir, "partition_id=*")))
-    if not pdirs:
-        # flat (unpartitioned) sink layout — e.g. the property-graph
-        # node/edge tables: record the root as one partition
+    if partitioned:
+        pdirs = sorted(glob.glob(os.path.join(out_dir, "partition_id=*")))
+    else:
         pdirs = [out_dir]
     for pdir in pdirs:
         files = sorted(glob.glob(os.path.join(pdir, "*.parquet")))
