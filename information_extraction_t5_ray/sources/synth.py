@@ -266,10 +266,18 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
     langs = batch["lang"].to_pylist()
     base = _dt.datetime(2020, 1, 1)
     texts = [build_doc_text(d, f or "") for d, f in zip(doc_ids, fillers)]
+    # wrap the minute offset so repeat-shifted replica ids (r *
+    # REPEAT_STRIDE, bench-only, never oracle-checked) cannot push the
+    # timestamp past year 9999; base-corpus ids (< REPEAT_STRIDE) are
+    # below the wrap and keep their exact oracle values
+    _ts_wrap = 1_000 * 365 * 24 * 60  # ~1000 years of minutes
     return pa.table(
         {
             "url": [url_of(d) for d in doc_ids],
-            "warc_ts": [base + _dt.timedelta(minutes=int(d)) for d in doc_ids],
+            "warc_ts": [
+                base + _dt.timedelta(minutes=int(d) % _ts_wrap)
+                for d in doc_ids
+            ],
             "html": [html_of(t) for t in texts],
             "text": texts,
             "lang": langs,
