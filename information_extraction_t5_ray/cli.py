@@ -28,15 +28,29 @@ import json
 import sys
 
 
-def _ray_session(num_cpus: int | None):
-    import ray
+class _RaySession:
+    """Ray handle that only shuts down a session IT created: a CLI
+    command invoked under an already-initialised session (tests, a
+    driving script) must not kill its caller's cluster handle."""
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
-    return ray
+    def __init__(self, num_cpus: int | None):
+        import ray
+
+        self._ray = ray
+        self._owned = not ray.is_initialized()
+        if self._owned:
+            kwargs = {"include_dashboard": False}
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(address="local", **kwargs)
+
+    def shutdown(self) -> None:
+        if self._owned:
+            self._ray.shutdown()
+
+
+def _ray_session(num_cpus: int | None) -> _RaySession:
+    return _RaySession(num_cpus)
 
 
 def cmd_convert(args) -> int:
@@ -98,9 +112,26 @@ def cmd_kg(args) -> int:
             )
             n = triples.count()
             print(json.dumps({"triples": n, "shards_skipped": skipped}))
-        else:
+        elif args.format == "parquet" or not args.output:
             triples = run_kg(args.input, out_dir=args.output, cfg=cfg)
             print(json.dumps({"triples": triples.count(), "output": args.output}))
+        elif args.format == "ntriples":
+            from .stages.triples import write_ntriples
+
+            triples = run_kg(args.input, cfg=cfg)
+            write_ntriples(triples, args.output)
+            print(json.dumps({"format": "ntriples", "output": args.output}))
+        else:  # property graph: nodes + edges tables
+            from .pipelines.kg import export_property_graph
+
+            nodes_dir, edges_dir = export_property_graph(
+                run_kg(args.input, cfg=cfg), args.output
+            )
+            print(
+                json.dumps(
+                    {"format": "pg", "nodes": nodes_dir, "edges": edges_dir}
+                )
+            )
         return 0
     finally:
         ray.shutdown()
@@ -215,6 +246,13 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--input", required=True, help="directory with documents.parquet")
     k.add_argument("--output", default=None, help="triples Parquet output dir")
     k.add_argument("-c", "--config", default=None)
+    k.add_argument(
+        "--format",
+        choices=["parquet", "ntriples", "pg"],
+        default="parquet",
+        help="sink for --output: sorted partitioned Parquet (default), "
+        "W3C N-Triples shards, or property-graph nodes+edges tables",
+    )
     k.add_argument("--ckpt-dir", default=None, help="enable sharded checkpointed resume")
     k.add_argument("--shards", type=int, default=8)
     k.set_defaults(fn=cmd_kg)

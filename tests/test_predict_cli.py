@@ -198,3 +198,52 @@ def test_predict_scores_only_file_defined_pairs(ray_session, tmp_path):
     assert qa_groups == {"form.cpf", "form.agencia"}
     assert m["form.cpf"]["total"] == 1
     assert m["form.agencia"]["total"] == 1
+
+
+def test_cli_kg_format_parser():
+    from information_extraction_t5_ray.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(
+        ["kg", "--input", "/x", "--output", "/tmp/o", "--format", "ntriples"]
+    )
+    assert a.format == "ntriples"
+    assert (
+        p.parse_args(["kg", "--input", "/x"]).format == "parquet"
+    )  # default
+
+
+def test_cli_kg_sink_formats_end_to_end(ray_session, tmp_path, capsys):
+    """Drive the two non-Parquet sink formats through the real CLI
+    command (the session fixture owns Ray; cmd_kg's _ray_session is a
+    no-op under an existing session)."""
+    import json as _json
+
+    from information_extraction_t5_ray.cli import build_parser, cmd_kg
+
+    nt_out = str(tmp_path / "nt")
+    rc = cmd_kg(
+        build_parser().parse_args(
+            ["kg", "--input", "/root/testdata/sf0.001",
+             "--output", nt_out, "--format", "ntriples"]
+        )
+    )
+    assert rc == 0
+    assert _json.loads(capsys.readouterr().out)["format"] == "ntriples"
+    assert list((tmp_path / "nt").glob("*.nt"))
+    assert (tmp_path / "nt" / "_MANIFEST.json").exists()
+
+    pg_out = str(tmp_path / "pg")
+    rc = cmd_kg(
+        build_parser().parse_args(
+            ["kg", "--input", "/root/testdata/sf0.001",
+             "--output", pg_out, "--format", "pg"]
+        )
+    )
+    assert rc == 0
+    info = _json.loads(capsys.readouterr().out)
+    assert info["format"] == "pg"
+    for d in (info["nodes"], info["edges"]):
+        from pathlib import Path
+
+        assert (Path(d) / "_MANIFEST.json").exists()
