@@ -88,7 +88,11 @@ def _group_pair_indices(keys: np.ndarray, max_df: int):
     sizes = ends - starts
     li = [np.empty(0, np.int64)]
     ri = [np.empty(0, np.int64)]
-    s2 = starts[sizes == 2]
+    # the cap applies to size-2 groups too: with max_df < 2 the
+    # documented 'groups over max_df are dropped entirely' contract
+    # (and the stop-shingle classification the verified path relies
+    # on) must see NO pairs at all
+    s2 = starts[sizes == 2] if max_df >= 2 else starts[:0]
     li.append(s2)
     ri.append(s2 + 1)
     # one vectorized emission per DISTINCT size class (<= max_df - 2 of
@@ -596,6 +600,11 @@ def jaccard_pairs_verified(
     num_buckets = resolve_parallelism(num_buckets)
     num_partitions = resolve_parallelism(num_partitions)
     nd = threshold_num + threshold_den
+    # four downstream consumers (stop-set count, kept-shingle index,
+    # doc-shingles join, heavy-doc all-pairs) read docs_ds: pin the
+    # blocks once or a lazy upstream re-executes per consumer (the
+    # semdedup materialize note, same reason)
+    docs_ds = docs_ds.materialize()
     stop = jaccard_stop_shingles(docs_ds, k, max_df, num_buckets, batch_size)
     stop_ref = ray.put(stop)
 
@@ -1012,6 +1021,15 @@ def minhash_lsh_pairs(
     this stage's shuffle volume).  ``max_band_df`` caps C(df,2) pair
     blowup on degenerate band groups (near-empty docs all sharing one
     signature), the same stop-key skew guard as jaccard_pairs."""
+    if bands < 1 or bands > num_perm or num_perm % bands != 0:
+        # rows = num_perm // bands == 0 degenerates every band key to a
+        # constant (threshold**0 == 1: all docs collide) and a remainder
+        # silently discards trailing permutations — fail loudly like
+        # simhash_pairs does for out-of-guarantee parameters
+        raise ValueError(
+            f"minhash_lsh_pairs: bands={bands} must divide num_perm="
+            f"{num_perm} with rows >= 1"
+        )
     num_buckets = resolve_parallelism(num_buckets)
     rows = num_perm // bands
     min_bands = max(1, int(np.ceil(bands * threshold**rows)))
@@ -1269,7 +1287,11 @@ def distinct_rows(ds, cols: Optional[list] = None, num_buckets: int | None = Non
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         use = cols or list(df.columns)
         out = df[use].drop_duplicates()
-        key = out[use].astype(str).agg("|".join, axis=1)
+        # per-row C-speed frame hash (the bucket_of-vetted primitive,
+        # process-stable) instead of the former astype(str) + row-wise
+        # '|'.join — that was Python-object churn per distinct row on
+        # the verified-jaccard hot path
+        key = pd.util.hash_pandas_object(out, index=False).to_numpy()
         out = out.assign(_bucket=bucket_of(key, num_buckets))
         return out
 
@@ -1421,10 +1443,20 @@ def connected_components(
         def partial(b: pa.Table) -> pd.DataFrame:
             h = (b["u"].to_numpy().astype(np.uint64) * np.uint64(1000003)
                  ^ b["v"].to_numpy().astype(np.uint64))
-            return pd.DataFrame({"n": [len(h)], "x": [int(h.sum(dtype=np.uint64))]})
+            # mask to 63 bits so EVERY block's column infers int64:
+            # a raw uint64 sum >= 2^63 makes pandas infer uint64 for
+            # that block, and concatenating int64+uint64 blocks
+            # silently promotes to float64 — truncating the checksum
+            # the convergence guard depends on to 53 bits
+            x = int(h.sum(dtype=np.uint64) & np.uint64(0x7FFFFFFFFFFFFFFF))
+            return pd.DataFrame({"n": [len(h)], "x": [x]})
 
         parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-        return int(parts["n"].sum()), int(np.uint64(parts["x"].astype(np.uint64).sum()))
+        # wrap-around uint64 sum then mask: order-independent mod-2^63
+        total = parts["x"].to_numpy(np.int64).astype(np.uint64).sum()
+        return int(parts["n"].sum()), int(
+            np.uint64(total) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        )
 
     edges = pairs_ds.map_batches(
         lambda b: pa.table({"u": pc.cast(b["i"], pa.int64()),

@@ -71,6 +71,37 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _topk_empty_partial() -> pd.DataFrame:
+    """Typed empty partial — the shared output contract of the ANN
+    partial phases (ann_topk and ann_topk_ivf must stay column- and
+    dtype-identical or their equality invariant drifts)."""
+    return pd.DataFrame(
+        {"query_id": pd.Series(dtype=np.int64),
+         "neighbor_id": pd.Series(dtype=np.int64),
+         "sim": pd.Series(dtype=np.float64),
+         "bucket": pd.Series(dtype=np.int32)}
+    )
+
+
+def _topk_final(k: int):
+    """Shared final reducer for the ANN top-k stages: (sim desc,
+    neighbor_id asc) within query, head(k), 1-based rank — ONE copy so
+    the 'ivf at nprobe=n_clusters equals brute force exactly' invariant
+    cannot drift between the two implementations."""
+
+    def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
+        bucket_df = bucket_df.sort_values(
+            ["query_id", "sim", "neighbor_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        top = bucket_df.groupby("query_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
+        return top[["query_id", "rank", "neighbor_id"]].astype(np.int64)
+
+    return final
+
+
 def ann_topk(
     embeddings_ds,
     query_ids: np.ndarray,
@@ -94,12 +125,7 @@ def ann_topk(
         qn = ray.get(qn_ref)
         qids = ray.get(qid_ref)
         if len(batch) == 0:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int64),
-                 "neighbor_id": pd.Series(dtype=np.int64),
-                 "sim": pd.Series(dtype=np.float64),
-                 "bucket": pd.Series(dtype=np.int32)}
-            )
+            return _topk_empty_partial()
         cand = _normalize(_mat(batch["embedding"]))
         cand_ids = batch["vec_id"].to_numpy()
         sims = qn @ cand.T  # (Q, B)
@@ -122,15 +148,7 @@ def ann_topk(
         df["bucket"] = (df["query_id"] % num_buckets).astype(np.int32)
         return df
 
-    def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        bucket_df = bucket_df.sort_values(
-            ["query_id", "sim", "neighbor_id"],
-            ascending=[True, False, True],
-            kind="stable",
-        )
-        top = bucket_df.groupby("query_id", sort=False).head(k).copy()
-        top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
-        return top[["query_id", "rank", "neighbor_id"]].astype(np.int64)
+    final = _topk_final(k)
 
     partials = embeddings_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size
@@ -225,12 +243,7 @@ def ann_topk_ivf(
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         if len(batch) == 0:  # _mat can't infer dim from an empty batch
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int64),
-                 "neighbor_id": pd.Series(dtype=np.int64),
-                 "sim": pd.Series(dtype=np.float64),
-                 "bucket": pd.Series(dtype=np.int32)}
-            )
+            return _topk_empty_partial()
         cent_m = ray.get(cent_ref)
         qn_m = ray.get(qn_ref)
         qids_m = ray.get(qid_ref)
@@ -256,12 +269,7 @@ def ann_topk_ivf(
                 out_n.append(cand_ids[rows[sel]])
                 out_s.append(sims[qi, sel])
         if not out_q:
-            return pd.DataFrame(
-                {"query_id": pd.Series(dtype=np.int64),
-                 "neighbor_id": pd.Series(dtype=np.int64),
-                 "sim": pd.Series(dtype=np.float64),
-                 "bucket": pd.Series(dtype=np.int32)}
-            )
+            return _topk_empty_partial()
         df = pd.DataFrame(
             {
                 "query_id": np.concatenate(out_q),
@@ -272,15 +280,7 @@ def ann_topk_ivf(
         df["bucket"] = (df["query_id"] % num_buckets).astype(np.int32)
         return df
 
-    def final(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        bucket_df = bucket_df.sort_values(
-            ["query_id", "sim", "neighbor_id"],
-            ascending=[True, False, True],
-            kind="stable",
-        )
-        top = bucket_df.groupby("query_id", sort=False).head(k).copy()
-        top["rank"] = top.groupby("query_id", sort=False).cumcount() + 1
-        return top[["query_id", "rank", "neighbor_id"]].astype(np.int64)
+    final = _topk_final(k)
 
     partials = embeddings_ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size
@@ -533,8 +533,11 @@ def semdedup(
 
     def assign(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
+            # mirror the INPUT id type (an int32 id column hardcoded to
+            # int64 here would make empty and non-empty blocks disagree
+            # at the downstream groupby's schema unification)
             return pa.table(
-                {id_col: pa.array([], pa.int64()),
+                {id_col: batch[id_col],
                  "embedding": batch["embedding"],
                  "cluster": pa.array([], pa.int32()),
                  "gkey": pa.array([], pa.int64())}
