@@ -1068,3 +1068,18 @@ def test_dedup_index_null_text_passthrough(ray_session):
     ).to_pandas()
     assert sorted(out["doc_id"]) == [1, 2, 4]
     assert idx.size() == 1  # nulls never touched the index
+
+
+def test_minhash_rejects_degenerate_band_config(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from information_extraction_t5_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": [1, 2], "text": ["a b c", "a b d"]})
+    )
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(ds, num_perm=64, bands=128)  # rows would be 0
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(ds, num_perm=64, bands=48)  # remainder dropped
