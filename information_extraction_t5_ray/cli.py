@@ -99,6 +99,23 @@ def cmd_predict(args) -> int:
 def cmd_kg(args) -> int:
     from .pipelines.kg import KGConfig, run_kg, run_kg_sharded
 
+    # A non-parquet --format needs somewhere to write, and the sharded
+    # checkpoint path always emits parquet: fail loudly up front instead
+    # of silently falling into the parquet/count branch (ADVICE r3).
+    if args.format != "parquet":
+        if not args.output:
+            print(
+                f"error: --format {args.format} requires --output",
+                file=sys.stderr,
+            )
+            return 2
+        if args.ckpt_dir:
+            print(
+                "error: --ckpt-dir writes parquet shard checkpoints; "
+                f"--format {args.format} is not supported with it",
+                file=sys.stderr,
+            )
+            return 2
     ray = _ray_session(args.num_cpus)
     try:
         cfg = KGConfig()

@@ -315,14 +315,17 @@ def q_length_histogram(sf_dir: str):
 def q_streaming_dedup(sf_dir: str):
     """Online sharded-index dedup driven as two successive ingests: the
     base documents arrive first, then the dup corpus — only content the
-    index has never seen survives the second call.  Row COUNT is
-    deterministic (one admission per distinct content); which doc_id
-    carries it is arrival order, hence rows-only."""
+    index has never seen survives the second call.  WHICH doc_id
+    carries each admission is arrival order (nondeterministic under
+    Ray's task scheduling), but the SURVIVOR CONTENT SET is exact:
+    one admission per distinct text never seen by the index.  Project
+    to ``text`` so the result is order-insensitively oracle-checkable
+    (DISTINCT new-content set, ``oracle_corpus.streaming_dedup_sql``)."""
     from ..state.dedup_index import ShardedDedupIndex
 
     idx = ShardedDedupIndex(num_shards=8)
     idx.filter_new(_read_docs(sf_dir)).materialize()  # ingest 1: snapshot
-    return idx.filter_new(dup_corpus(sf_dir)).select_columns(["doc_id"])
+    return idx.filter_new(dup_corpus(sf_dir)).select_columns(["text"])
 
 
 def q_minhash_dupes(sf_dir: str):

@@ -270,6 +270,15 @@ def export_property_graph(triples_ds, out_dir: str):
     triples_ds = triples_ds.materialize()
     nodes_dir = os.path.join(out_dir, "nodes")
     edges_dir = os.path.join(out_dir, "edges")
+    # a rerun into an existing out_dir must not leave a previous run's
+    # shards behind: write_parquet only ADDS files and the flat-dir
+    # manifest globs *.parquet, so leftovers would be double-read
+    # (same authoritative-cleanup contract as write_ntriples)
+    for d in (nodes_dir, edges_dir):
+        if os.path.isdir(d):
+            for name in os.listdir(d):
+                if name.endswith(".parquet") or name == "_MANIFEST.json":
+                    os.remove(os.path.join(d, name))
     nodes = kg_entities(triples_ds)
     nodes.sort("entity_id").write_parquet(
         nodes_dir, min_rows_per_file=100_000

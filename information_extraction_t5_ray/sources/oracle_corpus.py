@@ -55,6 +55,17 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_dups
 FROM corpus GROUP BY md5(text)"""
 
 
+def streaming_dedup_sql() -> str:
+    """Survivor CONTENT set of the second streaming ingest: the index
+    already holds every base-document text, so the admissions are
+    exactly the distinct dup-corpus texts absent from ``documents``
+    (one row per distinct new content; the carrying doc_id is arrival
+    order and deliberately not projected)."""
+    return f"""WITH {DUP_CORPUS_CTE}
+SELECT DISTINCT text FROM corpus
+WHERE text NOT IN (SELECT text FROM documents)"""
+
+
 def _jaccard_pair_ctes(
     max_df: int | None = JACCARD_MAX_DF,
     corpus_cte: str | None = DUP_CORPUS_CTE,

@@ -282,9 +282,14 @@ class T5Scorer:
         self.tokenizer = AutoTokenizer.from_pretrained(model_name, use_fast=False)
         if checkpoint_path:
             import glob as _glob
+            import os as _os
 
-            ckpts = sorted(_glob.glob(f"{checkpoint_path}/*ckpt"))
-            state = torch.load(ckpts[-1], map_location="cpu")["state_dict"]
+            # newest by mtime, not lexicographic: 'epoch-10' sorts
+            # BEFORE 'epoch-9' as a string (reference predict.py:33-40
+            # relies on glob order and has this bug)
+            ckpts = _glob.glob(f"{checkpoint_path}/*ckpt")
+            newest = max(ckpts, key=_os.path.getmtime)
+            state = torch.load(newest, map_location="cpu")["state_dict"]
             self.model = T5ForConditionalGeneration.from_pretrained(model_name)
             self.model.load_state_dict(
                 {k.removeprefix("model."): v for k, v in state.items()},

@@ -521,6 +521,24 @@ def _unesc_char(m) -> str:
         raise ValueError(f"read_ntriples: invalid escape \\{c}") from None
 
 
+# characters the W3C N-Triples IRIREF production forbids unescaped:
+# controls/space (x00-x20), <>, ", {}, |, ^, backtick and backslash.
+# subj/pred are interpolated into <...> without escaping, so any hit
+# would emit a shard read_ntriples cannot parse — fail at WRITE time.
+_NT_IRI_ILLEGAL = r'[\x00-\x20<>"{}|^`\\]'
+
+
+def _nt_check_iri(s: pd.Series, what: str) -> None:
+    bad = s.str.contains(_NT_IRI_ILLEGAL, regex=True)
+    if bad.any():
+        sample = s[bad].iloc[0]
+        raise ValueError(
+            f"write_ntriples: {what} value {sample!r} contains a "
+            "character illegal in an N-Triples IRIREF "
+            "(controls, space, '<>\"{}|^`' or backslash)"
+        )
+
+
 def _nt_unescape(s: pd.Series) -> pd.Series:
     # single left-to-right pass: a chained literal replace would corrupt
     # '\\n' (escaped backslash + literal n) into a newline.
@@ -566,6 +584,8 @@ def write_ntriples(triples_ds, out_dir: str):
             )
         subj = batch["subj"].to_pandas().astype(str)
         pred = batch["pred"].to_pandas().astype(str)
+        _nt_check_iri(subj, "subj")
+        _nt_check_iri(pred, "pred")
         obj = _nt_escape(batch["obj"].to_pandas().astype(str))
         lines = (
             "<" + subj + "> <" + NT_PRED_NS + pred + '> "' + obj + '" .'

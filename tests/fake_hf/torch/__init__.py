@@ -81,9 +81,16 @@ def no_grad():
     yield
 
 
+#: path of the most recent ``torch.load`` call, for tests asserting
+#: WHICH checkpoint the scorer picked (newest-by-mtime selection)
+last_loaded_path = None
+
+
 def load(path, map_location=None):
     """Checkpoint loads resolve to an empty lightning-style state dict —
     the glob/load_state_dict plumbing is what's under test."""
+    global last_loaded_path
+    last_loaded_path = path
     return {"state_dict": {}}
 
 

@@ -125,6 +125,26 @@ def test_t5_scorer_contract(fake_hf, tmp_path):
         assert abs(prob - math.exp(-ln_v / n)) < 1e-12, (pred, prob)
 
 
+def test_t5_scorer_picks_newest_checkpoint_by_mtime(fake_hf, tmp_path):
+    """'epoch=10.ckpt' sorts lexicographically BEFORE 'epoch=9.ckpt';
+    the scorer must pick by mtime, not glob order (VERDICT r3 item 5 —
+    the reference's predict.py:33-40 glob-order pick has this bug)."""
+    import os
+
+    import torch
+
+    from information_extraction_t5_ray.stages.score import T5Scorer
+
+    old = tmp_path / "epoch=10.ckpt"
+    new = tmp_path / "epoch=9.ckpt"
+    old.write_bytes(b"fake")
+    new.write_bytes(b"fake")
+    past = old.stat().st_mtime - 100
+    os.utime(old, (past, past))  # epoch=10 written FIRST (older)
+    T5Scorer(checkpoint_path=str(tmp_path), use_sentence_id=True)
+    assert torch.last_loaded_path == str(new)
+
+
 def test_t5_scorer_triples_end_to_end(fake_hf, ray_session):
     """T5Scorer predictions -> argmax -> split -> project -> link ->
     canonicalize produces the SAME (subj, pred, obj) set as the mock
