@@ -289,6 +289,24 @@ def documents_to_pages(batch: pa.Table) -> pa.Table:
 REPEAT_STRIDE = 50_000_000  # distinct doc_id space per replica
 
 
+def documents_paths(sf_dir: str) -> List[str]:
+    """Resolve the documents table to its file list: the driver fixture
+    is a single ``documents.parquet`` FILE; the production layout is a
+    DIRECTORY of shard files (``documents.parquet/`` or ``documents/``
+    holding ``*.parquet``).  Sorted, so file-range shard selection is
+    deterministic run-over-run."""
+    import glob as _glob
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(p):
+        return sorted(_glob.glob(os.path.join(p, "*.parquet")))
+    d = os.path.join(sf_dir, "documents")
+    if os.path.isdir(d):
+        return sorted(_glob.glob(os.path.join(d, "*.parquet")))
+    return [p]
+
+
 def read_pages(
     sf_dir: str,
     include_html: bool = True,
@@ -311,15 +329,29 @@ def read_pages(
     # schema= override strips the file's b'pandas' metadata AT the read
     # task — a post-read strip left 'Failed to hash the schemas'
     # warnings (and the slow schema-unify path) inside the read itself
-    ds = read_parquet_clean(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
-    )
+    paths = documents_paths(sf_dir)
+    row_filter_shard = None
     if shard is not None:
-        # shard (k, n): deterministic doc_id slice — the unit of
-        # partition-granular checkpointed resume (run_kg_sharded).  At
-        # real scale a shard is a file range and this filter is a path
-        # selection, not a row filter.
+        # shard (k, n): the unit of partition-granular checkpointed
+        # resume (run_kg_sharded).  When the documents table is a
+        # multi-file directory (the production layout), the shard is a
+        # FILE-RANGE selection — only ~1/n of the input bytes are read,
+        # so an n-shard resume costs one full read total, not n.  The
+        # single-file fixture has no file ranges to select; it falls
+        # back to a post-read row filter (n full reads on resume —
+        # a fixture limitation, not the production shape).
         k, n = shard
+        if len(paths) > 1:
+            paths = paths[k::n]  # disjoint, union over k covers all
+        else:
+            row_filter_shard = (k, n)
+    if not paths:  # more shards than files: this shard is empty
+        import ray.data as rd
+
+        return rd.from_arrow(PAGES_SCHEMA.empty_table())
+    ds = read_parquet_clean(paths, columns=["doc_id", "text", "lang"])
+    if row_filter_shard is not None:
+        k, n = row_filter_shard
 
         def keep(batch: pa.Table) -> pa.Table:
             mask = batch["doc_id"].to_numpy() % n == k

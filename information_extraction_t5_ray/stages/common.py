@@ -216,11 +216,19 @@ def clean_read_schema(path, columns=None):
 
 def read_parquet_clean(path, *, columns=None, **kwargs):
     """``ray.data.read_parquet`` with the schema cleaned at the read
-    task (see :func:`clean_read_schema`)."""
+    task (see :func:`clean_read_schema`).  ``path`` may be a single
+    file/directory or a LIST of shard paths (file-range shard
+    selection — one footer is representative, as all repo writers emit
+    a single schema)."""
     import ray.data as rd
 
-    schema = clean_read_schema(path, columns)
-    return rd.read_parquet(str(path), columns=columns, schema=schema, **kwargs)
+    if isinstance(path, (list, tuple)):
+        schema = clean_read_schema(path[0], columns)
+        paths: object = [str(p) for p in path]
+    else:
+        schema = clean_read_schema(path, columns)
+        paths = str(path)
+    return rd.read_parquet(paths, columns=columns, schema=schema, **kwargs)
 
 
 def arrow_out(df):

@@ -161,6 +161,41 @@ def ann_topk(
 # ---------------------------------------------------------------------------
 
 
+def _train_sample_df(
+    ds, n: int, id_col: str = "vec_id", total: int | None = None
+) -> pd.DataFrame:
+    """Uniform ~``n``-row sample for centroid training, drawn by LCG
+    hash on ``id_col`` — NOT a ``limit(n)`` prefix.
+
+    A prefix is biased whenever the corpus is sorted or source-clustered
+    (at 100 TB it always is: crawl order, domain order, shard order), so
+    prefix-trained centroids only cover the FIRST source's manifold.
+    Instead keep rows with ``lcg(id) % 2^31 < ceil(n/total * 2^31)`` —
+    the same seeded-hash regime as :func:`sampling.stratified_sample`,
+    at full 2^31 granularity so the expected draw stays ~``n`` even at
+    ``n/total`` ~ 1e-7.  Costs one ``count()`` (metadata-only on a
+    parquet read; pass ``total`` when the caller already knows it) plus
+    one filtered stream of only the sampled rows to the driver.  The
+    trailing ``limit`` is a 2x safety cap, not the sampling mechanism —
+    at uniform hash dispersion it essentially never binds.
+    """
+    from .sampling import _LCG_M, lcg_bucket
+
+    if total is None:
+        total = ds.count()
+    if total <= n:
+        return ds.to_pandas()
+    thresh = int(np.ceil(n / total * _LCG_M))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = lcg_bucket(batch[id_col].to_numpy(), denom=_LCG_M)
+        return batch.filter(pa.array(b < thresh))
+
+    return (
+        ds.map_batches(keep, batch_format="pyarrow").limit(2 * n).to_pandas()
+    )
+
+
 def _kmeans_lite(
     sample: np.ndarray, n_clusters: int, n_iters: int = 10, seed: int = 42
 ) -> np.ndarray:
@@ -209,8 +244,9 @@ def ann_topk_ivf(
     queries whose ``nprobe`` nearest centroids include the candidate's
     cluster.
 
-    Scale shape: centroids train on a bounded driver-side sample
-    (``limit(train_sample)`` streams just that prefix), the (C, d)
+    Scale shape: centroids train on a bounded driver-side sample drawn
+    by LCG hash (:func:`_train_sample_df` — uniform over the corpus,
+    not a sorted-input-biased prefix), the (C, d)
     centroid matrix + per-cluster query lists broadcast ONCE via
     ``ray.put``, and each data batch does one (B, C) assignment matmul
     plus per-present-cluster partial matmuls — expected query-side work
@@ -223,7 +259,7 @@ def ann_topk_ivf(
     num_buckets = resolve_parallelism(num_buckets)
     import ray
 
-    sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
+    sample_tbl = _train_sample_df(embeddings_ds, train_sample)
     sample = np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64)
     cent = _kmeans_lite(sample, n_clusters, seed=seed)
     C = len(cent)
@@ -499,19 +535,29 @@ def semdedup(
     from .dedup import _local_cc
 
     if max_cluster_rows:
-        # three consumers ahead (train sample, size estimate, assign
-        # pass); pin blocks BEFORE the first or a lazy upstream
-        # (embedding model, joins) re-executes per consumer — the
-        # object store spills if the corpus exceeds memory, still
-        # cheaper than recompute
+        # three consumers ahead (count + train-sample filter, size
+        # estimate, assign pass); pin blocks BEFORE the first or a lazy
+        # upstream (embedding model, joins) re-executes per consumer —
+        # the object store spills if the corpus exceeds memory, still
+        # cheaper than recompute.  Without the cap the consumers are
+        # count + sample + assign over what is typically a bare parquet
+        # read: re-streaming the read twice beats pinning the corpus,
+        # so no materialize — callers with an expensive lazy upstream
+        # should pass it materialized.
         embeddings_ds = embeddings_ds.materialize()
-    sample_tbl = embeddings_ds.limit(train_sample).to_pandas()
+    n_total = embeddings_ds.count()
+    # hash-drawn, not a prefix: the per-cluster size ESTIMATE below
+    # (sample fraction x corpus count) is only unbiased if the sample
+    # is — a sorted corpus prefix would both skew the centroids and
+    # undercount every cluster the prefix never reaches
+    sample_tbl = _train_sample_df(
+        embeddings_ds, train_sample, id_col=id_col, total=n_total
+    )
     sample = np.asarray(sample_tbl["embedding"].tolist(), dtype=np.float64)
     cent = _kmeans_lite(sample, n_clusters, seed=seed)
 
     sub_cents: dict[int, np.ndarray] = {}
     if max_cluster_rows:
-        n_total = embeddings_ds.count()
         sm = _normalize(sample)
         scl = np.argmax(sm @ cent.T, axis=1)
         frac = np.bincount(scl, minlength=len(cent)) / max(1, len(scl))
