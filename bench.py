@@ -384,6 +384,35 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
     }
 
 
+STRESS_TARGET_PAGES = 1_280_000  # the r3 x256 endurance volume
+
+
+def run_stress(sf_dir: str, num_cpus: int) -> dict:
+    """Composed 100x-shaped endurance entry (VERDICT r3 item 6): the
+    flagship extraction over ~1.28M pages — the fixture replicated to a
+    FIXED page volume (sf0.01 x 256 equivalent) so the throughput
+    number is comparable round-over-round regardless of which sf dir
+    the driver benches.  Runs in a fresh child process (own Ray
+    session) so endurance is measured from a cold object store."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_t5_ray.sources.synth import documents_paths
+
+    n_docs = sum(
+        pq.ParquetFile(p).metadata.num_rows for p in documents_paths(sf_dir)
+    )
+    repeat = max(1, -(-STRESS_TARGET_PAGES // n_docs))
+    os.environ["GRAFT_TIMED_RUNS"] = "1"
+    os.environ["GRAFT_WARM"] = "lite"
+    try:
+        out = _run_child(sf_dir, num_cpus, repeat=repeat)
+    finally:
+        os.environ.pop("GRAFT_TIMED_RUNS", None)
+        os.environ.pop("GRAFT_WARM", None)
+    out["target_pages"] = STRESS_TARGET_PAGES
+    return out
+
+
 def _run_child(sf_dir: str, num_cpus: int, repeat: int = 1) -> dict:
     """Fresh-process single-query run (scaling evidence needs isolated
     ray sessions; object-store state must not carry over)."""
@@ -420,13 +449,22 @@ def run_scaling_child(sf_dir: str, num_cpus: int, repeat: int) -> dict:
     from information_extraction_t5_ray.sources import synth
 
     cfg = KGConfig()
-    kg_triples(synth.read_pages(sf_dir, repeat=repeat), cfg).count()  # warm
-    # best of 3 timed runs: the box hosting this sandbox shows ±30%
-    # run-to-run jitter; min is the least-interference steady-state
-    # estimate and is what both cluster sizes are judged on equally
+    # scaling mode: warm every worker, then best-of-3 (the box shows
+    # ±30% jitter; min is the least-interference steady-state estimate
+    # and both cluster sizes are judged on it equally).  Stress mode
+    # (GRAFT_TIMED_RUNS=1, GRAFT_WARM=0): ONE cold-inclusive execution
+    # — endurance is about sustained volume, not jitter minimization,
+    # and 4 full 1.28M-page executions would dominate the bench wall.
+    n_timed = max(1, int(os.environ.get("GRAFT_TIMED_RUNS", "3")))
+    warm = os.environ.get("GRAFT_WARM", "1")
+    if warm == "lite":
+        # pay worker spin-up (fork + imports) without the full volume
+        kg_triples(synth.read_pages(sf_dir, repeat=1), cfg).count()
+    elif warm != "0":
+        kg_triples(synth.read_pages(sf_dir, repeat=repeat), cfg).count()
     sec = float("inf")
     rows = 0
-    for _ in range(3):
+    for _ in range(n_timed):
         t0 = time.perf_counter()
         rows = kg_triples(synth.read_pages(sf_dir, repeat=repeat), cfg).count()
         sec = min(sec, time.perf_counter() - t0)
@@ -565,6 +603,8 @@ def main() -> None:
     p.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     p.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--stress", action="store_true",
+                   help="run ONLY the 1.28M-page flagship endurance entry")
     p.add_argument("--only", nargs="*", default=None,
                    help="subset of query names to run")
     p.add_argument("--child", action="store_true",
@@ -579,8 +619,20 @@ def main() -> None:
         )
     elif args.scaling:
         result = run_scaling(args.sf_dir)
+    elif args.stress:
+        result = {
+            "metric": "kg_stress_1p28m_pages",
+            "stress": run_stress(args.sf_dir, args.num_cpus),
+        }
     else:
         result = run_bench(args.sf_dir, args.num_cpus, only=args.only)
+        # endurance entry rides the default driver run (BENCH_r{N} must
+        # contain it) but NOT the per-query total; skipped on tiny
+        # sf dirs (verify smoke) and subset runs unless forced on
+        if args.only is None and (
+            os.environ.get("GRAFT_STRESS") == "1" or _sf_of(args.sf_dir) >= 0.05
+        ):
+            result["stress"] = run_stress(args.sf_dir, args.num_cpus)
     print(json.dumps(result))
     if ray.is_initialized():
         ray.shutdown()

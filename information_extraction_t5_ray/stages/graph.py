@@ -15,16 +15,16 @@ Scale posture (all stages follow the repo's two-phase pattern):
   column-pruned) triples; pair emission is vectorized inside the
   group, then partial counts collapse per batch before the small
   final merge (pair vocabulary << pair occurrences).
-* ``pagerank`` — INTEGER-exact power iteration with the rank vector
-  broadcast via ``ray.put`` and edges streamed through
-  ``map_batches``; per iteration the exchange is one bounded partial
-  aggregation (one row per distinct dst per batch), never an
-  edge-by-rank join shuffle.  Assumes the node vocabulary (entity
-  surface forms) is object-store-small even when the EDGE/mention
-  volume is crawl-scale — the realistic entity-graph regime.  All
-  arithmetic is int64 (contributions floor-divide, damping is
-  ``*85 // 100``), so results are bit-exact and order-independent:
-  the DuckDB oracle hashes equal (no float accumulation drift).
+* ``pagerank`` — INTEGER-exact power iteration whose distributed path
+  keeps the rank vector as a hash-bucketed DATASET and advances it by
+  two bucketed exchanges per iteration (tagged-union state co-group on
+  the source endpoint, contribution merge on the destination) — the
+  Pregel/GraphX posture, no driver-resident node map, so neither node
+  vocabulary nor edge volume has a ceiling.  All arithmetic is int64
+  (contributions floor-divide, damping is ``*85 // 100``), so results
+  are bit-exact and order-independent: the DuckDB oracle hashes equal
+  (no float accumulation drift), and the local fast path is
+  arithmetic-identical.
 * ``neighbor_topk`` — grouped top-k over the co-mention edges with
   deterministic (cnt desc, neighbor asc) ties.
 
@@ -434,6 +434,73 @@ def _pagerank_overflow_guard(
     return sum(int(r) for r in ranks.tolist())
 
 
+def _exact_sum_nonneg(v: np.ndarray) -> int:
+    """Exact Python-int total of a NONNEGATIVE int64 vector via 32-bit
+    hi/lo partial sums (each bounded far below 2^63 for any realistic
+    group size), immune to int64 wrap — the distributed guards compare
+    these exact totals across an accumulation to detect overflow
+    without any driver-resident vector."""
+    if len(v) == 0:
+        return 0
+    v = v.astype(np.int64, copy=False)
+    return (int((v >> 32).sum()) << 32) + int((v & 0xFFFFFFFF).sum())
+
+
+# fixed Arrow schema for the tagged (edges ∪ node-state) co-group union:
+# one schema through the shuffle (repo invariant — mixed schemas hit the
+# slow unify path).  Edge rows: side=0, (a, b, cnt, w=outw_a once
+# enriched); state rows: side=1, a=node, w=value, b=""/cnt=0 unused.
+_PR_TAG_SCHEMA = pa.schema(
+    [
+        ("side", pa.int8()),
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("cnt", pa.int64()),
+        ("w", pa.int64()),
+        ("_bucket", pa.int32()),
+    ]
+)
+
+
+def _pr_tag_edges(batch: pa.Table, num_buckets: int, w_col=None) -> pa.Table:
+    a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+    n = len(a)
+    w = (
+        batch[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if w_col is not None and w_col in batch.column_names
+        else np.zeros(n, dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            "a": pa.array(a, pa.string()),
+            "b": batch["b"].cast(pa.string()),
+            "cnt": batch["cnt"].cast(pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
+        },
+        schema=_PR_TAG_SCHEMA,
+    )
+
+
+def _pr_tag_state(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """State rows (node, w) tagged side=1, co-bucketed with the edges'
+    ``a`` endpoint by the same hash."""
+    node = pd.Series(batch["node"].to_numpy(zero_copy_only=False)).astype(str)
+    n = len(node)
+    return pa.table(
+        {
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "a": pa.array(node, pa.string()),
+            "b": pa.array([""] * n, pa.string()),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+            "w": batch["w"].cast(pa.int64()),
+            "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+        },
+        schema=_PR_TAG_SCHEMA,
+    )
+
+
 def _pagerank_check_sums(csum: np.ndarray, total: int, limit: int) -> None:
     """Detect int64 wrap in the contribution accumulation AFTER the
     fact via mass conservation (contributions are nonnegative and
@@ -469,17 +536,18 @@ def pagerank(
     r_0(v) = SCALE; r_{t+1}(v) = TELEPORT + 85 * (sum over in-edges of
     r_t(u) * w(u,v) // W(u)) // 100, all int64 — bit-exact in any
     engine and under any partitioning (integer sums commute).  The
-    rank vector broadcasts via ``ray.put`` each iteration; edges
-    stream through ``map_batches`` emitting per-batch partial dst
-    sums, merged by a bounded bucketed groupby (one row per distinct
-    dst per batch on the wire).  Node vocabulary must fit the object
-    store (entity-graph regime); edge volume is unbounded.
+    distributed path keeps the rank vector AS A DATASET (node, rank)
+    hash-bucketed alongside the edges and advances it with two bucketed
+    exchanges per iteration (state co-group on the source endpoint,
+    contribution merge on the destination) — no driver-resident node
+    map, no per-round broadcast, so neither node vocabulary nor edge
+    volume has a ceiling.
 
     Every symmetric edge gives W(u) >= 1, so there are no dangling
-    nodes by construction.
+    nodes by construction, and every node receives contributions (every
+    ``a`` is some edge's ``b``), so the per-destination merge re-emits
+    the complete rank state each round.
     """
-    import ray
-
     num_buckets = resolve_parallelism(num_buckets)
     teleport = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
                 ) // PAGERANK_DAMP_DEN
@@ -517,7 +585,26 @@ def pagerank(
         )
         return rd.from_arrow(out)
 
-    # out-weight per node: small two-phase aggregate (node vocab rows)
+    # ---- open-vocabulary distributed path (VERDICT r3 item 2) -------
+    # EVERY per-node structure — out-weights, the rank vector — lives
+    # in hash-bucketed Dataset blocks; the driver holds only scalars.
+    # Per iteration: exchange 1 co-groups the edge stream with the rank
+    # state on bucket_of(a) (a tagged union, the repo's asof-join
+    # pattern) and emits per-group (dst, partial-sum) rows; exchange 2
+    # merges those per bucket_of(dst) into the next rank state.  This
+    # is the Pregel/GraphX posture — 2 bucketed exchanges per round —
+    # and it has NO vocabulary ceiling: 10^9-node graphs never touch
+    # the driver.  The overflow guards move into the tasks: the
+    # pre-multiplication bound is checked per edge, and int64 wrap in
+    # each accumulation is caught by comparing exact hi/lo Python-int
+    # totals of inputs vs outputs (:func:`_exact_sum_nonneg`) inside
+    # the same group — together equivalent to the local path's
+    # mass-conservation check, with no global vector.
+    import ray.data as rd
+
+    limit = np.iinfo(np.int64).max
+
+    # out-weight per node: two-phase aggregate, result STAYS distributed
     def outw_partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -531,76 +618,169 @@ def pagerank(
 
     def outw_final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("node", sort=False, as_index=False)["w"].sum()
-        return g
+        sums = df["w"].to_numpy(np.int64)
+        if bool((sums < 0).any()) or _exact_sum_nonneg(
+            g["w"].to_numpy(np.int64)
+        ) != _exact_sum_nonneg(sums):
+            raise OverflowError("pagerank: out-weight sum wrapped int64")
+        return g[["node", "w"]]
 
-    outw_rows = (
+    outw_ds = (
         edges_ds.map_batches(arrowed(outw_partial), batch_format="pyarrow")
+        .repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(outw_final), batch_format="pandas")
-        .to_pandas()
     )
-    nodes = outw_rows["node"].to_numpy(dtype=object).astype(str)
-    order = np.argsort(nodes)
-    nodes = nodes[order]
-    outw = outw_rows["w"].to_numpy(np.int64)[order]
-    node_idx = {n: i for i, n in enumerate(nodes)}
-    ranks = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
-    limit = np.iinfo(np.int64).max
-    # per-edge w <= outw[a] (symmetric positive weights), so
-    # ranks.max() * outw.max() bounds every task-side rank*w product
-    # node map + out-weights are loop-invariant: broadcast ONCE; only
-    # the rank vector re-ships per iteration (the str->int dict is the
-    # largest broadcast object at crawl-scale vocabularies)
-    static_ref = ray.put((node_idx, outw))
+
+    # enrich edges with outw_a ONCE (loop-invariant): one co-group
+    def join_outw(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        o = df[df["side"] == 1]
+        m = pd.Series(o["w"].to_numpy(np.int64), index=o["a"].to_numpy())
+        wa = e["a"].map(m)
+        # symmetric edges: every a appears in the out-weight aggregate
+        if wa.isna().any():
+            raise ValueError(
+                "pagerank: out-weight co-group missed an 'a' endpoint "
+                "(non-symmetric or inconsistently bucketed edge list)"
+            )
+        return pd.DataFrame(
+            {
+                "a": e["a"],
+                "b": e["b"],
+                "cnt": e["cnt"].to_numpy(np.int64),
+                "outw_a": wa.to_numpy(np.int64),
+            }
+        )
+
+    tagged0 = edges_ds.map_batches(
+        lambda t: _pr_tag_edges(t, num_buckets), batch_format="pyarrow"
+    ).union(
+        outw_ds.map_batches(
+            lambda t: _pr_tag_state(t, num_buckets), batch_format="pyarrow"
+        )
+    )
+    eplus = (
+        tagged0.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(join_outw), batch_format="pandas")
+        .materialize()
+    )
+
+    # rank state: (node, w=rank) — initialized from the node universe
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.string()),
+                "w": pa.array(
+                    np.full(n, PAGERANK_SCALE, dtype=np.int64), pa.int64()
+                ),
+            }
+        )
+
+    ranks_ds = outw_ds.map_batches(
+        init_ranks, batch_format="pyarrow"
+    ).materialize()
+
+    def contrib_group(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        r = df[df["side"] == 1]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "dst": pd.Series(dtype=str),
+                    "c": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        # tagged convention: edge rows (side 0) carry outw_a in "w";
+        # state rows (side 1) carry the rank in "w"
+        rm = pd.Series(r["w"].to_numpy(np.int64), index=r["a"].to_numpy())
+        ra_s = e["a"].map(rm)
+        if ra_s.isna().any():
+            raise ValueError(
+                "pagerank requires a SYMMETRIC edge list (every node "
+                "must appear as an 'a' endpoint)"
+            )
+        ra = ra_s.to_numpy(np.int64)
+        wa = e["w"].to_numpy(np.int64)
+        cnt = e["cnt"].to_numpy(np.int64)
+        # pre-multiplication guard, per edge (w(u,v) <= W(u) makes the
+        # per-node local check and this per-edge check the same bound)
+        if bool((ra > limit // np.maximum(wa, 1)).any()):
+            raise OverflowError(
+                "pagerank: rank * edge-weight would overflow int64; "
+                "lower PAGERANK_SCALE or pre-scale edge weights"
+            )
+        c = (ra * cnt) // wa
+        g = (
+            pd.DataFrame({"dst": e["b"].to_numpy(), "c": c})
+            .groupby("dst", sort=False, as_index=False)["c"]
+            .sum()
+        )
+        gc = g["c"].to_numpy(np.int64)
+        if bool((gc < 0).any()) or _exact_sum_nonneg(gc) != _exact_sum_nonneg(c):
+            raise OverflowError(
+                "pagerank: contribution accumulation wrapped int64; "
+                "lower PAGERANK_SCALE"
+            )
+        g["_bucket"] = bucket_of(
+            pd.Series(g["dst"]).astype(str), num_buckets
+        ).astype(np.int32)
+        return g
+
+    def rank_update(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("dst", sort=False, as_index=False)["c"].sum()
+        gc = g["c"].to_numpy(np.int64)
+        cin = df["c"].to_numpy(np.int64)
+        if bool((gc < 0).any()) or _exact_sum_nonneg(gc) != _exact_sum_nonneg(
+            cin
+        ):
+            raise OverflowError(
+                "pagerank: contribution accumulation wrapped int64; "
+                "lower PAGERANK_SCALE"
+            )
+        if len(gc) and int(gc.max()) > limit // PAGERANK_DAMP_NUM:
+            raise OverflowError(
+                "pagerank: damping product would overflow int64; "
+                "lower PAGERANK_SCALE"
+            )
+        rank = teleport + (gc * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+        return pd.DataFrame({"node": g["dst"].to_numpy(), "w": rank})
 
     for _ in range(n_iters):
-        total = _pagerank_overflow_guard(ranks, outw, limit)
-        rank_ref = ray.put(ranks)
-
-        def contrib(
-            batch: pa.Table, _static=static_ref, _ranks=rank_ref
-        ) -> pd.DataFrame:
-            idx, w_out = ray.get(_static)
-            r = ray.get(_ranks)
-            a = batch["a"].to_pandas().astype(str).map(idx).to_numpy(np.int64)
-            b = batch["b"].to_pandas().astype(str).map(idx).to_numpy(np.int64)
-            w = batch["cnt"].to_pandas().to_numpy(np.int64)
-            c = (r[a] * w) // w_out[a]
-            g = (
-                pd.DataFrame({"dst": b, "c": c})
-                .groupby("dst", sort=False, as_index=False)["c"]
-                .sum()
+        tagged = eplus.map_batches(
+            lambda t: _pr_tag_edges(t, num_buckets, w_col="outw_a"),
+            batch_format="pyarrow",
+        ).union(
+            ranks_ds.map_batches(
+                lambda t: _pr_tag_state(t, num_buckets),
+                batch_format="pyarrow",
             )
-            g["_bucket"] = (
-                g["dst"].to_numpy(np.int64) % num_buckets
-            ).astype(np.int32)
-            return g
-
-        def merge(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("dst", sort=False, as_index=False)["c"].sum()
-
-        sums = (
-            edges_ds.map_batches(arrowed(contrib), batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(arrowed(merge), batch_format="pandas")
-            .to_pandas()
         )
-        new = np.full(len(nodes), teleport, dtype=np.int64)
-        dst = sums["dst"].to_numpy(np.int64)
-        csum = sums["c"].to_numpy(np.int64)
-        _pagerank_check_sums(csum, total, limit)
-        new[dst] += (csum * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
-        ranks = new
 
-    import ray.data as rd
+        partials = (
+            tagged.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(contrib_group), batch_format="pandas")
+        )
+        ranks_ds = (
+            partials.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(rank_update), batch_format="pandas")
+            .materialize()
+        )
 
-    out = pa.table(
-        {
-            "node": pa.array(nodes.tolist(), pa.string()),
-            "rank_int": pa.array(ranks.tolist(), pa.int64()),
-        }
-    )
-    return rd.from_arrow(out)
+    def to_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.string()),
+                "rank_int": batch["w"].cast(pa.int64()),
+            }
+        )
+
+    return ranks_ds.map_batches(to_out, batch_format="pyarrow").sort("node")
 
 
 def neighbor_topk(
@@ -1081,6 +1261,21 @@ def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
     )
 
 
+# fixed Arrow schema for the LPA tagged (edges ∪ label-state) union:
+# like _PR_TAG_SCHEMA but the state value is a STRING label and the
+# co-group key is the ``b`` endpoint (the label lookup side)
+_LPA_TAG_SCHEMA = pa.schema(
+    [
+        ("side", pa.int8()),
+        ("a", pa.string()),
+        ("b", pa.string()),
+        ("cnt", pa.int64()),
+        ("val", pa.string()),
+        ("_bucket", pa.int32()),
+    ]
+)
+
+
 def _lpa_pick(df: pd.DataFrame) -> pd.DataFrame:
     """ONE weighted-argmax kernel for both LPA paths (local fast path
     and distributed per-round merge must stay bit-identical): sum w
@@ -1120,12 +1315,12 @@ def label_propagation(
     new label = the neighbor label with the greatest incident weight
     (ties: lexicographic-min label).  Output ``(entity, community)``.
 
-    Same distribution posture as :func:`pagerank`: the label map is
-    node-bounded and broadcast via ``ray.put`` once per round; edges
-    stream through ``map_batches`` emitting per-batch partial
-    (node, label) weight sums, merged by one bucketed exchange per
-    round.  Hybrid single-task fast path under ``local_edge_threshold``
-    edges, arithmetic-identical.
+    Same distribution posture as :func:`pagerank`: the label map is a
+    hash-bucketed DATASET (node, label) advanced by bucketed exchanges
+    — a tagged-union label co-group on the ``b`` endpoint, then the
+    weighted-argmax pick on the node — never a driver-resident Series,
+    so the node vocabulary has no ceiling.  Hybrid single-task fast
+    path under ``local_edge_threshold`` edges, arithmetic-identical.
 
     Known property of the synchronous contract (kept because it is
     what makes the result deterministic and oracle-reproducible):
@@ -1135,8 +1330,6 @@ def label_propagation(
     Use :func:`kg_components` when transitive-closure communities are
     wanted instead.
     """
-    import ray
-
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
 
@@ -1179,55 +1372,125 @@ def label_propagation(
             )
         )
 
-    # no node-universe pre-pass: round 1's labels are the identity map
-    # (label(b) == b), and symmetric edges make every node an ``a``, so
-    # the first round's pick already covers the complete node set
-    labels = None  # pandas Series node -> label after each round
+    # ---- open-vocabulary distributed path (VERDICT r3 item 2) -------
+    # The label map is a hash-bucketed DATASET (node, label), never a
+    # driver Series: each round after the first runs 2 bucketed
+    # exchanges — a tagged-union label co-group on bucket_of(b) (the
+    # previous round's label lookup as a join) then the weighted-argmax
+    # pick on bucket_of(node).  Round 1's labels are the identity map
+    # (label(b) == b), and symmetric edges make every node an ``a``,
+    # so the first round's pick already covers the complete node set
+    # — no node-universe pre-pass, no vocabulary ceiling.
 
     def pick_groups(df: pd.DataFrame) -> pd.DataFrame:
         return _lpa_pick(df)[["node", "label"]]
 
-    for _ in range(n_rounds):
-        lab_ref = None if labels is None else ray.put(labels)
+    def round1_partial(batch: pa.Table) -> pd.DataFrame:
+        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        b = pd.Series(batch["b"].to_numpy(zero_copy_only=False)).astype(str)
+        w = batch["cnt"].to_numpy(zero_copy_only=False)
+        g = (
+            pd.DataFrame({"node": a, "label": b, "w": w})
+            .groupby(["node", "label"], sort=False, as_index=False)["w"]
+            .sum()
+        )
+        g["w"] = g["w"].astype(np.int64)
+        g["_bucket"] = bucket_of(g["node"], num_buckets)
+        return g
 
-        def partial(batch: pa.Table, _lab=lab_ref) -> pd.DataFrame:
-            a = pd.Series(
-                batch["a"].to_numpy(zero_copy_only=False)
-            ).astype(str)
-            b = pd.Series(
-                batch["b"].to_numpy(zero_copy_only=False)
-            ).astype(str)
-            w = batch["cnt"].to_numpy(zero_copy_only=False)
-            lbl = b if _lab is None else _lpa_lookup(b, ray.get(_lab))
-            g = (
-                pd.DataFrame({"node": a, "label": lbl, "w": w})
-                .groupby(["node", "label"], sort=False, as_index=False)["w"]
-                .sum()
+    def lab_join(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        lab = df[df["side"] == 1]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=str),
+                    "label": pd.Series(dtype=str),
+                    "w": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
             )
-            g["w"] = g["w"].astype(np.int64)
-            g["_bucket"] = bucket_of(g["node"], num_buckets)
-            return g
+        lm = pd.Series(lab["val"].to_numpy(), index=lab["b"].to_numpy())
+        lbl = _lpa_lookup(e["b"], lm)
+        g = (
+            pd.DataFrame(
+                {
+                    "node": e["a"].to_numpy(),
+                    "label": lbl.to_numpy(),
+                    "w": e["cnt"].to_numpy(np.int64),
+                }
+            )
+            .groupby(["node", "label"], sort=False, as_index=False)["w"]
+            .sum()
+        )
+        g["_bucket"] = bucket_of(
+            pd.Series(g["node"]).astype(str), num_buckets
+        ).astype(np.int32)
+        return g
 
-        top = (
-            edges.map_batches(arrowed(partial), batch_format="pyarrow")
+    def tag_edges_by_b(batch: pa.Table) -> pa.Table:
+        b = pd.Series(batch["b"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(b)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "a": batch["a"].cast(pa.string()),
+                "b": pa.array(b, pa.string()),
+                "cnt": batch["cnt"].cast(pa.int64()),
+                "val": pa.array([""] * n, pa.string()),
+                "_bucket": pa.array(bucket_of(b, num_buckets), pa.int32()),
+            },
+            schema=_LPA_TAG_SCHEMA,
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "a": pa.array([""] * n, pa.string()),
+                "b": pa.array(node, pa.string()),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "val": batch["label"].cast(pa.string()),
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_LPA_TAG_SCHEMA,
+        )
+
+    labels_ds = (
+        edges.map_batches(arrowed(round1_partial), batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(pick_groups), batch_format="pandas")
+        .materialize()
+    )
+    for _ in range(n_rounds - 1):
+        tagged = edges.map_batches(
+            tag_edges_by_b, batch_format="pyarrow"
+        ).union(labels_ds.map_batches(tag_labels, batch_format="pyarrow"))
+        labels_ds = (
+            tagged.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(lab_join), batch_format="pandas")
+            .repartition(num_buckets)
             .groupby("_bucket")
             .map_groups(arrowed(pick_groups), batch_format="pandas")
-            .to_pandas()
-        )
-        labels = pd.Series(
-            top["label"].to_numpy(), index=top["node"].to_numpy()
+            .materialize()
         )
 
-    import ray.data as rd
-
-    labels = labels.sort_index()
-    return rd.from_arrow(
-        pa.table(
+    def to_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "entity": pa.array(labels.index.tolist(), pa.string()),
-                "community": pa.array(labels.tolist(), pa.string()),
+                "entity": batch["node"].cast(pa.string()),
+                "community": batch["label"].cast(pa.string()),
             }
         )
+
+    return labels_ds.map_batches(to_out, batch_format="pyarrow").sort(
+        "entity"
     )
 
 
@@ -1685,14 +1948,15 @@ def bfs_layers(
     CTE dist guard), not a convergence heuristic: outputs are exact
     for the capped semantics even on graphs with larger diameter.
 
-    Distributed shape: the frontier/visited sets are node-bounded and
-    ride the object store (the :func:`pagerank` posture — entity
-    vocabulary is object-store-small even at crawl-scale edge volume);
-    each round is ONE map-side membership scan of the materialized
-    edge stream emitting per-batch-unique discoveries, so the
-    per-round exchange is bounded by the new-node count, never an
-    edge shuffle.  Rounds stop at the first empty frontier."""
-    import ray
+    Distributed shape (the :func:`pagerank` posture): the frontier and
+    the visited (node, dist) map are hash-bucketed DATASETS, never
+    driver sets — per round, exchange 1 co-groups the edge stream with
+    the frontier on bucket_of(a) and emits per-group-unique candidate
+    discoveries; exchange 2 co-groups those with the visited state on
+    bucket_of(node) as an anti-join, yielding the fresh layer.  The
+    driver holds only the round counter and the fresh-count scalar, so
+    the reachable set has no vocabulary ceiling.  Rounds stop at the
+    first empty frontier."""
     import ray.data as rd
 
     num_buckets = resolve_parallelism(num_buckets)
@@ -1736,43 +2000,124 @@ def bfs_layers(
         .tolist()
     )
 
-    dist: dict = {s: 0 for s in seeds}
-    frontier = set(seeds)
-    for r in range(1, max_rounds + 1):
-        if not frontier:
-            break
-        # sorted arrays, not sets: membership runs through C-speed
-        # np.isin instead of a Python lookup per edge
-        f_ref = ray.put(np.sort(np.array(list(frontier), dtype=str)))
-        v_ref = ray.put(np.sort(np.array(list(dist), dtype=str)))
+    # ---- dataset-resident frontier / visited state ------------------
+    _BFS_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),  # co-group key: edge 'a' / state node
+            ("b", pa.string()),  # edge dst (side 0 only)
+            ("dist", pa.int64()),  # visited distance (side 1 only)
+            ("_bucket", pa.int32()),
+        ]
+    )
 
-        def expand(batch: pa.Table) -> pa.Table:
-            # typed ARROW output: empty pandas blocks lose their schema
-            # (the repo-wide empty-object-column rule)
-            f = ray.get(f_ref)
-            seen = ray.get(v_ref)
-            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
-            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
-            cand = np.unique(b[np.isin(a, f)])
-            fresh = cand[~np.isin(cand, seen)]
-            return pa.table({"node": pa.array(fresh, pa.string())})
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(a)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(a, pa.string()),
+                "b": batch["b"].cast(pa.string()),
+                "dist": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
+            },
+            schema=_BFS_TAG,
+        )
 
-        found = edges.map_batches(expand, batch_format="pyarrow").to_pandas()
-        if "node" not in found.columns:  # to_pandas() of all-empty blocks
-            break
-        frontier = set(found["node"]) - set(dist)
-        for n in frontier:
-            dist[n] = r
+    def tag_state(batch: pa.Table, side: int) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        d = (
+            batch["dist"].cast(pa.int64())
+            if "dist" in batch.column_names
+            else pa.array(np.zeros(n, dtype=np.int64))
+        )
+        return pa.table(
+            {
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+                "key": pa.array(node, pa.string()),
+                "b": pa.array([""] * n, pa.string()),
+                "dist": d,
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_BFS_TAG,
+        )
 
-    items = sorted(dist.items())
-    return rd.from_arrow(
+    def expand_group(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        f = df[df["side"] == 1]
+        if len(e) == 0 or len(f) == 0:
+            return pd.DataFrame({"node": pd.Series(dtype=str)})
+        fr = np.sort(f["key"].to_numpy(dtype=object).astype(str))
+        a = e["key"].to_numpy(dtype=object).astype(str)
+        b = e["b"].to_numpy(dtype=object).astype(str)
+        cand = np.unique(b[np.isin(a, fr)])
+        return pd.DataFrame({"node": cand})
+
+    def anti_group(df: pd.DataFrame, r: int) -> pd.DataFrame:
+        c = df[df["side"] == 0]
+        seen = df[df["side"] == 1]
+        if len(c) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=str),
+                    "dist": pd.Series(dtype=np.int64),
+                }
+            )
+        cand = np.unique(c["key"].to_numpy(dtype=object).astype(str))
+        sn = np.sort(seen["key"].to_numpy(dtype=object).astype(str))
+        fresh = cand[~np.isin(cand, sn)]
+        return pd.DataFrame(
+            {"node": fresh, "dist": np.full(len(fresh), r, dtype=np.int64)}
+        )
+
+    dist_ds = rd.from_arrow(
         pa.table(
             {
-                "node": pa.array([n for n, _ in items], pa.string()),
-                "dist": pa.array([d for _, d in items], pa.int64()),
+                "node": pa.array(seeds, pa.string()),
+                "dist": pa.array([0] * len(seeds), pa.int64()),
             }
         )
-    )
+    ).materialize()
+    frontier_ds = dist_ds
+    for r in range(1, max_rounds + 1):
+        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            frontier_ds.map_batches(
+                lambda t: tag_state(t, 1), batch_format="pyarrow"
+            )
+        )
+        cand = (
+            tagged.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(expand_group), batch_format="pandas")
+        )
+
+        def tag_cand(batch: pa.Table) -> pa.Table:
+            return tag_state(batch, 0)
+
+        tagged2 = cand.map_batches(tag_cand, batch_format="pyarrow").union(
+            dist_ds.map_batches(
+                lambda t: tag_state(t, 1), batch_format="pyarrow"
+            )
+        )
+        fresh = (
+            tagged2.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(
+                arrowed(lambda df, _r=r: anti_group(df, _r)),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+        if fresh.count() == 0:
+            break
+        dist_ds = dist_ds.union(fresh).materialize()
+        frontier_ds = fresh
+
+    return dist_ds.sort("node")
 
 
 def _local_kcore(batch: pa.Table, k: int, n_rounds: int) -> pa.Table:
