@@ -2156,14 +2156,14 @@ def k_core(
     converges earlier the remaining rounds are no-ops, so the output
     IS the true k-core whenever the cascade depth fits the budget.
 
-    Survivor sets shrink monotonically, so round i only needs degrees
-    over the ORIGINAL edges restricted to round i-1 survivors — each
-    round is one map-side membership scan + one node-bounded partial
-    degree count (survivor set rides the object store, the
-    :func:`pagerank` entity-vocabulary posture); no cumulative edge
-    lineage, no edge shuffle."""
-    import ray
-
+    Distributed shape (the :func:`pagerank` posture): the survivor set
+    is a hash-bucketed DATASET, never a driver set — each round
+    semi-joins the edge stream against it on BOTH endpoints via two
+    tagged-union co-groups, then a third exchange sums the surviving
+    degrees and thresholds.  Survivor sets shrink monotonically (a
+    node outside round i-1's set has no surviving edges), so the
+    driver-side convergence check reduces to comparing COUNTS —
+    the only driver state is that scalar."""
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
     _check_symmetric(edges, num_buckets)
@@ -2174,64 +2174,171 @@ def k_core(
             batch_size=None,
         )
 
-    alive = None  # None = all nodes (first round needs no filter)
-    for _ in range(n_rounds):
-        # sorted array, not a set: survivor membership runs through
-        # C-speed np.isin, not a Python lookup per edge per round
-        a_ref = ray.put(
-            None if alive is None
-            else np.sort(np.array(list(alive), dtype=str))
-        )
-
-        def deg_partial(batch: pa.Table) -> pa.Table:
-            s = ray.get(a_ref)
-            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
-            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
-            if s is not None:
-                a = a[np.isin(a, s) & np.isin(b, s)]
-            vals, cnt = np.unique(a, return_counts=True)
-            # typed ARROW output (empty-object-column estimator rule)
-            return pa.table(
-                {
-                    "node": pa.array(vals, pa.string()),
-                    "c": pa.array(cnt.astype(np.int64), pa.int64()),
-                    "_bucket": pa.array(
-                        bucket_of(pd.Series(vals, dtype=object), num_buckets)
-                        if len(vals)
-                        else np.array([], np.int32),
-                        pa.int32(),
-                    ),
-                }
-            )
-
-        def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
-            g = df.groupby("node", sort=False, as_index=False)["c"].sum()
-            g["c"] = g["c"].astype(np.int64)
-            return g
-
-        deg = (
-            edges.map_batches(deg_partial, batch_format="pyarrow")
-            .groupby("_bucket")
-            .map_groups(arrowed(deg_merge), batch_format="pandas")
-            .to_pandas()
-        )
-        nxt = (
-            set(deg.loc[deg["c"] >= k, "node"])
-            if "node" in deg.columns  # to_pandas() of all-empty blocks
-            else set()
-        )
-        if alive is not None and nxt == alive:
-            break
-        alive = nxt
-        if not alive:
-            break
-
     import ray.data as rd
 
-    out = sorted(alive) if alive else []
-    return rd.from_arrow(
-        pa.table({"entity": pa.array(out, pa.string())})
+    _KC_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),  # co-group key (a, then b, then node)
+            ("other", pa.string()),  # the carried opposite endpoint
+            ("c", pa.int64()),
+            ("_bucket", pa.int32()),
+        ]
     )
+
+    def tag_pairs(batch: pa.Table, key_col: str, other_col: str) -> pa.Table:
+        kv = pd.Series(
+            batch[key_col].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(kv)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(kv, pa.string()),
+                "other": batch[other_col].cast(pa.string()),
+                "c": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(kv, num_buckets), pa.int32()),
+            },
+            schema=_KC_TAG,
+        )
+
+    def tag_alive(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["entity"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(node, pa.string()),
+                "other": pa.array([""] * n, pa.string()),
+                "c": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_KC_TAG,
+        )
+
+    def semi_keep(df: pd.DataFrame) -> pd.DataFrame:
+        """Keep side-0 rows whose key is in the group's side-1 set,
+        re-emitting them keyed (and bucketed) by ``other`` for the
+        next exchange."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=str),
+                    "other": pd.Series(dtype=str),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        sn = np.sort(s["key"].to_numpy(dtype=object).astype(str))
+        kv = e["key"].to_numpy(dtype=object).astype(str)
+        keep = np.isin(kv, sn)
+        oth = e["other"].to_numpy(dtype=object).astype(str)[keep]
+        return pd.DataFrame(
+            {
+                "key": oth,  # next exchange keys on the other endpoint
+                "other": kv[keep],
+                "_bucket": bucket_of(
+                    pd.Series(oth, dtype=object), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def deg_from_group(df: pd.DataFrame) -> pd.DataFrame:
+        """Final semi-join on b + per-group degree partials of a."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=str),
+                    "c": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        sn = np.sort(s["key"].to_numpy(dtype=object).astype(str))
+        kv = e["key"].to_numpy(dtype=object).astype(str)
+        keep = np.isin(kv, sn)
+        a = e["other"].to_numpy(dtype=object).astype(str)[keep]
+        vals, cnt = np.unique(a, return_counts=True)
+        return pd.DataFrame(
+            {
+                "node": vals,
+                "c": cnt.astype(np.int64),
+                "_bucket": bucket_of(
+                    pd.Series(vals, dtype=object), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def deg_first_round(batch: pa.Table) -> pd.DataFrame:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        vals, cnt = np.unique(a, return_counts=True)
+        return pd.DataFrame(
+            {
+                "node": vals,
+                "c": cnt.astype(np.int64),
+                "_bucket": bucket_of(
+                    pd.Series(vals, dtype=object), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+        return pd.DataFrame(
+            {"entity": g.loc[g["c"] >= k, "node"].to_numpy(dtype=object)}
+        )
+
+    alive_ds = (
+        edges.map_batches(arrowed(deg_first_round), batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(threshold), batch_format="pandas")
+        .materialize()
+    )
+    n_alive = alive_ds.count()
+    for _ in range(n_rounds - 1):
+        if n_alive == 0:
+            break
+        # exchange 1: a-side semi-join
+        t1 = edges.map_batches(
+            lambda t: tag_pairs(t, "a", "b"), batch_format="pyarrow"
+        ).union(alive_ds.map_batches(tag_alive, batch_format="pyarrow"))
+        ab = (
+            t1.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(semi_keep), batch_format="pandas")
+        )
+        # exchange 2: b-side semi-join + degree partials of a
+        t2 = ab.map_batches(
+            lambda t: tag_pairs(t, "key", "other"), batch_format="pyarrow"
+        ).union(alive_ds.map_batches(tag_alive, batch_format="pyarrow"))
+        deg = (
+            t2.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(deg_from_group), batch_format="pandas")
+        )
+        # exchange 3: sum + threshold -> next survivor set
+        nxt = (
+            deg.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(threshold), batch_format="pandas")
+            .materialize()
+        )
+        n_nxt = nxt.count()
+        alive_ds = nxt
+        if n_nxt == n_alive:  # monotone shrink: equal count == converged
+            break
+        n_alive = n_nxt
+
+    if n_alive == 0:
+        return rd.from_arrow(
+            pa.table({"entity": pa.array([], pa.string())})
+        )
+    return alive_ds.sort("entity")
 
 
 def clustering_coefficient(
