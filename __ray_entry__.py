@@ -310,8 +310,12 @@ def _q_kg_merge(sf_dir: str):
         return add
 
     old = run_kg(sf_dir).map_batches(tag(1), batch_format="pyarrow")
+    # shard_mode="rows": the oracle hardcodes doc_id % 2 = 0, so the
+    # shard must stay the layout-independent row filter even when the
+    # documents table is a multi-file directory
     new = kg_triples(
-        synth.read_pages(sf_dir, shard=(0, 2)), KGConfig()
+        synth.read_pages(sf_dir, shard=(0, 2), shard_mode="rows"),
+        KGConfig(),
     ).map_batches(tag(2), batch_format="pyarrow")
     return merge_triples(old, new)
 

@@ -325,7 +325,15 @@ def q_streaming_dedup(sf_dir: str):
 
     idx = ShardedDedupIndex(num_shards=8)
     idx.filter_new(_read_docs(sf_dir)).materialize()  # ingest 1: snapshot
-    return idx.filter_new(dup_corpus(sf_dir)).select_columns(["text"])
+    # materialize: filter_new's tasks MUTATE the index actors, so a
+    # second execution of a lazy result (count() then value fetch, or
+    # a block retry) would find everything already admitted and return
+    # empty — the result must be pinned on first execution
+    return (
+        idx.filter_new(dup_corpus(sf_dir))
+        .select_columns(["text"])
+        .materialize()
+    )
 
 
 def q_minhash_dupes(sf_dir: str):

@@ -474,10 +474,22 @@ def run_kg_sharded(
 
     cfg = cfg or KGConfig()
     cfg_fp = mf.fingerprint("kgconfig", repr(cfg))
+    # the shard -> row-set mapping depends on the RESOLVED file layout
+    # (file-range selection): recompacting the same rows into a
+    # different file count reshuffles every shard's contents, so the
+    # layout must be part of each shard's fingerprint or resume would
+    # skip 'done' shards holding the WRONG row subsets
+    import os
+
+    layout_fp = ",".join(
+        os.path.basename(p) for p in synth.documents_paths(sf_dir)
+    )
     skipped = {}
     parts = []
     for k in range(num_shards):
-        fp = mf.fingerprint("triples-shard", sf_dir, cfg_fp, f"{k}/{num_shards}")
+        fp = mf.fingerprint(
+            "triples-shard", sf_dir, cfg_fp, f"{k}/{num_shards}", layout_fp
+        )
 
         def build(k=k):
             pages = synth.read_pages(sf_dir, shard=(k, num_shards))

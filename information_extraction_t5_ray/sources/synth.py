@@ -294,17 +294,22 @@ def documents_paths(sf_dir: str) -> List[str]:
     is a single ``documents.parquet`` FILE; the production layout is a
     DIRECTORY of shard files (``documents.parquet/`` or ``documents/``
     holding ``*.parquet``).  Sorted, so file-range shard selection is
-    deterministic run-over-run."""
+    deterministic run-over-run.  An existing-but-EMPTY directory raises
+    — a partially-written or mis-pointed input must fail loudly, not
+    'succeed' with zero pages."""
     import glob as _glob
     import os
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isdir(p):
-        return sorted(_glob.glob(os.path.join(p, "*.parquet")))
-    d = os.path.join(sf_dir, "documents")
-    if os.path.isdir(d):
-        return sorted(_glob.glob(os.path.join(d, "*.parquet")))
-    return [p]
+    for cand in ("documents.parquet", "documents"):
+        p = os.path.join(sf_dir, cand)
+        if os.path.isdir(p):
+            paths = sorted(_glob.glob(os.path.join(p, "*.parquet")))
+            if not paths:
+                raise FileNotFoundError(
+                    f"documents directory {p} contains no *.parquet files"
+                )
+            return paths
+    return [os.path.join(sf_dir, "documents.parquet")]
 
 
 def read_pages(
@@ -312,6 +317,7 @@ def read_pages(
     include_html: bool = True,
     repeat: int = 1,
     shard: Optional[tuple] = None,
+    shard_mode: str = "files",
 ):
     """Ray Dataset of pages derived 1:1 from ``{sf_dir}/documents.parquet``
     (column-pruned read -> map_batches).
@@ -332,17 +338,25 @@ def read_pages(
     paths = documents_paths(sf_dir)
     row_filter_shard = None
     if shard is not None:
-        # shard (k, n): the unit of partition-granular checkpointed
-        # resume (run_kg_sharded).  When the documents table is a
-        # multi-file directory (the production layout), the shard is a
-        # FILE-RANGE selection — only ~1/n of the input bytes are read,
-        # so an n-shard resume costs one full read total, not n.  The
-        # single-file fixture has no file ranges to select; it falls
-        # back to a post-read row filter (n full reads on resume —
-        # a fixture limitation, not the production shape).
+        # shard (k, n) has TWO semantics, chosen by ``shard_mode``:
+        #
+        # * ``"files"`` (default — the unit of partition-granular
+        #   checkpointed resume, run_kg_sharded): when the documents
+        #   table is a multi-file directory (the production layout)
+        #   the shard is a FILE-RANGE selection ``paths[k::n]`` — only
+        #   ~1/n of the input bytes are read, so an n-shard resume
+        #   costs one full read total, not n.  Disjoint; union over k
+        #   covers every file.  WHICH rows land in shard k depends on
+        #   the file layout (callers that checkpoint per shard must
+        #   fingerprint the resolved file list).  The single-file
+        #   fixture has no ranges and falls back to the row filter.
+        # * ``"rows"``: always the deterministic ``doc_id % n == k``
+        #   row filter, layout-independent — required when the shard's
+        #   CONTENT is part of an operator's contract (e.g. the
+        #   kg_merge oracle hardcodes ``doc_id % 2 = 0``).
         k, n = shard
-        if len(paths) > 1:
-            paths = paths[k::n]  # disjoint, union over k covers all
+        if shard_mode == "files" and len(paths) > 1:
+            paths = paths[k::n]
         else:
             row_filter_shard = (k, n)
     if not paths:  # more shards than files: this shard is empty

@@ -217,13 +217,33 @@ def clean_read_schema(path, columns=None):
 def read_parquet_clean(path, *, columns=None, **kwargs):
     """``ray.data.read_parquet`` with the schema cleaned at the read
     task (see :func:`clean_read_schema`).  ``path`` may be a single
-    file/directory or a LIST of shard paths (file-range shard
-    selection — one footer is representative, as all repo writers emit
-    a single schema)."""
+    file/directory (one footer is representative — repo writers emit a
+    single schema) or a LIST of shard paths (file-range shard
+    selection over a possibly EXTERNALLY-written layout): list footers
+    are each checked against the first, so a heterogeneous shard fails
+    with a report naming the file instead of an opaque mid-read Arrow
+    cast error."""
     import ray.data as rd
 
     if isinstance(path, (list, tuple)):
         schema = clean_read_schema(path[0], columns)
+        if schema is not None:
+            import pyarrow.parquet as pq
+
+            for p in path[1:]:
+                other = pq.read_schema(str(p))
+                for field in schema:
+                    got = (
+                        other.field(field.name)
+                        if field.name in other.names
+                        else None
+                    )
+                    if got is None or got.type != field.type:
+                        raise ValueError(
+                            f"parquet shard schema mismatch: {p} has "
+                            f"{field.name}={got.type if got else 'MISSING'}, "
+                            f"{path[0]} has {field.name}={field.type}"
+                        )
         paths: object = [str(p) for p in path]
     else:
         schema = clean_read_schema(path, columns)

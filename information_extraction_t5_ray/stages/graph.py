@@ -625,11 +625,15 @@ def pagerank(
             raise OverflowError("pagerank: out-weight sum wrapped int64")
         return g[["node", "w"]]
 
+    # materialize: consumed twice (the eplus tagged union AND the rank
+    # init) — lazy, the full out-weight shuffle aggregate would run
+    # twice per pagerank call; the result is node-bounded
     outw_ds = (
         edges_ds.map_batches(arrowed(outw_partial), batch_format="pyarrow")
         .repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(outw_final), batch_format="pandas")
+        .materialize()
     )
 
     # enrich edges with outw_a ONCE (loop-invariant): one co-group

@@ -283,12 +283,24 @@ class T5Scorer:
         if checkpoint_path:
             import glob as _glob
             import os as _os
+            import re as _re
 
-            # newest by mtime, not lexicographic: 'epoch-10' sorts
-            # BEFORE 'epoch-9' as a string (reference predict.py:33-40
-            # relies on glob order and has this bug)
+            # newest checkpoint, deterministically: primary key is the
+            # LAST number in the filename (epoch/step — 'epoch-10'
+            # sorts before 'epoch-9' as a string, the reference
+            # predict.py:33-40 glob-order bug), then mtime (which a
+            # tar/cp restore can flatten — hence not primary), then
+            # name as the total-order tiebreak
+            def _ckpt_key(p: str):
+                nums = _re.findall(r"\d+", _os.path.basename(p))
+                return (
+                    int(nums[-1]) if nums else -1,
+                    _os.path.getmtime(p),
+                    p,
+                )
+
             ckpts = _glob.glob(f"{checkpoint_path}/*ckpt")
-            newest = max(ckpts, key=_os.path.getmtime)
+            newest = max(ckpts, key=_ckpt_key)
             state = torch.load(newest, map_location="cpu")["state_dict"]
             self.model = T5ForConditionalGeneration.from_pretrained(model_name)
             self.model.load_state_dict(

@@ -330,3 +330,85 @@ def test_run_kg_sharded_resume_on_multifile_input(
     ds2, skipped2 = run_kg_sharded(multifile_sf_dir, ck, KGConfig(), num_shards=4)
     assert [skipped2[k] for k in range(4)] == [True, True, False, True]
     assert ds2.count() == n1
+
+
+# ---------------------------------------------------------------------------
+# Code-review findings on the round-4 diff: shard_mode semantics, empty
+# input dirs, heterogeneous shard schemas, layout-staleness of resume
+# fingerprints.
+# ---------------------------------------------------------------------------
+
+
+def test_read_pages_shard_mode_rows_is_layout_independent(
+    ray_session, multifile_sf_dir
+):
+    """kg_merge's oracle hardcodes doc_id % 2 = 0: with
+    shard_mode="rows" the shard must be that row set even on the
+    multi-file layout (where the default "files" mode selects
+    a file range instead)."""
+    from information_extraction_t5_ray.sources import synth
+
+    ds = synth.read_pages(multifile_sf_dir, shard=(0, 2), shard_mode="rows")
+    ids = [int(u.rsplit("/", 1)[-1]) for u in ds.to_pandas()["url"]]
+    assert ids and all(i % 2 == 0 for i in ids)
+    full = synth.read_pages(multifile_sf_dir).to_pandas()
+    expect = sum(1 for u in full["url"] if int(u.rsplit("/", 1)[-1]) % 2 == 0)
+    assert len(ids) == expect
+
+
+def test_documents_paths_empty_dir_raises(tmp_path):
+    from information_extraction_t5_ray.sources import synth
+
+    (tmp_path / "documents.parquet").mkdir()
+    with pytest.raises(FileNotFoundError):
+        synth.documents_paths(str(tmp_path))
+
+
+def test_read_parquet_clean_list_rejects_heterogeneous_shards(tmp_path):
+    import pyarrow.parquet as pq
+
+    from information_extraction_t5_ray.stages.common import read_parquet_clean
+
+    a = tmp_path / "part-0.parquet"
+    b = tmp_path / "part-1.parquet"
+    pq.write_table(pa.table({"doc_id": pa.array([1], pa.int64())}), str(a))
+    pq.write_table(pa.table({"doc_id": pa.array([2], pa.int32())}), str(b))
+    with pytest.raises(ValueError) as ei:
+        read_parquet_clean([str(a), str(b)], columns=["doc_id"])
+    assert "part-1.parquet" in str(ei.value)
+
+
+def test_run_kg_sharded_fingerprint_includes_layout(
+    ray_session, multifile_sf_dir, tmp_path
+):
+    """Recompacting the documents dir into a different file count
+    reshuffles which rows each file-range shard holds — resume must
+    NOT skip the stale checkpoints (layout is fingerprinted)."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from information_extraction_t5_ray.pipelines.kg import (
+        KGConfig,
+        run_kg_sharded,
+    )
+
+    ck = str(tmp_path / "ck")
+    ds1, skipped1 = run_kg_sharded(multifile_sf_dir, ck, KGConfig(), num_shards=2)
+    n1 = ds1.count()
+    assert not any(skipped1.values())
+    # recompact 4 files -> 2 files (same rows, different layout)
+    docs = f"{multifile_sf_dir}/documents.parquet"
+    parts = sorted(glob.glob(f"{docs}/*.parquet"))
+    tables = [pq.read_table(p) for p in parts]
+    for p in parts:
+        os.remove(p)
+    pq.write_table(pa.concat_tables(tables[:2]), f"{docs}/new-0.parquet")
+    pq.write_table(pa.concat_tables(tables[2:]), f"{docs}/new-1.parquet")
+    ds2, skipped2 = run_kg_sharded(multifile_sf_dir, ck, KGConfig(), num_shards=2)
+    assert not any(skipped2.values()), (
+        "stale layout checkpoints must be rebuilt, not skipped"
+    )
+    assert ds2.count() == n1
+    shutil.rmtree(ck)

@@ -125,22 +125,45 @@ def test_t5_scorer_contract(fake_hf, tmp_path):
         assert abs(prob - math.exp(-ln_v / n)) < 1e-12, (pred, prob)
 
 
-def test_t5_scorer_picks_newest_checkpoint_by_mtime(fake_hf, tmp_path):
+def test_t5_scorer_picks_highest_epoch_checkpoint(fake_hf, tmp_path):
     """'epoch=10.ckpt' sorts lexicographically BEFORE 'epoch=9.ckpt';
-    the scorer must pick by mtime, not glob order (VERDICT r3 item 5 —
-    the reference's predict.py:33-40 glob-order pick has this bug)."""
+    the scorer must pick by the numeric epoch, not glob order (VERDICT
+    r3 item 5 — the reference's predict.py:33-40 glob-order pick has
+    this bug).  The numeric key is PRIMARY — mtime is only a fallback
+    tiebreak, because a cp/tar restore can flatten or invert mtimes."""
     import os
 
     import torch
 
     from information_extraction_t5_ray.stages.score import T5Scorer
 
-    old = tmp_path / "epoch=10.ckpt"
-    new = tmp_path / "epoch=9.ckpt"
+    later = tmp_path / "epoch=10.ckpt"
+    earlier = tmp_path / "epoch=9.ckpt"
+    later.write_bytes(b"fake")
+    earlier.write_bytes(b"fake")
+    # adversarial mtimes: the restore gave epoch=10 the OLDER mtime;
+    # the numeric key must still win
+    past = later.stat().st_mtime - 100
+    os.utime(later, (past, past))
+    T5Scorer(checkpoint_path=str(tmp_path), use_sentence_id=True)
+    assert torch.last_loaded_path == str(later)
+
+
+def test_t5_scorer_numberless_checkpoints_fall_back_to_mtime(
+    fake_hf, tmp_path
+):
+    import os
+
+    import torch
+
+    from information_extraction_t5_ray.stages.score import T5Scorer
+
+    old = tmp_path / "best.ckpt"
+    new = tmp_path / "also.ckpt"
     old.write_bytes(b"fake")
     new.write_bytes(b"fake")
     past = old.stat().st_mtime - 100
-    os.utime(old, (past, past))  # epoch=10 written FIRST (older)
+    os.utime(old, (past, past))
     T5Scorer(checkpoint_path=str(tmp_path), use_sentence_id=True)
     assert torch.last_loaded_path == str(new)
 
