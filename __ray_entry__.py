@@ -110,6 +110,20 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic random-walk corpus (DeepWalk/node2vec training
+    data) over the co-mention graph: one walk per entity, hash-picked
+    next hops over the sort/rank-join dense-id space — bit-exact vs the
+    unrolled SQL oracle."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        random_walks,
+    )
+
+    return random_walks(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_neighbors(sf_dir: str):
     """Top-3 co-mentioned neighbors per entity."""
     from information_extraction_t5_ray.pipelines.kg import run_kg
@@ -667,6 +681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_entities": _q_kg_entities,
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
+        "kg_walks": _q_kg_walks,  # NEW r4: random-walk KGE corpus
         # --- relational demos whose only green row is r1 ---
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
         "distinct_user_events": c.q_distinct_user_events,  # generic distinct
@@ -819,6 +834,7 @@ def oracle_sql() -> dict[str, str]:
         kg_triangles_sql,
         kg_clustering_sql,
         kg_pagerank_sql,
+        kg_walks_sql,
         kg_support_sql,
         kg_profile_sql,
         kg_constraints_sql,
@@ -841,6 +857,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degrees": kg_degree_sql(),
         "kg_cooccur": kg_cooccur_sql(),
         "kg_pagerank": kg_pagerank_sql(),
+        "kg_walks": kg_walks_sql(),
         "kg_neighbors": kg_neighbors_sql(),
         "kg_components": kg_components_sql(),
         "kg_triangles": kg_triangles_sql(),

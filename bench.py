@@ -102,6 +102,11 @@ def _bench_queries(sf_dir: str):
 
         return pagerank(_edges(True)).count()
 
+    def kg_walks() -> int:
+        from information_extraction_t5_ray.stages.graph import random_walks
+
+        return random_walks(_edges(True)).count()
+
     def kg_components() -> int:
         from information_extraction_t5_ray.stages.graph import (
             kg_components as cc,
@@ -302,6 +307,7 @@ def _bench_queries(sf_dir: str):
         "kg_triples": kg_triples,
         "kg_entities": kg_entities,
         "kg_pagerank": kg_pagerank,
+        "kg_walks": kg_walks,
         "kg_components": kg_components,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,

@@ -274,6 +274,45 @@ FROM w LEFT JOIN (
     return "".join(parts)
 
 
+def kg_walks_sql(n_steps: int = 4) -> str:
+    """Deterministic random walks — ground truth for
+    stages/graph.random_walks: node ids are row_number()-1 in string
+    order; step ``s`` from node ``u`` moves to the neighbor ``v``
+    minimizing ``((u*K1 + s*K2 + v) % 2^31 * LCG_MULT + LCG_INC) %
+    2^31`` (ties: smallest v).  Inner mod BEFORE the multiply keeps
+    every product < 2^62 — BIGINT-exact in both engines."""
+    from ..stages.balance import LCG_INC, LCG_MULT
+    from ..stages.graph import _WALK_MOD, WALK_K1, WALK_K2
+
+    parts = [_graph_cte()]
+    parts.append(
+        """, v AS (SELECT node,
+        CAST(row_number() OVER (ORDER BY node) - 1 AS BIGINT) AS id FROM w),
+ei AS (SELECT va.id AS a, vb.id AS b
+       FROM e JOIN v va ON va.node = e.a JOIN v vb ON vb.node = e.b),
+s0 AS (SELECT id AS walk, id AS cur FROM v)"""
+    )
+    for s in range(1, n_steps + 1):
+        prev = f"s{s - 1}"
+        parts.append(
+            f""", s{s} AS (
+SELECT {prev}.walk, n.b AS cur FROM {prev} JOIN (
+  SELECT a, b FROM (
+    SELECT a, b, row_number() OVER (
+      PARTITION BY a
+      ORDER BY (((a * {WALK_K1} + {s} * {WALK_K2} + b) % {_WALK_MOD})
+                * {LCG_MULT} + {LCG_INC}) % {_WALK_MOD}, b
+    ) AS rn FROM ei) WHERE rn = 1
+) n ON n.a = {prev}.cur)"""
+        )
+    selects = [
+        f"SELECT walk, CAST({s} AS BIGINT) AS step, cur AS node_id FROM s{s}"
+        for s in range(0, n_steps + 1)
+    ]
+    parts.append(" " + " UNION ALL ".join(selects))
+    return "".join(parts)
+
+
 def kg_neighbors_sql(k: int = 3) -> str:
     """Top-k co-mentioned neighbors per node, (cnt desc, neighbor asc)."""
     return f"""{_graph_cte()}

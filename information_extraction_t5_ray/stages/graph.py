@@ -787,6 +787,453 @@ def pagerank(
     return ranks_ds.map_batches(to_out, batch_format="pyarrow").sort("node")
 
 
+# --- distributed dense-id assignment + deterministic random walks ---------
+
+# next-hop hash mixing constants (see _walk_hash); primes well under
+# 2^31 so the pre-LCG mix stays BIGINT-safe in the SQL oracle too
+WALK_K1, WALK_K2 = 131071, 8191
+_WALK_MOD = 2**31
+
+
+def _walk_hash(u: np.ndarray, step: int, v: np.ndarray) -> np.ndarray:
+    """Deterministic per-(walk-position, candidate) draw: an LCG over a
+    small-prime mix of (current id, step, neighbor id), fully
+    int-exact and BIGINT-expressible (inner mod BEFORE the multiply
+    keeps every product < 2^62 — the oracle-parity int64 rule)."""
+    from .balance import LCG_INC, LCG_MULT
+
+    raw = (
+        u.astype(np.uint64) * np.uint64(WALK_K1)
+        + np.uint64(step) * np.uint64(WALK_K2)
+        + v.astype(np.uint64)
+    ) % np.uint64(_WALK_MOD)
+    return (
+        (raw * np.uint64(LCG_MULT) + np.uint64(LCG_INC))
+        % np.uint64(_WALK_MOD)
+    ).astype(np.int64)
+
+
+def dense_node_ids(edges_ds, num_buckets: Optional[int] = None):
+    """Distributed zip-with-rank over the node universe: ``(node, id)``
+    where ``id`` is the node's 0-based rank in global STRING order —
+    the sort/rank-join dense-id assignment (VERDICT r3 fix shape), no
+    driver-resident node map.
+
+    Shape: (1) two-phase distinct over the ``a`` endpoints (symmetric
+    edges cover every node); (2) RANGE boundaries from a bounded
+    per-block sample — the driver holds ``num_buckets`` boundary
+    strings, nothing node-scaled; (3) one exchange counts each range
+    (sizes -> driver, ``num_buckets`` ints -> cumulative offsets);
+    (4) one exchange sorts within each range and assigns
+    ``offset[range] + local_rank``.  searchsorted on sorted boundaries
+    + within-range sort == global string order, so the ids equal SQL's
+    ``row_number() OVER (ORDER BY node) - 1`` (binary UTF-8 collation
+    == code-point order == Python string order)."""
+    import ray
+    import ray.data as rd
+
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def distinct_partial(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            batch["a"].to_numpy(zero_copy_only=False).astype(str)
+        )
+        return pd.DataFrame(
+            {
+                "node": vals,
+                "_bucket": bucket_of(
+                    pd.Series(vals, dtype=object), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def distinct_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["node"]].drop_duplicates()
+
+    nodes = (
+        edges_ds.map_batches(
+            arrowed(distinct_partial), batch_format="pyarrow"
+        )
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(distinct_final), batch_format="pandas")
+        .materialize()
+    )
+
+    # range boundaries from a bounded sample: ~32 hash-spread nodes per
+    # block (not a prefix — blocks may be value-clustered)
+    def sample_block(batch: pa.Table) -> pd.DataFrame:
+        v = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        h = np.asarray(bucket_of(v, 2**31 - 1))
+        take = v.iloc[np.argsort(h, kind="stable")[:32]]
+        return pd.DataFrame({"node": take.to_numpy()})
+
+    sample = np.sort(
+        nodes.map_batches(arrowed(sample_block), batch_format="pyarrow")
+        .to_pandas()["node"]
+        .to_numpy(dtype=object)
+        .astype(str)
+    )
+    if len(sample) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "id": pa.array([], pa.int64()),
+                }
+            )
+        )
+    q = np.linspace(0, len(sample) - 1, num_buckets + 1)[1:-1]
+    bounds = np.unique(sample[q.astype(np.int64)])
+    bounds_ref = ray.put(bounds)
+
+    def to_range(batch: pa.Table) -> pd.DataFrame:
+        b = ray.get(bounds_ref)
+        v = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        rng = np.searchsorted(b, v.to_numpy(dtype=object), side="right")
+        return pd.DataFrame(
+            {"node": v.to_numpy(), "_bucket": rng.astype(np.int32)}
+        )
+
+    ranged = nodes.map_batches(
+        arrowed(to_range), batch_format="pyarrow"
+    ).materialize()
+
+    def range_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "rng": [np.int32(df["_bucket"].iloc[0])],
+                "n": [np.int64(len(df))],
+            }
+        )
+
+    counts = (
+        ranged.groupby("_bucket")
+        .map_groups(arrowed(range_count), batch_format="pandas")
+        .to_pandas()  # num_buckets rows — bounded by parallelism
+        .sort_values("rng")
+    )
+    offsets = dict(
+        zip(
+            counts["rng"].tolist(),
+            (counts["n"].cumsum() - counts["n"]).tolist(),
+        )
+    )
+    off_ref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)[int(df["_bucket"].iloc[0])]
+        v = np.sort(df["node"].to_numpy(dtype=object).astype(str))
+        return pd.DataFrame(
+            {
+                "node": v,
+                "id": off + np.arange(len(v), dtype=np.int64),
+            }
+        )
+
+    return ranged.groupby("_bucket").map_groups(
+        arrowed(assign), batch_format="pandas"
+    )
+
+
+def _local_random_walks(
+    edf: pd.DataFrame, ids: pd.DataFrame, n_steps: int
+) -> pd.DataFrame:
+    """Single-task walk kernel, arithmetic-identical to the distributed
+    rounds: one walk per node, next hop = the neighbor minimizing
+    :func:`_walk_hash` (ties: smallest neighbor id)."""
+    idm = pd.Series(
+        ids["id"].to_numpy(np.int64), index=ids["node"].to_numpy()
+    )
+    a = edf["a"].astype(str).map(idm).to_numpy(np.int64)
+    b = edf["b"].astype(str).map(idm).to_numpy(np.int64)
+    n = len(idm)
+    cur = np.arange(n, dtype=np.int64)
+    walks = np.arange(n, dtype=np.int64)
+    out_w = [walks.copy()]
+    out_s = [np.zeros(n, dtype=np.int64)]
+    out_n = [cur.copy()]
+    order = np.argsort(a, kind="stable")
+    a_s, b_s = a[order], b[order]
+    for s in range(1, n_steps + 1):
+        # the successor is a function of the NODE (walks at the same
+        # node take the same hop), so compute succ[] once per step:
+        # sort every edge by (a, hash, b) and take each a-group's head
+        h = _walk_hash(a_s, s, b_s)
+        o2 = np.lexsort((b_s, h, a_s))
+        a2, b2 = a_s[o2], b_s[o2]
+        firsts = np.searchsorted(a2, np.arange(n))
+        # symmetric edges: every node has >= 1 out-edge, so firsts is
+        # in-range and a2[firsts] == arange(n)
+        succ = b2[firsts]
+        cur = succ[cur]
+        out_w.append(walks.copy())
+        out_s.append(np.full(n, s, dtype=np.int64))
+        out_n.append(cur.copy())
+    return pd.DataFrame(
+        {
+            "walk": np.concatenate(out_w),
+            "step": np.concatenate(out_s),
+            "node_id": np.concatenate(out_n),
+        }
+    )
+
+
+def random_walks(
+    edges_ds,
+    n_steps: int = 4,
+    num_buckets: Optional[int] = None,
+    local_edge_threshold: int = 4_000_000,
+):
+    """Deterministic random-walk corpus over the SYMMETRIC co-mention
+    graph — the DeepWalk/node2vec training-data producer for KG
+    embeddings, made hash-deterministic so it is SQL-oracle-exact: one
+    walk starts at every node, and step ``s`` moves from ``u`` to the
+    neighbor ``v`` minimizing :func:`_walk_hash` ``(u, s, v)`` (ties:
+    smallest ``v``).  Output ``(walk, step, node_id)`` over the
+    :func:`dense_node_ids` id space, steps 0..n_steps.
+
+    Distributed shape (the :func:`pagerank` posture): node ids come
+    from the sort/rank-join assignment; the walk-position state
+    ``(walk, cur-node)`` is a hash-bucketed Dataset advanced by ONE
+    tagged-union co-group per step against the id-enriched edge
+    stream; the per-step pick is one vectorized sort inside each
+    bucket.  No driver-resident node structures — walk volume AND node
+    vocabulary are unbounded.  Hybrid single-task fast path under
+    ``local_edge_threshold`` edges, bit-identical."""
+    import ray.data as rd
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    ids_ds = dense_node_ids(edges, num_buckets).materialize()
+
+    if edges.count() <= local_edge_threshold:
+        edf = edges.to_pandas()
+        out = _local_random_walks(edf, ids_ds.to_pandas(), n_steps)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "walk": pa.array(out["walk"].to_numpy(np.int64)),
+                    "step": pa.array(out["step"].to_numpy(np.int64)),
+                    "node_id": pa.array(
+                        out["node_id"].to_numpy(np.int64)
+                    ),
+                }
+            )
+        )
+
+    _RW_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),  # co-group key: edge 'a' / state cur
+            ("b", pa.string()),
+            ("b_id", pa.int64()),
+            ("walk", pa.int64()),
+            ("cur_id", pa.int64()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_edge_rows(batch: pa.Table) -> pa.Table:
+        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(a)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(a, pa.string()),
+                "b": batch["b"].cast(pa.string()),
+                "b_id": batch["b_id"].cast(pa.int64()),
+                "walk": pa.array(np.zeros(n, dtype=np.int64)),
+                "cur_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
+            },
+            schema=_RW_TAG,
+        )
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        cur = pd.Series(
+            batch["cur"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(cur)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(cur, pa.string()),
+                "b": pa.array([""] * n, pa.string()),
+                "b_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "walk": batch["walk"].cast(pa.int64()),
+                "cur_id": batch["cur_id"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(cur, num_buckets), pa.int32()),
+            },
+            schema=_RW_TAG,
+        )
+
+    # id-enrich the edges' b endpoint ONCE (loop-invariant): co-group
+    # on bucket_of(b) with the id assignment
+    def tag_edges_by_b(batch: pa.Table) -> pa.Table:
+        b = pd.Series(batch["b"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(b)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(b, pa.string()),
+                "b": batch["a"].cast(pa.string()),  # carry the a side
+                "b_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "walk": pa.array(np.zeros(n, dtype=np.int64)),
+                "cur_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(b, num_buckets), pa.int32()),
+            },
+            schema=_RW_TAG,
+        )
+
+    def tag_ids(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(node, pa.string()),
+                "b": pa.array([""] * n, pa.string()),
+                "b_id": batch["id"].cast(pa.int64()),
+                "walk": pa.array(np.zeros(n, dtype=np.int64)),
+                "cur_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_RW_TAG,
+        )
+
+    def join_bid(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        m = df[df["side"] == 1]
+        if len(e) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=str),
+                    "b": pd.Series(dtype=str),
+                    "b_id": pd.Series(dtype=np.int64),
+                }
+            )
+        im = pd.Series(m["b_id"].to_numpy(np.int64), index=m["key"].to_numpy())
+        bid = e["key"].map(im)
+        if bid.isna().any():
+            raise ValueError(
+                "random_walks: id assignment missed a node (asymmetric "
+                "edge list?)"
+            )
+        # 'b' column carried the a side through the tag
+        return pd.DataFrame(
+            {
+                "a": e["b"].to_numpy(),
+                "b": e["key"].to_numpy(),
+                "b_id": bid.to_numpy(np.int64),
+            }
+        )
+
+    eplus = (
+        edges.map_batches(tag_edges_by_b, batch_format="pyarrow")
+        .union(ids_ds.map_batches(tag_ids, batch_format="pyarrow"))
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(join_bid), batch_format="pandas")
+        .materialize()
+    )
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "walk": batch["id"].cast(pa.int64()),
+                "cur": batch["node"].cast(pa.string()),
+                "cur_id": batch["id"].cast(pa.int64()),
+            }
+        )
+
+    state = ids_ds.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    def emit(batch: pa.Table, step: int) -> pa.Table:
+        return pa.table(
+            {
+                "walk": batch["walk"].cast(pa.int64()),
+                "step": pa.array(
+                    np.full(len(batch), step, dtype=np.int64)
+                ),
+                "node_id": batch["cur_id"].cast(pa.int64()),
+            }
+        )
+
+    outputs = [
+        state.map_batches(
+            lambda t: emit(t, 0), batch_format="pyarrow"
+        ).materialize()
+    ]
+    for s in range(1, n_steps + 1):
+        def step_group(df: pd.DataFrame, _s=s) -> pd.DataFrame:
+            e = df[df["side"] == 0]
+            st = df[df["side"] == 1]
+            if len(st) == 0:
+                return pd.DataFrame(
+                    {
+                        "walk": pd.Series(dtype=np.int64),
+                        "cur": pd.Series(dtype=str),
+                        "cur_id": pd.Series(dtype=np.int64),
+                    }
+                )
+            if len(e) == 0:
+                raise ValueError(
+                    "random_walks: walk position has no out-edges "
+                    "(asymmetric edge list?)"
+                )
+            # merge walks with their current node's neighbor list and
+            # pick argmin hash per walk — one vectorized sort
+            m = st[["walk", "key", "cur_id"]].merge(
+                e[["key", "b", "b_id"]], on="key", how="left"
+            )
+            if m["b_id"].isna().any():
+                raise ValueError(
+                    "random_walks: walk position has no out-edges "
+                    "(asymmetric edge list?)"
+                )
+            u = m["cur_id"].to_numpy(np.int64)
+            v = m["b_id"].to_numpy(np.int64)
+            h = _walk_hash(u, _s, v)
+            m = m.assign(_h=h)
+            m = m.sort_values(
+                ["walk", "_h", "b_id"], kind="stable"
+            ).groupby("walk", sort=False).head(1)
+            return pd.DataFrame(
+                {
+                    "walk": m["walk"].to_numpy(np.int64),
+                    "cur": m["b"].to_numpy(),
+                    "cur_id": m["b_id"].to_numpy(np.int64),
+                }
+            )
+
+        tagged = eplus.map_batches(
+            tag_edge_rows, batch_format="pyarrow"
+        ).union(state.map_batches(tag_state, batch_format="pyarrow"))
+        state = (
+            tagged.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(step_group), batch_format="pandas")
+            .materialize()
+        )
+        outputs.append(
+            state.map_batches(
+                lambda t, _s=s: emit(t, _s), batch_format="pyarrow"
+            ).materialize()
+        )
+
+    out = outputs[0]
+    for extra in outputs[1:]:
+        out = out.union(extra)
+    return out
+
+
 def neighbor_topk(
     edges_ds,
     k: int = 3,

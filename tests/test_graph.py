@@ -632,3 +632,69 @@ def test_degree_delta_nets_out_zero_rows(ray_session):
 def test_degree_delta_identical_sets_empty(ray_session):
     t = _triples([("d1", "p", "x"), ("d2", "q", "y")])
     assert G.degree_delta(t, t, num_buckets=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 4: dense-id rank assignment + deterministic random walks
+# ---------------------------------------------------------------------------
+
+
+def _sym_ring(n=60, chord=7):
+    rows = []
+    for i in range(n):
+        for j in ((i + 1) % n, (i * chord + 3) % n):
+            if i != j:
+                rows.append((f"n{i:04d}", f"n{j:04d}", 1))
+                rows.append((f"n{j:04d}", f"n{i:04d}", 1))
+    # dedup mirrored duplicates
+    return sorted(set(rows))
+
+
+def test_dense_node_ids_match_string_rank(ray_session):
+    rows = _sym_ring()
+    ids = (
+        G.dense_node_ids(_edges(rows, blocks=5), num_buckets=7)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    expect = sorted({a for a, _, _ in rows})
+    assert ids["node"].tolist() == expect
+    assert ids["id"].tolist() == list(range(len(expect)))
+
+
+def test_random_walks_distributed_matches_local(ray_session):
+    rows = _sym_ring()
+    loc = (
+        G.random_walks(_edges(rows, blocks=3), n_steps=3)
+        .to_pandas()
+        .sort_values(["walk", "step"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.random_walks(
+            _edges(rows, blocks=3), n_steps=3, local_edge_threshold=0
+        )
+        .to_pandas()
+        .sort_values(["walk", "step"])
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+
+
+def test_random_walks_steps_are_real_edges(ray_session):
+    rows = _sym_ring()
+    out = G.random_walks(_edges(rows, blocks=3), n_steps=3).to_pandas()
+    nodes = sorted({a for a, _, _ in rows})
+    id_of = {n: i for i, n in enumerate(nodes)}
+    edge_set = {(id_of[a], id_of[b]) for a, b, _ in rows}
+    n = len(nodes)
+    # every walk emits steps 0..3 and every hop follows a real edge
+    per_walk = out.groupby("walk")["step"].apply(sorted)
+    assert all(v == [0, 1, 2, 3] for v in per_walk)
+    byw = out.sort_values(["walk", "step"])
+    for w, g in byw.groupby("walk"):
+        path = g["node_id"].tolist()
+        assert path[0] == w
+        for u, v in zip(path, path[1:]):
+            assert (u, v) in edge_set
