@@ -110,6 +110,21 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank: rank mass starts on (and teleports back
+    to) the 3 lexicographically smallest entities — integer-exact
+    proximity scores relative to the seed set."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        min_k_nodes,
+        pagerank,
+    )
+
+    edges = cooccur_edges(run_kg(sf_dir), symmetric=True).materialize()
+    return pagerank(edges, seeds=min_k_nodes(edges, 3))
+
+
 def _q_kg_walks(sf_dir: str):
     """Deterministic random-walk corpus (DeepWalk/node2vec training
     data) over the co-mention graph: one walk per entity, hash-picked
@@ -682,6 +697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities": _q_kg_entities,
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
         "kg_walks": _q_kg_walks,  # NEW r4: random-walk KGE corpus
+        "kg_ppr": _q_kg_ppr,  # NEW r4: personalized PageRank
         # --- relational demos whose only green row is r1 ---
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
         "distinct_user_events": c.q_distinct_user_events,  # generic distinct
@@ -834,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         kg_triangles_sql,
         kg_clustering_sql,
         kg_pagerank_sql,
+        kg_ppr_sql,
         kg_walks_sql,
         kg_support_sql,
         kg_profile_sql,
@@ -858,6 +875,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_cooccur": kg_cooccur_sql(),
         "kg_pagerank": kg_pagerank_sql(),
         "kg_walks": kg_walks_sql(),
+        "kg_ppr": kg_ppr_sql(),
         "kg_neighbors": kg_neighbors_sql(),
         "kg_components": kg_components_sql(),
         "kg_triangles": kg_triangles_sql(),

@@ -274,6 +274,47 @@ FROM w LEFT JOIN (
     return "".join(parts)
 
 
+def kg_ppr_sql(n_iters: int = 5, n_seeds: int = 3) -> str:
+    """Personalized PageRank — ground truth for
+    stages/graph.pagerank(seeds=min_k_nodes(edges, n_seeds)): rank
+    mass starts on, and teleports back to, the ``n_seeds``
+    lexicographically smallest nodes; otherwise bit-identical to
+    kg_pagerank_sql's iterated BIGINT scheme."""
+    from ..stages.graph import (
+        PAGERANK_DAMP_DEN,
+        PAGERANK_DAMP_NUM,
+        PAGERANK_SCALE,
+    )
+
+    teleport = (
+        PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+    ) // PAGERANK_DAMP_DEN
+    parts = [_graph_cte()]
+    parts.append(
+        f""", sd AS (SELECT node FROM w ORDER BY node LIMIT {n_seeds}),
+r0 AS (SELECT w.node,
+       CAST(CASE WHEN w.node IN (SELECT node FROM sd)
+            THEN {PAGERANK_SCALE} ELSE 0 END AS BIGINT) AS rank FROM w)"""
+    )
+    for k in range(1, n_iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(
+            f""", r{k} AS (
+SELECT w.node,
+       CAST(CASE WHEN w.node IN (SELECT node FROM sd)
+                 THEN {teleport} ELSE 0 END
+            + ({PAGERANK_DAMP_NUM} * COALESCE(s.c, 0))
+            // {PAGERANK_DAMP_DEN} AS BIGINT) AS rank
+FROM w LEFT JOIN (
+    SELECT e.b AS node, SUM((p.rank * e.cnt) // w2.w) AS c
+    FROM e JOIN {prev} p ON e.a = p.node JOIN w w2 ON w2.node = e.a
+    GROUP BY e.b
+) s ON s.node = w.node)"""
+        )
+    parts.append(f" SELECT node, rank AS rank_int FROM r{n_iters}")
+    return "".join(parts)
+
+
 def kg_walks_sql(n_steps: int = 4) -> str:
     """Deterministic random walks — ground truth for
     stages/graph.random_walks: node ids are row_number()-1 in string

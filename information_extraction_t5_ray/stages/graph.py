@@ -396,19 +396,28 @@ def _pagerank_iterate_local(
     outw: np.ndarray,
     n_iters: int,
     teleport: int,
+    seed_mask: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """One-worker power iteration, arithmetic-identical to the
     distributed path: per-dst int64 contribution sums (``np.add.at`` —
-    exact, unlike float ``bincount``), then ``(sum * 85) // 100``."""
+    exact, unlike float ``bincount``), then ``(sum * 85) // 100``.
+
+    ``seed_mask`` selects PERSONALIZED PageRank: rank mass starts on
+    (and teleports back to) the seed nodes only."""
     limit = np.iinfo(np.int64).max
-    ranks = np.full(len(outw), PAGERANK_SCALE, dtype=np.int64)
+    if seed_mask is None:
+        ranks = np.full(len(outw), PAGERANK_SCALE, dtype=np.int64)
+        tele = teleport
+    else:
+        ranks = np.where(seed_mask, PAGERANK_SCALE, 0).astype(np.int64)
+        tele = np.where(seed_mask, teleport, 0).astype(np.int64)
     for _ in range(n_iters):
         total = _pagerank_overflow_guard(ranks, outw, limit)
         c = (ranks[a_idx] * w) // outw[a_idx]
         sums = np.zeros(len(outw), dtype=np.int64)
         np.add.at(sums, b_idx, c)
         _pagerank_check_sums(sums, total, limit)
-        ranks = teleport + (sums * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+        ranks = tele + (sums * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
     return ranks
 
 
@@ -529,6 +538,7 @@ def pagerank(
     n_iters: int = 5,
     num_buckets: Optional[int] = None,
     local_edge_threshold: int = 4_000_000,
+    seeds: Optional[Sequence[str]] = None,
 ):
     """Integer-exact weighted PageRank over a SYMMETRIC weighted edge
     list (a, b, cnt).
@@ -547,6 +557,12 @@ def pagerank(
     nodes by construction, and every node receives contributions (every
     ``a`` is some edge's ``b``), so the per-destination merge re-emits
     the complete rank state each round.
+
+    ``seeds`` selects PERSONALIZED PageRank: rank mass starts on (and
+    teleports back to) the seed nodes only — proximity scores relative
+    to the seed set.  The seed list is a bounded INPUT parameter (the
+    caller's query, not data-scaled), so broadcasting it is within the
+    open-vocabulary posture.
     """
     num_buckets = resolve_parallelism(num_buckets)
     teleport = (PAGERANK_SCALE * (PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
@@ -574,8 +590,13 @@ def pagerank(
         w = edf["cnt"].to_numpy(np.int64)
         outw = np.zeros(len(nodes), dtype=np.int64)
         np.add.at(outw, a_idx, w)
+        mask = (
+            np.isin(nodes, np.asarray(list(seeds), dtype=str))
+            if seeds is not None
+            else None
+        )
         ranks = _pagerank_iterate_local(
-            a_idx, b_idx, w, outw, n_iters, teleport
+            a_idx, b_idx, w, outw, n_iters, teleport, seed_mask=mask
         )
         out = pa.table(
             {
@@ -671,15 +692,29 @@ def pagerank(
         .materialize()
     )
 
+    import ray
+
+    seeds_ref = (
+        ray.put(np.sort(np.asarray(list(seeds), dtype=str)))
+        if seeds is not None
+        else None
+    )
+
     # rank state: (node, w=rank) — initialized from the node universe
     def init_ranks(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        if seeds_ref is None:
+            r = np.full(n, PAGERANK_SCALE, dtype=np.int64)
+        else:
+            sd = ray.get(seeds_ref)
+            node = batch["node"].to_numpy(zero_copy_only=False).astype(str)
+            r = np.where(np.isin(node, sd), PAGERANK_SCALE, 0).astype(
+                np.int64
+            )
         return pa.table(
             {
                 "node": batch["node"].cast(pa.string()),
-                "w": pa.array(
-                    np.full(n, PAGERANK_SCALE, dtype=np.int64), pa.int64()
-                ),
+                "w": pa.array(r, pa.int64()),
             }
         )
 
@@ -750,7 +785,16 @@ def pagerank(
                 "pagerank: damping product would overflow int64; "
                 "lower PAGERANK_SCALE"
             )
-        rank = teleport + (gc * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
+        if seeds_ref is None:
+            tele = teleport
+        else:
+            sd = ray.get(seeds_ref)
+            tele = np.where(
+                np.isin(g["dst"].to_numpy(dtype=object).astype(str), sd),
+                teleport,
+                0,
+            ).astype(np.int64)
+        rank = tele + (gc * PAGERANK_DAMP_NUM) // PAGERANK_DAMP_DEN
         return pd.DataFrame({"node": g["dst"].to_numpy(), "w": rank})
 
     for _ in range(n_iters):
@@ -785,6 +829,42 @@ def pagerank(
         )
 
     return ranks_ds.map_batches(to_out, batch_format="pyarrow").sort("node")
+
+
+def min_k_nodes(edges_ds, k: int) -> List[str]:
+    """The ``k`` lexicographically smallest nodes of a symmetric edge
+    list — the repo's deterministic seed-set convention (BFS layers,
+    personalized PageRank).  Two-phase global min-k: per-batch ``k``
+    smallest, one single-group merge; the driver receives ``k``
+    strings, bounded by the caller's ask, not the node count."""
+
+    def node_partial(batch: pa.Table) -> pa.Table:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        # typed ARROW output (empty-object-column estimator-spam rule)
+        return pa.table(
+            {
+                "node": pa.array(vals[:k], pa.string()),
+                "_g": pa.array([0] * min(k, len(vals)), pa.int32()),
+            }
+        )
+
+    def node_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["node"]].drop_duplicates().sort_values("node").head(k)
+
+    return (
+        edges_ds.map_batches(node_partial, batch_format="pyarrow")
+        .groupby("_g")
+        .map_groups(arrowed(node_final), batch_format="pandas")
+        .to_pandas()["node"]
+        .tolist()
+    )
 
 
 # --- distributed dense-id assignment + deterministic random walks ---------
@@ -2420,36 +2500,7 @@ def bfs_layers(
             batch_size=None,
         )
 
-    # -- seeds: global min-k over the node universe (two-phase) --------
-    def node_partial(batch: pa.Table) -> pa.Table:
-        vals = np.unique(
-            np.concatenate(
-                [
-                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
-                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
-                ]
-            )
-        )
-        # typed ARROW output (empty-object-column estimator-spam rule)
-        return pa.table(
-            {
-                "node": pa.array(vals[:n_seeds], pa.string()),
-                "_g": pa.array([0] * min(n_seeds, len(vals)), pa.int32()),
-            }
-        )
-
-    def node_final(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df[["node"]].drop_duplicates().sort_values("node").head(n_seeds)
-        )
-
-    seeds = (
-        edges.map_batches(node_partial, batch_format="pyarrow")
-        .groupby("_g")
-        .map_groups(arrowed(node_final), batch_format="pandas")
-        .to_pandas()["node"]
-        .tolist()
-    )
+    seeds = min_k_nodes(edges, n_seeds)
 
     # ---- dataset-resident frontier / visited state ------------------
     _BFS_TAG = pa.schema(

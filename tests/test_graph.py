@@ -698,3 +698,39 @@ def test_random_walks_steps_are_real_edges(ray_session):
         assert path[0] == w
         for u, v in zip(path, path[1:]):
             assert (u, v) in edge_set
+
+
+def test_personalized_pagerank_distributed_matches_local(ray_session):
+    rows = _sym_ring(n=40)
+    edges = _edges(rows, blocks=3)
+    seeds = ["n0000", "n0007"]
+    loc = (
+        G.pagerank(edges, seeds=seeds)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.pagerank(edges, seeds=seeds, local_edge_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+    # mass is seed-relative: seeds hold the largest ranks on a ring
+    top = loc.nlargest(2, "rank_int")["node"].tolist()
+    assert set(top) == set(seeds)
+
+
+def test_personalized_pagerank_nonseed_far_node_gets_no_teleport(ray_session):
+    rows = _sym_ring(n=40)
+    out = (
+        G.pagerank(_edges(rows, blocks=2), seeds=["n0000"])
+        .to_pandas()
+        .set_index("node")["rank_int"]
+    )
+    # every rank is nonnegative and total mass is bounded by the seed
+    # teleport budget (single seed): no node outside the seed's
+    # neighborhood accumulates more than the seed itself
+    assert (out >= 0).all()
+    assert out.idxmax() == "n0000"
