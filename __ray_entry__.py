@@ -125,6 +125,18 @@ def _q_kg_ppr(sf_dir: str):
     return pagerank(edges, seeds=min_k_nodes(edges, 3))
 
 
+def _q_kg_sssp(sf_dir: str):
+    """Multi-source weighted shortest paths (Bellman-Ford rounds, edge
+    cost = co-mention count) from the 2 smallest entities."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        shortest_paths,
+    )
+
+    return shortest_paths(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_walks(sf_dir: str):
     """Deterministic random-walk corpus (DeepWalk/node2vec training
     data) over the co-mention graph: one walk per entity, hash-picked
@@ -698,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_write_roundtrip": _q_kg_write_roundtrip,  # sink validated
         "kg_walks": _q_kg_walks,  # NEW r4: random-walk KGE corpus
         "kg_ppr": _q_kg_ppr,  # NEW r4: personalized PageRank
+        "kg_sssp": _q_kg_sssp,  # NEW r4: weighted shortest paths
         # --- relational demos whose only green row is r1 ---
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
         "distinct_user_events": c.q_distinct_user_events,  # generic distinct
@@ -851,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         kg_clustering_sql,
         kg_pagerank_sql,
         kg_ppr_sql,
+        kg_sssp_sql,
         kg_walks_sql,
         kg_support_sql,
         kg_profile_sql,
@@ -876,6 +890,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_pagerank": kg_pagerank_sql(),
         "kg_walks": kg_walks_sql(),
         "kg_ppr": kg_ppr_sql(),
+        "kg_sssp": kg_sssp_sql(),
         "kg_neighbors": kg_neighbors_sql(),
         "kg_components": kg_components_sql(),
         "kg_triangles": kg_triangles_sql(),

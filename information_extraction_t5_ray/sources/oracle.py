@@ -315,6 +315,35 @@ FROM w LEFT JOIN (
     return "".join(parts)
 
 
+def kg_sssp_sql(n_rounds: int = 8, n_seeds: int = 2) -> str:
+    """Multi-source weighted shortest paths — ground truth for
+    stages/graph.shortest_paths: unrolled Bellman-Ford rounds (edge
+    cost = cnt) from the ``n_seeds`` smallest nodes; rounds past the
+    fixpoint are no-ops, so the engine's early exit matches."""
+    parts = [_graph_cte()]
+    # em: MATERIALIZED — the unrolled rounds reference the edges 2x per
+    # round; a lazy CTE would re-evaluate the whole triples derivation
+    # (re-opening the parquet) per reference and exhaust file handles
+    parts.append(
+        f""", em AS MATERIALIZED (SELECT a, b, cnt FROM e),
+sd AS (SELECT node FROM w ORDER BY node LIMIT {n_seeds}),
+d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM sd)"""
+    )
+    for k in range(1, n_rounds + 1):
+        prev = f"d{k - 1}"
+        parts.append(
+            f""", d{k} AS (
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+  SELECT node, dist FROM {prev}
+  UNION ALL
+  SELECT em.b AS node, p.dist + em.cnt AS dist
+  FROM em JOIN {prev} p ON em.a = p.node
+) u GROUP BY node)"""
+        )
+    parts.append(f" SELECT node, dist FROM d{n_rounds}")
+    return "".join(parts)
+
+
 def kg_walks_sql(n_steps: int = 4) -> str:
     """Deterministic random walks — ground truth for
     stages/graph.random_walks: node ids are row_number()-1 in string

@@ -867,6 +867,249 @@ def min_k_nodes(edges_ds, k: int) -> List[str]:
     )
 
 
+def _local_sssp(
+    edf: pd.DataFrame, seeds: Sequence[str], n_rounds: int
+) -> pd.DataFrame:
+    """Single-task multi-source Bellman-Ford, arithmetic-identical to
+    the distributed rounds: dist = min hop-cost sum (edge weight =
+    cnt) from the seed set within ``n_rounds`` relaxations."""
+    nodes, inv = np.unique(
+        np.concatenate(
+            [
+                edf["a"].to_numpy(dtype=object).astype(str),
+                edf["b"].to_numpy(dtype=object).astype(str),
+            ]
+        ),
+        return_inverse=True,
+    )
+    src = inv[: len(edf)]
+    dst = inv[len(edf):]
+    w = edf["cnt"].to_numpy(np.int64)
+    INF = np.iinfo(np.int64).max
+    dist = np.full(len(nodes), INF, dtype=np.int64)
+    dist[np.isin(nodes, np.asarray(list(seeds), dtype=str))] = 0
+    for _ in range(n_rounds):
+        reach = dist[src] != INF
+        cand_dst = dst[reach]
+        cand_d = dist[src[reach]] + w[reach]
+        new = dist.copy()
+        np.minimum.at(new, cand_dst, cand_d)
+        if (new == dist).all():
+            break
+        dist = new
+    keep = dist != INF
+    return pd.DataFrame({"node": nodes[keep], "dist": dist[keep]})
+
+
+def shortest_paths(
+    edges_ds,
+    n_seeds: int = 2,
+    n_rounds: int = 8,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Multi-source WEIGHTED shortest paths over the symmetric edge
+    list (edge cost = ``cnt``): ``(node, dist)`` — minimum cost from
+    the seed set (:func:`min_k_nodes` convention) for every node
+    reachable within ``n_rounds`` Bellman-Ford relaxations.  The round
+    cap is part of the operator contract (the BFS/k-core posture,
+    mirrored by the oracle's unrolled rounds); converging earlier makes
+    the remaining rounds no-ops, so the output is exact whenever the
+    cost-diameter fits the budget.
+
+    Distributed shape (the :func:`pagerank` posture): the reached
+    (node, dist) state is a hash-bucketed DATASET advanced by two
+    tagged-union exchanges per round (state co-group on the source
+    endpoint emitting per-group candidate minima, then a min-merge on
+    the destination).  Convergence is detected from two scalars —
+    state row count and exact dist total (:func:`_exact_sum_nonneg`):
+    a relaxation strictly lowers some dist or adds a row, so the
+    (count, total) pair is unchanged iff the state is a fixpoint.  No
+    driver-resident node structures."""
+    import ray.data as rd
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    _check_symmetric(edges, num_buckets)
+    seeds = min_k_nodes(edges, n_seeds)
+    if edges.count() <= local_threshold:
+        out = _local_sssp(edges.to_pandas(), seeds, n_rounds)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(
+                        out["node"].to_numpy(dtype=object).astype(str),
+                        pa.string(),
+                    ),
+                    "dist": pa.array(
+                        out["dist"].to_numpy(np.int64), pa.int64()
+                    ),
+                }
+            )
+        )
+
+    _SP_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),  # co-group key: edge 'a' / state node
+            ("b", pa.string()),
+            ("cnt", pa.int64()),
+            ("dist", pa.int64()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(a)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(a, pa.string()),
+                "b": batch["b"].cast(pa.string()),
+                "cnt": batch["cnt"].cast(pa.int64()),
+                "dist": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
+            },
+            schema=_SP_TAG,
+        )
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(node, pa.string()),
+                "b": pa.array([""] * n, pa.string()),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "dist": batch["dist"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_SP_TAG,
+        )
+
+    def relax_group(df: pd.DataFrame) -> pd.DataFrame:
+        """Candidates dist(u)+w for edges whose source is reached,
+        pre-minimized per destination inside the group."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=str),
+                    "dist": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        dm = pd.Series(s["dist"].to_numpy(np.int64), index=s["key"].to_numpy())
+        du = e["key"].map(dm)
+        hit = du.notna()
+        if not hit.any():
+            return pd.DataFrame(
+                {
+                    "node": pd.Series(dtype=str),
+                    "dist": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        cand = pd.DataFrame(
+            {
+                "node": e.loc[hit, "b"].to_numpy(),
+                "dist": du[hit].to_numpy(np.int64)
+                + e.loc[hit, "cnt"].to_numpy(np.int64),
+            }
+        )
+        g = cand.groupby("node", sort=False, as_index=False)["dist"].min()
+        g["_bucket"] = bucket_of(
+            pd.Series(g["node"]).astype(str), num_buckets
+        ).astype(np.int32)
+        return g
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["dist"].min()
+        return g[["node", "dist"]]
+
+    state = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(seeds, pa.string()),
+                "dist": pa.array([0] * len(seeds), pa.int64()),
+            }
+        )
+    ).materialize()
+
+    def _sig(ds) -> tuple:
+        """(row count, exact dist total) — the fixpoint signature."""
+        def parts(batch: pa.Table) -> pa.Table:
+            v = batch["dist"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "hi": pa.array(
+                        [int((v >> 32).sum())], pa.int64()
+                    ),
+                    "lo": pa.array(
+                        [int((v & 0xFFFFFFFF).sum())], pa.int64()
+                    ),
+                    "n": pa.array([len(v)], pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(parts, batch_format="pyarrow").to_pandas()
+        return (
+            int(agg["n"].sum()),
+            (int(agg["hi"].sum()) << 32) + int(agg["lo"].sum()),
+        )
+
+    sig = _sig(state)
+    for _ in range(n_rounds):
+        cand = (
+            edges.map_batches(tag_edges, batch_format="pyarrow")
+            .union(state.map_batches(tag_state, batch_format="pyarrow"))
+            .repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(relax_group), batch_format="pandas")
+        )
+        # min-merge candidates WITH the previous state (tag_state's
+        # rows already carry the right columns/bucket)
+        merged_in = cand.union(
+            state.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"].cast(pa.string()),
+                        "dist": t["dist"].cast(pa.int64()),
+                        "_bucket": pa.array(
+                            bucket_of(
+                                pd.Series(
+                                    t["node"].to_numpy(
+                                        zero_copy_only=False
+                                    )
+                                ).astype(str),
+                                num_buckets,
+                            ),
+                            pa.int32(),
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        state = (
+            merged_in.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(min_merge), batch_format="pandas")
+            .materialize()
+        )
+        nxt = _sig(state)
+        if nxt == sig:  # count+total unchanged == fixpoint
+            break
+        sig = nxt
+
+    return state.sort("node")
+
+
 # --- distributed dense-id assignment + deterministic random walks ---------
 
 # next-hop hash mixing constants (see _walk_hash); primes well under

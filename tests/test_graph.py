@@ -734,3 +734,34 @@ def test_personalized_pagerank_nonseed_far_node_gets_no_teleport(ray_session):
     # neighborhood accumulates more than the seed itself
     assert (out >= 0).all()
     assert out.idxmax() == "n0000"
+
+
+def test_shortest_paths_distributed_matches_local(ray_session):
+    # weighted ring + chords with varying costs
+    rows = []
+    n = 40
+    for i in range(n):
+        for j, c in (((i + 1) % n, 1 + i % 3), ((i * 7 + 3) % n, 2 + i % 5)):
+            if i != j:
+                rows.append((f"n{i:04d}", f"n{j:04d}", c))
+                rows.append((f"n{j:04d}", f"n{i:04d}", c))
+    rows = sorted(set(rows))
+    loc = (
+        G.shortest_paths(_edges(rows, blocks=3), n_rounds=6)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.shortest_paths(
+            _edges(rows, blocks=3), n_rounds=6, local_threshold=0
+        )
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+    # seeds are at distance 0; every reported dist is a real path cost
+    sd = loc.set_index("node")["dist"]
+    assert sd["n0000"] == 0 and sd.min() == 0
+    assert (sd >= 0).all()
