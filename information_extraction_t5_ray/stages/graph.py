@@ -931,9 +931,15 @@ def shortest_paths(
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
     _check_symmetric(edges, num_buckets)
-    seeds = min_k_nodes(edges, n_seeds)
     if edges.count() <= local_threshold:
-        out = _local_sssp(edges.to_pandas(), seeds, n_rounds)
+        # seeds from the in-process frame: the distributed min-k pass
+        # would add a fixed map+groupby job the local path exists to
+        # avoid (the bfs_layers precedent)
+        edf = edges.to_pandas()
+        seeds = sorted(
+            np.unique(edf["a"].to_numpy(dtype=object).astype(str))
+        )[:n_seeds]
+        out = _local_sssp(edf, seeds, n_rounds)
         return rd.from_arrow(
             pa.table(
                 {
@@ -948,95 +954,57 @@ def shortest_paths(
             )
         )
 
-    _SP_TAG = pa.schema(
-        [
-            ("side", pa.int8()),
-            ("key", pa.string()),  # co-group key: edge 'a' / state node
-            ("b", pa.string()),
-            ("cnt", pa.int64()),
-            ("dist", pa.int64()),
-            ("_bucket", pa.int32()),
-        ]
-    )
+    seeds = min_k_nodes(edges, n_seeds)
 
-    def tag_edges(batch: pa.Table) -> pa.Table:
-        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
-        n = len(a)
-        return pa.table(
-            {
-                "side": pa.array(np.zeros(n, dtype=np.int8)),
-                "key": pa.array(a, pa.string()),
-                "b": batch["b"].cast(pa.string()),
-                "cnt": batch["cnt"].cast(pa.int64()),
-                "dist": pa.array(np.zeros(n, dtype=np.int64)),
-                "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
-            },
-            schema=_SP_TAG,
-        )
-
-    def tag_state(batch: pa.Table) -> pa.Table:
-        node = pd.Series(
-            batch["node"].to_numpy(zero_copy_only=False)
-        ).astype(str)
-        n = len(node)
-        return pa.table(
-            {
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "key": pa.array(node, pa.string()),
-                "b": pa.array([""] * n, pa.string()),
-                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
-                "dist": batch["dist"].cast(pa.int64()),
-                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
-            },
-            schema=_SP_TAG,
-        )
-
+    # tagged union reuses the pagerank machinery (_PR_TAG_SCHEMA):
+    # edge rows keep (a, b, cnt); state rows map node -> 'a' and the
+    # distance into the shared int64 value column 'w'
     def relax_group(df: pd.DataFrame) -> pd.DataFrame:
         """Candidates dist(u)+w for edges whose source is reached,
-        pre-minimized per destination inside the group."""
+        pre-minimized per destination inside the group.  INNER merge,
+        not Series.map: a map with misses (unreached sources) would
+        round-trip int64 distances through float64 and silently round
+        values >= 2^53."""
         e = df[df["side"] == 0]
         s = df[df["side"] == 1]
-        if len(e) == 0 or len(s) == 0:
-            return pd.DataFrame(
-                {
-                    "node": pd.Series(dtype=str),
-                    "dist": pd.Series(dtype=np.int64),
-                    "_bucket": pd.Series(dtype=np.int32),
-                }
-            )
-        dm = pd.Series(s["dist"].to_numpy(np.int64), index=s["key"].to_numpy())
-        du = e["key"].map(dm)
-        hit = du.notna()
-        if not hit.any():
-            return pd.DataFrame(
-                {
-                    "node": pd.Series(dtype=str),
-                    "dist": pd.Series(dtype=np.int64),
-                    "_bucket": pd.Series(dtype=np.int32),
-                }
-            )
-        cand = pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "node": e.loc[hit, "b"].to_numpy(),
-                "dist": du[hit].to_numpy(np.int64)
-                + e.loc[hit, "cnt"].to_numpy(np.int64),
+                "node": pd.Series(dtype=str),
+                "w": pd.Series(dtype=np.int64),
+                "_bucket": pd.Series(dtype=np.int32),
             }
         )
-        g = cand.groupby("node", sort=False, as_index=False)["dist"].min()
+        if len(e) == 0 or len(s) == 0:
+            return empty
+        cand = e[["a", "b", "cnt"]].merge(
+            s[["a", "w"]].rename(columns={"w": "du"}), on="a", how="inner"
+        )
+        if len(cand) == 0:
+            return empty
+        cand = pd.DataFrame(
+            {
+                "node": cand["b"].to_numpy(),
+                "w": cand["du"].to_numpy(np.int64)
+                + cand["cnt"].to_numpy(np.int64),
+            }
+        )
+        g = cand.groupby("node", sort=False, as_index=False)["w"].min()
         g["_bucket"] = bucket_of(
             pd.Series(g["node"]).astype(str), num_buckets
         ).astype(np.int32)
         return g
 
     def min_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False, as_index=False)["dist"].min()
-        return g[["node", "dist"]]
+        g = df.groupby("node", sort=False, as_index=False)["w"].min()
+        return g[["node", "w"]]
 
+    # state (node, w=dist) — the pagerank state shape, so the shared
+    # _pr_tag_state / _pr_tag_edges tagging applies unchanged
     state = rd.from_arrow(
         pa.table(
             {
                 "node": pa.array(seeds, pa.string()),
-                "dist": pa.array([0] * len(seeds), pa.int64()),
+                "w": pa.array([0] * len(seeds), pa.int64()),
             }
         )
     ).materialize()
@@ -1044,7 +1012,7 @@ def shortest_paths(
     def _sig(ds) -> tuple:
         """(row count, exact dist total) — the fixpoint signature."""
         def parts(batch: pa.Table) -> pa.Table:
-            v = batch["dist"].to_numpy(zero_copy_only=False)
+            v = batch["w"].to_numpy(zero_copy_only=False)
             return pa.table(
                 {
                     "hi": pa.array(
@@ -1066,20 +1034,27 @@ def shortest_paths(
     sig = _sig(state)
     for _ in range(n_rounds):
         cand = (
-            edges.map_batches(tag_edges, batch_format="pyarrow")
-            .union(state.map_batches(tag_state, batch_format="pyarrow"))
+            edges.map_batches(
+                lambda t: _pr_tag_edges(t, num_buckets),
+                batch_format="pyarrow",
+            )
+            .union(
+                state.map_batches(
+                    lambda t: _pr_tag_state(t, num_buckets),
+                    batch_format="pyarrow",
+                )
+            )
             .repartition(num_buckets)
             .groupby("_bucket")
             .map_groups(arrowed(relax_group), batch_format="pandas")
         )
-        # min-merge candidates WITH the previous state (tag_state's
-        # rows already carry the right columns/bucket)
+        # min-merge candidates WITH the previous state
         merged_in = cand.union(
             state.map_batches(
                 lambda t: pa.table(
                     {
                         "node": t["node"].cast(pa.string()),
-                        "dist": t["dist"].cast(pa.int64()),
+                        "w": t["w"].cast(pa.int64()),
                         "_bucket": pa.array(
                             bucket_of(
                                 pd.Series(
@@ -1107,7 +1082,15 @@ def shortest_paths(
             break
         sig = nxt
 
-    return state.sort("node")
+    def to_out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.string()),
+                "dist": batch["w"].cast(pa.int64()),
+            }
+        )
+
+    return state.map_batches(to_out, batch_format="pyarrow").sort("node")
 
 
 # --- distributed dense-id assignment + deterministic random walks ---------
@@ -1332,11 +1315,18 @@ def random_walks(
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
-    ids_ds = dense_node_ids(edges, num_buckets).materialize()
 
     if edges.count() <= local_edge_threshold:
+        # ids computed IN-PROCESS: rank of sorted distinct 'a' (==
+        # dense_node_ids' global contract — symmetric edges make 'a'
+        # cover every node) — the distributed assignment's ~5 fixed
+        # Ray stages would dominate a small graph's wall time
         edf = edges.to_pandas()
-        out = _local_random_walks(edf, ids_ds.to_pandas(), n_steps)
+        nodes = np.unique(edf["a"].to_numpy(dtype=object).astype(str))
+        ids = pd.DataFrame(
+            {"node": nodes, "id": np.arange(len(nodes), dtype=np.int64)}
+        )
+        out = _local_random_walks(edf, ids, n_steps)
         return rd.from_arrow(
             pa.table(
                 {
@@ -1348,6 +1338,8 @@ def random_walks(
                 }
             )
         )
+
+    ids_ds = dense_node_ids(edges, num_buckets).materialize()
 
     _RW_TAG = pa.schema(
         [
