@@ -1753,12 +1753,13 @@ def kg_components(
     )
 
 
-def _degree_frame(edges, num_buckets: int) -> pd.DataFrame:
-    """Driver-side (node, c) neighbor-count frame over an a<b edge
-    Dataset — two-phase (per-batch unique counts -> bucketed merge),
-    node-bounded result (the entity-vocabulary-is-small posture
-    documented on :func:`pagerank`).  Shared by triangle_counts,
-    edge_jaccard and link_predict."""
+def _degree_ds(edges, num_buckets: int):
+    """Distributed (node, c) neighbor-count Dataset over an a<b edge
+    list — two-phase (per-batch unique counts -> bucketed merge).  The
+    state stays in bucketed blocks; downstream consumers co-group with
+    it instead of broadcasting a node map (the open-vocabulary
+    posture).  Shared by triangle_counts, edge_jaccard and
+    clustering_coefficient."""
 
     def deg_partial(batch: pa.Table) -> pd.DataFrame:
         ab = np.concatenate(
@@ -1781,7 +1782,162 @@ def _degree_frame(edges, num_buckets: int) -> pd.DataFrame:
         edges.map_batches(arrowed(deg_partial), batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(arrowed(deg_merge), batch_format="pandas")
-        .to_pandas()
+    )
+
+
+def _degree_frame(edges, num_buckets: int) -> pd.DataFrame:
+    """Driver-side collect of :func:`_degree_ds` — for the remaining
+    node-bounded consumers (link_predict's hub cap)."""
+    return _degree_ds(edges, num_buckets).to_pandas()
+
+
+# tagged union schema for degree-attach exchanges: side-0 rows carry an
+# edge endpoint pair (key = the endpoint being joined, other = its
+# opposite) plus the degree already attached in a previous stage; side-1
+# rows carry the degree state (key = node, d = c)
+_DEG_TAG = pa.schema(
+    [
+        ("side", pa.int8()),
+        ("key", pa.string()),
+        ("other", pa.string()),
+        ("d", pa.int64()),
+        ("_bucket", pa.int32()),
+    ]
+)
+
+
+def _oriented_stream(edges, deg_ds, num_buckets: int):
+    """Degree-ordered oriented edges ``(lo, hi, dlo, dhi)`` — every
+    edge points from its lower-(degree, name) endpoint to the higher —
+    built with TWO tagged co-group exchanges that attach each
+    endpoint's degree from the bucketed degree state.  No broadcast
+    node map: orientation only needs to COMPARE the two endpoints'
+    (degree, name) pairs, which is edge-local once both degrees ride
+    the row.  The (degree, name) comparison reproduces exactly the
+    global degree-rank order the classic construction sorts by."""
+
+    def tag_edge_a(batch: pa.Table) -> pa.Table:
+        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(a)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(a, pa.string()),
+                "other": batch["b"].cast(pa.string()),
+                "d": pa.array(np.zeros(n, dtype=np.int64)),
+                "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
+            },
+            schema=_DEG_TAG,
+        )
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(node, pa.string()),
+                "other": pa.array([""] * n, pa.string()),
+                "d": batch["c"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_DEG_TAG,
+        )
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        """Join deg onto the 'a' endpoint; re-key by 'b' (inner merge —
+        a Series.map with misses would float64-round int64 degrees)."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "key": pd.Series(dtype=str),
+                    "other": pd.Series(dtype=str),
+                    "d": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        m = e[["key", "other"]].merge(
+            s[["key", "d"]], on="key", how="inner"
+        )
+        b = m["other"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "key": b,  # next exchange joins on the b endpoint
+                "other": m["key"].to_numpy(dtype=object),
+                "d": m["d"].to_numpy(np.int64),  # = deg(a), carried
+                "_bucket": bucket_of(
+                    pd.Series(b, dtype=object).astype(str), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def attach_b_orient(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pd.DataFrame(
+                {
+                    "lo": pd.Series(dtype=str),
+                    "hi": pd.Series(dtype=str),
+                    "dlo": pd.Series(dtype=np.int64),
+                    "dhi": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        m = e[["key", "other", "d"]].merge(
+            s[["key", "d"]].rename(columns={"d": "db"}),
+            on="key",
+            how="inner",
+        )
+        a = m["other"].to_numpy(dtype=object).astype(str)
+        b = m["key"].to_numpy(dtype=object).astype(str)
+        da = m["d"].to_numpy(np.int64)
+        db = m["db"].to_numpy(np.int64)
+        swap = (da > db) | ((da == db) & (a > b))
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        dlo = np.where(swap, db, da)
+        dhi = np.where(swap, da, db)
+        out = pd.DataFrame(
+            {"lo": lo, "hi": hi, "dlo": dlo, "dhi": dhi}
+        ).drop_duplicates(["lo", "hi"])
+        out["_bucket"] = bucket_of(
+            pd.Series(out["lo"]).astype(str), num_buckets
+        ).astype(np.int32)
+        return out
+
+    stage1 = (
+        edges.map_batches(tag_edge_a, batch_format="pyarrow")
+        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach_a), batch_format="pandas")
+    )
+
+    def tag_stage1(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": batch["key"].cast(pa.string()),
+                "other": batch["other"].cast(pa.string()),
+                "d": batch["d"].cast(pa.int64()),
+                "_bucket": batch["_bucket"].cast(pa.int32()),
+            },
+            schema=_DEG_TAG,
+        )
+
+    return (
+        stage1.map_batches(tag_stage1, batch_format="pyarrow")
+        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach_b_orient), batch_format="pandas")
+        .materialize()
     )
 
 
@@ -1838,7 +1994,7 @@ def triangle_counts(
     edges_ds,
     num_buckets: Optional[int] = None,
     local_threshold: int = 4_000_000,
-    _deg: Optional[pd.DataFrame] = None,
+    _deg=None,
 ):
     """Per-entity triangle counts over the a<b co-mention edge list:
     ``(entity, n_triangles)`` for every edge-endpoint node (zeros
@@ -1848,36 +2004,31 @@ def triangle_counts(
     every edge points from its lower-(degree, name) endpoint to the
     higher, so a node's out-neighborhood is bounded by sqrt(E) even at
     head entities; wedges are emitted per apex and confirmed against
-    the oriented edge set with one bucketed co-group.  The degree/rank
-    map is node-bounded and broadcast once via ``ray.put`` — the same
-    "entity vocabulary is object-store-small" posture as
-    :func:`pagerank` (documented there); edge/wedge streams never
-    gather on the driver.
+    the oriented edge set with one bucketed co-group.  Open-vocabulary
+    posture: degrees live in a bucketed Dataset and attach to each
+    edge by co-group (:func:`_oriented_stream`) — no broadcast node
+    map; edge/wedge streams never gather on the driver.
 
-    Exchanges: degree partial-count (node-bounded) + wedge groupby
-    (apex-bucketed) + wedge-vs-edge confirm (pair-key-bucketed) +
-    corner count (node-bounded).
+    Exchanges: degree partial-count (node-bounded) + 2 degree-attach
+    co-groups (edge-bounded) + wedge groupby (apex-bucketed) +
+    wedge-vs-edge confirm (pair-key-bucketed) + corner count
+    (node-bounded).
     """
-    import ray
-
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
     if edges.count() <= local_threshold:
         # hybrid fast path (same posture as kg_components/_local_cc):
-        # below ~64 MB of pairs one task replaces five bounded
+        # below ~64 MB of pairs one task replaces the bounded
         # exchanges; identical output by construction
         return edges.repartition(1).map_batches(
             _local_triangles, batch_format="pyarrow", batch_size=None
         )
 
-    # _deg: callers that already hold the node-bounded degree frame
-    # (clustering_coefficient) pass it in so the edge scan + bucketed
-    # exchange + driver collect are not paid twice
-    deg = _degree_frame(edges, num_buckets) if _deg is None else _deg
-    # total order: (degree, name); rank = position
-    deg = deg.sort_values(["c", "node"], kind="stable").reset_index(drop=True)
-    rank_ref = ray.put(dict(zip(deg["node"], range(len(deg)))))
-    tagged = _tagged_wedge_stream(edges, rank_ref, num_buckets)
+    # _deg: callers that already hold the degree Dataset
+    # (clustering_coefficient) pass it in so the degree aggregation is
+    # not paid twice
+    deg_ds = _degree_ds(edges, num_buckets) if _deg is None else _deg
+    tagged, _ = _tagged_wedge_stream(edges, deg_ds, num_buckets)
 
     # -- confirm wedges against the edge set; emit 3 corners ----------
     def confirm(df: pd.DataFrame) -> pd.DataFrame:
@@ -1936,42 +2087,24 @@ def triangle_counts(
     )
 
 
-def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
+def _tagged_wedge_stream(edges, deg_ds, num_buckets: int):
     """Degree-ordered wedge/edge union stream over a materialized a<b
-    edge Dataset: orient each edge low-rank -> high-rank (rank map in
-    the object store), emit per-apex wedges plus the oriented edges
-    themselves tagged ``_is_edge``, both bucketed by the (n1, n2) pair
-    key (``_bucket2``) so one co-group confirms wedges against edges.
-    Shared by :func:`triangle_counts` and :func:`edge_jaccard`."""
-    import ray
+    edge Dataset: orient each edge low-(degree, name) -> high via
+    :func:`_oriented_stream` (co-group degree attach — no broadcast
+    node map), emit per-apex wedges plus the oriented edges themselves
+    tagged ``_is_edge``, both bucketed by the (n1, n2) pair key
+    (``_bucket2``) so one co-group confirms wedges against edges.
+    Shared by :func:`triangle_counts` and :func:`edge_jaccard`.
+    Returns ``(tagged, oriented)`` — edge_jaccard derives its
+    degree-carrying zero rows from ``oriented``."""
+    oriented = _oriented_stream(edges, deg_ds, num_buckets)
 
-    # -- orient edges low-rank -> high-rank ---------------------------
-    def orient(batch: pa.Table) -> pd.DataFrame:
-        rank = ray.get(rank_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
-        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
-        ra = np.fromiter((rank[x] for x in a), np.int64, len(a))
-        rb = np.fromiter((rank[x] for x in b), np.int64, len(b))
-        swap = ra > rb
-        lo = np.where(swap, b, a)
-        hi = np.where(swap, a, b)
-        rlo = np.where(swap, rb, ra)
-        rhi = np.where(swap, ra, rb)
-        df = pd.DataFrame(
-            {"lo": lo, "hi": hi, "rlo": rlo, "rhi": rhi}
-        ).drop_duplicates(["lo", "hi"])
-        df["_bucket"] = bucket_of(df["lo"], num_buckets)
-        return df
-
-    oriented = edges.map_batches(
-        arrowed(orient), batch_format="pyarrow"
-    ).materialize()
-
-    # -- wedges per apex (out-neighbors sorted by rank) ----------------
+    # -- wedges per apex (out-neighbors sorted by (degree, name)) ------
     def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        # contiguous (lo, rank-of-hi)-sorted layout, then the shared
-        # size-class kernel — no Python loop over apex nodes
-        df = df.sort_values(["lo", "rhi"], kind="stable")
+        # contiguous (lo, (deg, name)-of-hi)-sorted layout, then the
+        # shared size-class kernel — no Python loop over apex nodes;
+        # (dhi, hi) reproduces the classic global degree-rank order
+        df = df.sort_values(["lo", "dhi", "hi"], kind="stable")
         lo = df["lo"].to_numpy(dtype=object)
         hi = df["hi"].to_numpy(dtype=object)
         n1 = np.array([], dtype=object)
@@ -2022,9 +2155,10 @@ def _tagged_wedge_stream(edges, rank_ref, num_buckets: int):
         )
         return out
 
-    return wedge_rows.union(
+    tagged = wedge_rows.union(
         oriented.map_batches(arrowed(edge_rows), batch_format="pyarrow")
     )
+    return tagged, oriented
 
 
 # fixed Arrow schema for the LPA tagged (edges ∪ label-state) union:
@@ -2344,8 +2478,6 @@ def edge_jaccard(
     see :func:`pagerank`).  Exchanges: degree partial + wedge groupby
     + confirm co-group + per-edge merge — same count as triangles.
     """
-    import ray
-
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
     if edges.count() <= local_threshold:
@@ -2353,11 +2485,8 @@ def edge_jaccard(
             _local_edge_jaccard, batch_format="pyarrow", batch_size=None
         )
 
-    deg = _degree_frame(edges, num_buckets)
-    deg_ref = ray.put(dict(zip(deg["node"], deg["c"].astype(int))))
-    rdeg = deg.sort_values(["c", "node"], kind="stable").reset_index(drop=True)
-    rank_ref = ray.put(dict(zip(rdeg["node"], range(len(rdeg)))))
-    tagged = _tagged_wedge_stream(edges, rank_ref, num_buckets)
+    deg_ds = _degree_ds(edges, num_buckets)
+    tagged, oriented = _tagged_wedge_stream(edges, deg_ds, num_buckets)
 
     # -- confirm wedges; emit the 3 canonical edges per triangle ------
     def confirm(df: pd.DataFrame) -> pd.DataFrame:
@@ -2372,6 +2501,8 @@ def edge_jaccard(
                     "a": pa.array([], pa.string()),
                     "b": pa.array([], pa.string()),
                     "c": pa.array([], pa.int64()),
+                    "da": pa.array([], pa.int64()),
+                    "db": pa.array([], pa.int64()),
                     "_bucket3": pa.array([], pa.int32()),
                 }
             )
@@ -2404,6 +2535,10 @@ def edge_jaccard(
             .reset_index()
         )
         out["c"] = out["c"].astype(np.int64)
+        # degrees ride the ZERO rows (one per edge); partial-count rows
+        # carry -1 so the final max picks the real value
+        out["da"] = np.int64(-1)
+        out["db"] = np.int64(-1)
         out["_bucket3"] = bucket_of(out["a"] + "\x1f" + out["b"], num_buckets)
         return _arrow_out(out)
 
@@ -2411,10 +2546,20 @@ def edge_jaccard(
         confirm, batch_format="pandas"
     )
 
-    # -- zero rows keep triangle-free edges in the output -------------
+    # -- zero rows keep triangle-free edges in the output AND carry
+    # the endpoint degrees (from the oriented stream — exactly one
+    # zero row per edge), so no broadcast degree map is needed -------
     def zeros(batch: pa.Table) -> pa.Table:
-        a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
-        b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+        lo = batch["lo"].to_numpy(zero_copy_only=False).astype(str)
+        hi = batch["hi"].to_numpy(zero_copy_only=False).astype(str)
+        dlo = batch["dlo"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dhi = batch["dhi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # canonicalize back to the input's string order
+        s = lo <= hi
+        a = np.where(s, lo, hi)
+        b = np.where(s, hi, lo)
+        da = np.where(s, dlo, dhi)
+        db = np.where(s, dhi, dlo)
         key = pd.Series(np.char.add(np.char.add(a, "\x1f"), b), dtype=object)
         # typed ARROW output (empty-object-column estimator rule)
         return pa.table(
@@ -2422,6 +2567,8 @@ def edge_jaccard(
                 "a": pa.array(a, pa.string()),
                 "b": pa.array(b, pa.string()),
                 "c": pa.array(np.zeros(len(a), np.int64), pa.int64()),
+                "da": pa.array(da, pa.int64()),
+                "db": pa.array(db, pa.int64()),
                 "_bucket3": pa.array(
                     bucket_of(key, num_buckets) if len(a)
                     else np.array([], np.int32),
@@ -2431,11 +2578,12 @@ def edge_jaccard(
         )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(["a", "b"], sort=False, as_index=False)["c"].sum()
-        dmap = ray.get(deg_ref)
-        da = g["a"].map(dmap).to_numpy(np.int64)
-        db = g["b"].map(dmap).to_numpy(np.int64)
+        g = df.groupby(["a", "b"], sort=False, as_index=False).agg(
+            c=("c", "sum"), da=("da", "max"), db=("db", "max")
+        )
         common = g["c"].to_numpy(np.int64)
+        da = g["da"].to_numpy(np.int64)
+        db = g["db"].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "a": g["a"],
@@ -2446,7 +2594,7 @@ def edge_jaccard(
         )
 
     return (
-        counts.union(edges.map_batches(zeros, batch_format="pyarrow"))
+        counts.union(oriented.map_batches(zeros, batch_format="pyarrow"))
         .groupby("_bucket3")
         .map_groups(arrowed(final), batch_format="pandas")
     )
@@ -3089,46 +3237,137 @@ def clustering_coefficient(
     entity's neighborhood is interlinked, the standard small-world /
     community-structure signal.
 
-    Pure composition: :func:`triangle_counts` does all the heavy
-    lifting (degree-ordered wedge join, or its single-task hybrid under
-    ``local_threshold``); the degree map is the node-bounded
-    ``_degree_frame`` broadcast once via ``ray.put`` (the pagerank
-    "entity vocabulary is object-store-small" posture).  The coefficient
-    attach is one stateless vectorized map — ZERO exchanges beyond the
-    triangle kernel.  The single IEEE division matches the SQL mirror
-    bit-for-bit (both divide exact int64 products well under 2^53).
+    Composition: :func:`triangle_counts` does the heavy lifting
+    (degree-ordered wedge join, or its single-task hybrid under
+    ``local_threshold``); the degree attach is an in-process merge on
+    the local path and ONE tagged co-group against the bucketed degree
+    Dataset on the distributed path — no broadcast node map (the
+    open-vocabulary posture).  The single IEEE division matches the
+    SQL mirror bit-for-bit (both divide exact int64 products well
+    under 2^53).
     """
-    import ray
+    import ray.data as rd
 
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
-    # one degree pass, shared with the triangle kernel's rank map (the
-    # distributed path would otherwise recompute the identical frame)
-    deg = _degree_frame(edges, num_buckets)
+
+    def _coeff(t: np.ndarray, d: np.ndarray) -> np.ndarray:
+        denom = d * (d - 1)
+        return np.where(denom > 0, (2.0 * t) / np.maximum(denom, 1), 0.0)
+
+    if edges.count() <= local_threshold:
+        tri = triangle_counts(
+            edges, num_buckets=num_buckets, local_threshold=local_threshold
+        ).to_pandas()
+        edf = edges.to_pandas()
+        nodes, cnt = np.unique(
+            np.concatenate(
+                [
+                    edf["a"].to_numpy(dtype=object).astype(str),
+                    edf["b"].to_numpy(dtype=object).astype(str),
+                ]
+            ),
+            return_counts=True,
+        )
+        dm = pd.Series(cnt.astype(np.int64), index=nodes)
+        tri = tri.sort_values("entity", kind="stable").reset_index(drop=True)
+        d = (
+            tri["entity"].astype(str).map(dm).to_numpy(np.int64)
+        )  # every entity is an edge endpoint: no misses, stays int
+        t = tri["n_triangles"].to_numpy(np.int64)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(
+                        tri["entity"].to_numpy(dtype=object).astype(str),
+                        pa.string(),
+                    ),
+                    "degree": pa.array(d, pa.int64()),
+                    "n_triangles": pa.array(t, pa.int64()),
+                    "lcc": pa.array(_coeff(t, d), pa.float64()),
+                }
+            )
+        )
+
+    # one degree aggregation, shared by the triangle kernel's
+    # orientation co-groups and the final attach
+    deg_ds = _degree_ds(edges, num_buckets).materialize()
     tri = triangle_counts(
         edges,
         num_buckets=num_buckets,
         local_threshold=local_threshold,
-        _deg=deg,
+        _deg=deg_ds,
     )
-    deg_ref = ray.put(dict(zip(deg["node"], deg["c"].astype(np.int64))))
 
-    def attach(batch: pa.Table) -> pa.Table:
-        dmap = ray.get(deg_ref)
-        ent = batch["entity"].to_numpy(zero_copy_only=False).astype(str)
-        t = batch["n_triangles"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        d = np.fromiter((dmap[x] for x in ent), np.int64, len(ent))
-        denom = d * (d - 1)
-        lcc = np.where(denom > 0, (2.0 * t) / np.maximum(denom, 1), 0.0)
+    _CC_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),
+            ("v", pa.int64()),  # side 0: n_triangles; side 1: degree
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        ent = pd.Series(
+            batch["entity"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(ent)
         return pa.table(
             {
-                "entity": pa.array(ent, pa.string()),
-                "degree": pa.array(d, pa.int64()),
-                "n_triangles": pa.array(t, pa.int64()),
-                "lcc": pa.array(lcc, pa.float64()),
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(ent, pa.string()),
+                "v": batch["n_triangles"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(ent, num_buckets), pa.int32()),
+            },
+            schema=_CC_TAG,
+        )
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(node, pa.string()),
+                "v": batch["c"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
+            },
+            schema=_CC_TAG,
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        tr = df[df["side"] == 0]
+        dg = df[df["side"] == 1]
+        if len(tr) == 0:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series(dtype=str),
+                    "degree": pd.Series(dtype=np.int64),
+                    "n_triangles": pd.Series(dtype=np.int64),
+                    "lcc": pd.Series(dtype=np.float64),
+                }
+            )
+        m = tr[["key", "v"]].merge(
+            dg[["key", "v"]].rename(columns={"v": "d"}), on="key", how="inner"
+        )
+        t = m["v"].to_numpy(np.int64)
+        d = m["d"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "entity": m["key"].to_numpy(),
+                "degree": d,
+                "n_triangles": t,
+                "lcc": _coeff(t, d),
             }
         )
 
-    return tri.map_batches(attach, batch_format="pyarrow")
+    return (
+        tri.map_batches(tag_tri, batch_format="pyarrow")
+        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach), batch_format="pandas")
+    )
