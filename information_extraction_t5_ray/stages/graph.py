@@ -2668,14 +2668,13 @@ def link_predict(
     ``max_middle_degree`` are excluded from SERVING as the shared
     neighbor (the standard hub cap — a hub connecting everything
     predicts nothing); the cap is part of the operator contract and is
-    mirrored in the DuckDB oracle.  Pipeline: node-bounded degree
-    frame -> capped-middle set in the object store -> adjacency
-    bucketed BY MIDDLE (one vectorized pair pass per bucket, the
-    cooccur_edges posture) -> pair-bucketed anti-merge against the
+    mirrored in the DuckDB oracle.  Pipeline: adjacency bucketed BY
+    MIDDLE co-grouped with the bucketed degree state (the hub cap is
+    applied IN-GROUP before any pair is generated — no broadcast
+    capped-middle set, the open-vocabulary posture; the quadratic pair
+    pass never runs for a hub) -> pair-bucketed anti-merge against the
     edge list -> two-phase global top-k (per-group partial, one tiny
     final reduce — the events_top100 pattern)."""
-    import ray
-
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
     if edges.count() <= local_threshold:
@@ -2686,28 +2685,21 @@ def link_predict(
             batch_format="pyarrow",
             batch_size=None,
         )
-    deg = _degree_frame(edges, num_buckets)
-    # sorted array (np.isin membership), not a set
-    mid_ref = ray.put(
-        np.sort(
-            deg.loc[deg["c"] <= max_middle_degree, "node"].to_numpy(dtype=str)
-        )
-    )
+    deg_ds = _degree_ds(edges, num_buckets)
 
-    # -- adjacency rows keyed by (capped) middle -----------------------
+    # -- adjacency rows keyed by middle (side 0), degree state (side 1)
     def adj(batch: pa.Table) -> pa.Table:
-        mids = ray.get(mid_ref)
         a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
         b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
         m = np.concatenate([a, b])
         o = np.concatenate([b, a])
-        keep = np.isin(m, mids)
-        m, o = m[keep], o[keep]
         # typed ARROW output (empty-object-column estimator rule)
         return pa.table(
             {
                 "m": pa.array(m, pa.string()),
                 "o": pa.array(o, pa.string()),
+                "d": pa.array(np.zeros(len(m), np.int64), pa.int64()),
+                "side": pa.array(np.zeros(len(m), np.int8), pa.int8()),
                 "_dbucket": pa.array(
                     bucket_of(pd.Series(m, dtype=object), num_buckets)
                     if len(m)
@@ -2717,8 +2709,36 @@ def link_predict(
             }
         )
 
-    # -- per-middle neighbor pairs (string-ordered by construction) ---
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        node = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(node)
+        return pa.table(
+            {
+                "m": pa.array(node, pa.string()),
+                "o": pa.array([""] * n, pa.string()),
+                "d": batch["c"].cast(pa.int64()),
+                "side": pa.array(np.ones(n, np.int8), pa.int8()),
+                "_dbucket": pa.array(
+                    bucket_of(node, num_buckets), pa.int32()
+                ),
+            }
+        )
+
+    # -- per-middle neighbor pairs (string-ordered by construction);
+    # the hub cap applies here, BEFORE the quadratic pair pass --------
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        dg = df[df["side"] == 1]
+        capped = np.sort(
+            dg.loc[dg["d"] <= max_middle_degree, "m"]
+            .to_numpy(dtype=object)
+            .astype(str)
+        )
+        df = df[df["side"] == 0]
+        df = df[
+            np.isin(df["m"].to_numpy(dtype=object).astype(str), capped)
+        ]
         df = df.sort_values(["m", "o"], kind="stable")
         m = df["m"].to_numpy(dtype=object)
         o = df["o"].to_numpy(dtype=object).astype(str)
@@ -2771,6 +2791,8 @@ def link_predict(
 
     tagged = (
         edges.map_batches(adj, batch_format="pyarrow")
+        .union(deg_ds.map_batches(deg_rows, batch_format="pyarrow"))
+        .repartition(num_buckets)
         .groupby("_dbucket")
         .map_groups(arrowed(pairs), batch_format="pandas")
         .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
