@@ -107,6 +107,20 @@ def _bench_queries(sf_dir: str):
 
         return random_walks(_edges(True)).count()
 
+    def kg_ppr() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            min_k_nodes,
+            pagerank,
+        )
+
+        e = _edges(True)
+        return pagerank(e, seeds=min_k_nodes(e, 3)).count()
+
+    def kg_sssp() -> int:
+        from information_extraction_t5_ray.stages.graph import shortest_paths
+
+        return shortest_paths(_edges(True)).count()
+
     def kg_components() -> int:
         from information_extraction_t5_ray.stages.graph import (
             kg_components as cc,
@@ -308,6 +322,8 @@ def _bench_queries(sf_dir: str):
         "kg_entities": kg_entities,
         "kg_pagerank": kg_pagerank,
         "kg_walks": kg_walks,
+        "kg_ppr": kg_ppr,
+        "kg_sssp": kg_sssp,
         "kg_components": kg_components,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,
