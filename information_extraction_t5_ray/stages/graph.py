@@ -1774,27 +1774,29 @@ def _degree_ds(edges, num_buckets: int):
         return df
 
     def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby("node", sort=False, as_index=False)["c"].sum()
+        g = df.groupby(
+            ["node", "_bucket"], sort=False, as_index=False
+        )["c"].sum()
         g["c"] = g["c"].astype(np.int64)
-        return g
+        # _bucket rides along so consumers' taggers reuse it instead of
+        # re-hashing the node vocabulary per exchange
+        return g[["node", "c", "_bucket"]]
 
     return (
         edges.map_batches(arrowed(deg_partial), batch_format="pyarrow")
         .groupby("_bucket")
         .map_groups(arrowed(deg_merge), batch_format="pandas")
+        # consumed by 2+ union branches per caller (Ray has no
+        # cross-branch plan dedup — without pinning, the full edge scan
+        # + merge would run once per branch)
+        .materialize()
     )
 
 
-def _degree_frame(edges, num_buckets: int) -> pd.DataFrame:
-    """Driver-side collect of :func:`_degree_ds` — for the remaining
-    node-bounded consumers (link_predict's hub cap)."""
-    return _degree_ds(edges, num_buckets).to_pandas()
-
-
-# tagged union schema for degree-attach exchanges: side-0 rows carry an
-# edge endpoint pair (key = the endpoint being joined, other = its
-# opposite) plus the degree already attached in a previous stage; side-1
-# rows carry the degree state (key = node, d = c)
+# tagged union schema for every degree-state exchange: side-0 rows carry
+# an operator-specific (key, other, d) payload; side-1 rows are the
+# degree state (key = node, d = c) — one schema, one tagger, shared by
+# the wedge orientation, link_predict's hub cap and clustering's attach
 _DEG_TAG = pa.schema(
     [
         ("side", pa.int8()),
@@ -1804,6 +1806,22 @@ _DEG_TAG = pa.schema(
         ("_bucket", pa.int32()),
     ]
 )
+
+
+def _tag_deg_state(batch: pa.Table) -> pa.Table:
+    """Degree-state rows (node, c, _bucket) -> side-1 _DEG_TAG rows,
+    reusing the bucket :func:`_degree_ds` already computed."""
+    n = len(batch)
+    return pa.table(
+        {
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "key": batch["node"].cast(pa.string()),
+            "other": pa.array([""] * n, pa.string()),
+            "d": batch["c"].cast(pa.int64()),
+            "_bucket": batch["_bucket"].cast(pa.int32()),
+        },
+        schema=_DEG_TAG,
+    )
 
 
 def _oriented_stream(edges, deg_ds, num_buckets: int):
@@ -1826,22 +1844,6 @@ def _oriented_stream(edges, deg_ds, num_buckets: int):
                 "other": batch["b"].cast(pa.string()),
                 "d": pa.array(np.zeros(n, dtype=np.int64)),
                 "_bucket": pa.array(bucket_of(a, num_buckets), pa.int32()),
-            },
-            schema=_DEG_TAG,
-        )
-
-    def tag_deg(batch: pa.Table) -> pa.Table:
-        node = pd.Series(
-            batch["node"].to_numpy(zero_copy_only=False)
-        ).astype(str)
-        n = len(node)
-        return pa.table(
-            {
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "key": pa.array(node, pa.string()),
-                "other": pa.array([""] * n, pa.string()),
-                "d": batch["c"].cast(pa.int64()),
-                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
             },
             schema=_DEG_TAG,
         )
@@ -1912,7 +1914,7 @@ def _oriented_stream(edges, deg_ds, num_buckets: int):
 
     stage1 = (
         edges.map_batches(tag_edge_a, batch_format="pyarrow")
-        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .union(deg_ds.map_batches(_tag_deg_state, batch_format="pyarrow"))
         .repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(attach_a), batch_format="pandas")
@@ -1933,7 +1935,7 @@ def _oriented_stream(edges, deg_ds, num_buckets: int):
 
     return (
         stage1.map_batches(tag_stage1, batch_format="pyarrow")
-        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .union(deg_ds.map_batches(_tag_deg_state, batch_format="pyarrow"))
         .repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(attach_b_orient), batch_format="pandas")
@@ -2474,9 +2476,10 @@ def edge_jaccard(
     :func:`triangle_counts` (:func:`_tagged_wedge_stream`): confirmed
     triangles emit their THREE canonical string-ordered edges into a
     pair-bucketed partial count, zero-filled against the edge list;
-    the node-degree map rides the object store (node-bounded posture,
-    see :func:`pagerank`).  Exchanges: degree partial + wedge groupby
-    + confirm co-group + per-edge merge — same count as triangles.
+    the endpoint degrees attach by co-group (:func:`_oriented_stream`
+    — no broadcast node map) and ride the per-edge zero rows into the
+    final merge.  Exchanges: degree partial + 2 degree-attach
+    co-groups + wedge groupby + confirm co-group + per-edge merge.
     """
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
@@ -2696,34 +2699,18 @@ def link_predict(
         # typed ARROW output (empty-object-column estimator rule)
         return pa.table(
             {
-                "m": pa.array(m, pa.string()),
-                "o": pa.array(o, pa.string()),
-                "d": pa.array(np.zeros(len(m), np.int64), pa.int64()),
                 "side": pa.array(np.zeros(len(m), np.int8), pa.int8()),
-                "_dbucket": pa.array(
+                "key": pa.array(m, pa.string()),
+                "other": pa.array(o, pa.string()),
+                "d": pa.array(np.zeros(len(m), np.int64), pa.int64()),
+                "_bucket": pa.array(
                     bucket_of(pd.Series(m, dtype=object), num_buckets)
                     if len(m)
                     else np.array([], np.int32),
                     pa.int32(),
                 ),
-            }
-        )
-
-    def deg_rows(batch: pa.Table) -> pa.Table:
-        node = pd.Series(
-            batch["node"].to_numpy(zero_copy_only=False)
-        ).astype(str)
-        n = len(node)
-        return pa.table(
-            {
-                "m": pa.array(node, pa.string()),
-                "o": pa.array([""] * n, pa.string()),
-                "d": batch["c"].cast(pa.int64()),
-                "side": pa.array(np.ones(n, np.int8), pa.int8()),
-                "_dbucket": pa.array(
-                    bucket_of(node, num_buckets), pa.int32()
-                ),
-            }
+            },
+            schema=_DEG_TAG,
         )
 
     # -- per-middle neighbor pairs (string-ordered by construction);
@@ -2731,17 +2718,17 @@ def link_predict(
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         dg = df[df["side"] == 1]
         capped = np.sort(
-            dg.loc[dg["d"] <= max_middle_degree, "m"]
+            dg.loc[dg["d"] <= max_middle_degree, "key"]
             .to_numpy(dtype=object)
             .astype(str)
         )
         df = df[df["side"] == 0]
         df = df[
-            np.isin(df["m"].to_numpy(dtype=object).astype(str), capped)
+            np.isin(df["key"].to_numpy(dtype=object).astype(str), capped)
         ]
-        df = df.sort_values(["m", "o"], kind="stable")
-        m = df["m"].to_numpy(dtype=object)
-        o = df["o"].to_numpy(dtype=object).astype(str)
+        df = df.sort_values(["key", "other"], kind="stable")
+        m = df["key"].to_numpy(dtype=object)
+        o = df["other"].to_numpy(dtype=object).astype(str)
         pa_, pb = np.array([], dtype=object), np.array([], dtype=object)
         if len(df):
             new = np.ones(len(df), dtype=bool)
@@ -2791,9 +2778,9 @@ def link_predict(
 
     tagged = (
         edges.map_batches(adj, batch_format="pyarrow")
-        .union(deg_ds.map_batches(deg_rows, batch_format="pyarrow"))
+        .union(deg_ds.map_batches(_tag_deg_state, batch_format="pyarrow"))
         .repartition(num_buckets)
-        .groupby("_dbucket")
+        .groupby("_bucket")
         .map_groups(arrowed(pairs), batch_format="pandas")
         .union(edges.map_batches(edge_rows, batch_format="pyarrow"))
     )
@@ -3311,23 +3298,14 @@ def clustering_coefficient(
             )
         )
 
-    # one degree aggregation, shared by the triangle kernel's
-    # orientation co-groups and the final attach
-    deg_ds = _degree_ds(edges, num_buckets).materialize()
+    # one degree aggregation (materialized inside _degree_ds), shared
+    # by the triangle kernel's orientation co-groups and the attach
+    deg_ds = _degree_ds(edges, num_buckets)
     tri = triangle_counts(
         edges,
         num_buckets=num_buckets,
         local_threshold=local_threshold,
         _deg=deg_ds,
-    )
-
-    _CC_TAG = pa.schema(
-        [
-            ("side", pa.int8()),
-            ("key", pa.string()),
-            ("v", pa.int64()),  # side 0: n_triangles; side 1: degree
-            ("_bucket", pa.int32()),
-        ]
     )
 
     def tag_tri(batch: pa.Table) -> pa.Table:
@@ -3339,25 +3317,11 @@ def clustering_coefficient(
             {
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "key": pa.array(ent, pa.string()),
-                "v": batch["n_triangles"].cast(pa.int64()),
+                "other": pa.array([""] * n, pa.string()),
+                "d": batch["n_triangles"].cast(pa.int64()),
                 "_bucket": pa.array(bucket_of(ent, num_buckets), pa.int32()),
             },
-            schema=_CC_TAG,
-        )
-
-    def tag_deg(batch: pa.Table) -> pa.Table:
-        node = pd.Series(
-            batch["node"].to_numpy(zero_copy_only=False)
-        ).astype(str)
-        n = len(node)
-        return pa.table(
-            {
-                "side": pa.array(np.ones(n, dtype=np.int8)),
-                "key": pa.array(node, pa.string()),
-                "v": batch["c"].cast(pa.int64()),
-                "_bucket": pa.array(bucket_of(node, num_buckets), pa.int32()),
-            },
-            schema=_CC_TAG,
+            schema=_DEG_TAG,
         )
 
     def attach(df: pd.DataFrame) -> pd.DataFrame:
@@ -3372,10 +3336,10 @@ def clustering_coefficient(
                     "lcc": pd.Series(dtype=np.float64),
                 }
             )
-        m = tr[["key", "v"]].merge(
-            dg[["key", "v"]].rename(columns={"v": "d"}), on="key", how="inner"
+        m = tr[["key", "d"]].rename(columns={"d": "t"}).merge(
+            dg[["key", "d"]], on="key", how="inner"
         )
-        t = m["v"].to_numpy(np.int64)
+        t = m["t"].to_numpy(np.int64)
         d = m["d"].to_numpy(np.int64)
         return pd.DataFrame(
             {
@@ -3388,7 +3352,7 @@ def clustering_coefficient(
 
     return (
         tri.map_batches(tag_tri, batch_format="pyarrow")
-        .union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+        .union(deg_ds.map_batches(_tag_deg_state, batch_format="pyarrow"))
         .repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(attach), batch_format="pandas")
