@@ -592,6 +592,24 @@ def _q_kg_starquery(sf_dir: str):
     return star_query(run_kg(sf_dir))
 
 
+def _q_kg_neighbor_agg(sf_dir: str):
+    """One GraphSAGE layer over the KG: co-mention-weighted mean of
+    each entity's NEIGHBORS' vectors (fixed-point exact, composable
+    with kg_entity_vecs' exploded layout)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import cooccur_edges
+    from information_extraction_t5_ray.stages.kgstats import (
+        entity_embeddings,
+        neighbor_agg,
+    )
+
+    tri = run_kg(sf_dir).materialize()
+    return neighbor_agg(
+        cooccur_edges(tri, symmetric=True),
+        entity_embeddings(tri, sf_dir),
+    )
+
+
 def _q_kg_entity_vecs(sf_dir: str):
     """Entity-embedding construction (KG x embeddings bridge, the
     bi-encoder side of the linking rerank): mean page vector per
@@ -711,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,  # NEW r4: random-walk KGE corpus
         "kg_ppr": _q_kg_ppr,  # NEW r4: personalized PageRank
         "kg_sssp": _q_kg_sssp,  # NEW r4: weighted shortest paths
+        "kg_neighbor_agg": _q_kg_neighbor_agg,  # NEW r4: GraphSAGE layer
         # --- relational demos whose only green row is r1 ---
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
         "distinct_user_events": c.q_distinct_user_events,  # generic distinct
@@ -879,6 +898,7 @@ def oracle_sql() -> dict[str, str]:
         kg_starquery_sql,
         kg_degree_delta_sql,
         kg_entity_vecs_sql,
+        kg_neighbor_agg_sql,
         kg_fuse_sql,
     )
 
@@ -920,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_nt_roundtrip": oracle_triples_sql(),
         "kg_degree_delta": kg_degree_delta_sql(),
         "kg_entity_vecs": kg_entity_vecs_sql(),
+        "kg_neighbor_agg": kg_neighbor_agg_sql(),
         "kg_fuse": kg_fuse_sql(),
         "kg_pg_roundtrip": kg_cooccur_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),

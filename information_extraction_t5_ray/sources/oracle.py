@@ -872,6 +872,30 @@ JOIN v v1 ON v1.idx = i.idx
 JOIN v v2 ON v2.idx = (i.idx + 1) % i.n"""
 
 
+def kg_neighbor_agg_sql(scale: int = 1_000_000) -> str:
+    """GNN-style neighbor aggregation — ground truth for
+    stages/kgstats.neighbor_agg: each entity's co-mention-weighted mean
+    of its neighbors' entity vectors, the neighbor vectors re-quantized
+    to fixed-point BIGINT so the sums are order-free and the single
+    division bit-identical.  The vector side is the (hash-proven
+    bit-identical) kg_entity_vecs oracle as a subquery."""
+    return f"""{_graph_cte()},
+em AS MATERIALIZED (SELECT a, b, cnt FROM e),
+ev AS MATERIALIZED (
+  SELECT entity, dim,
+         CAST(floor(avg * {scale}) AS BIGINT) AS qa
+  FROM ({kg_entity_vecs_sql(scale)}) sub),
+j AS (SELECT em.a AS entity, ev.dim AS dim,
+             CAST(SUM(ev.qa * em.cnt) AS BIGINT) AS qsum,
+             CAST(SUM(em.cnt) AS BIGINT) AS wsum
+      FROM em JOIN ev ON ev.entity = em.b
+      GROUP BY em.a, ev.dim)
+SELECT entity, dim,
+       CAST(qsum AS DOUBLE)
+       / (CAST(wsum AS DOUBLE) * CAST({scale} AS DOUBLE)) AS avg
+FROM j"""
+
+
 def kg_entity_vecs_sql(scale: int = 1_000_000) -> str:
     """Entity embeddings (mean page vector per graph-pred entity) —
     ground truth for stages/kgstats.entity_embeddings.  Fixed-point

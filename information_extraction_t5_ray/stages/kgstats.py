@@ -1167,3 +1167,217 @@ def corruption_negatives(
     return triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
         corrupt, batch_format="pyarrow"
     )
+
+
+def neighbor_agg(
+    edges_ds,
+    vecs_ds,
+    scale: int = 1_000_000,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """GNN-style neighbor feature aggregation (one GraphSAGE layer):
+    each entity's co-mention-weighted MEAN of its NEIGHBORS' vectors —
+    exploded ``(entity, dim, avg)``, the :func:`entity_embeddings`
+    layout, so layers compose.
+
+    ``avg(a, d) = sum_b floor(vec(b, d) * scale) * w(a, b)
+                  / (sum_b w(a, b) * scale)``
+    over neighbors ``b`` PRESENT in ``vecs_ds`` (inner-join semantics —
+    a vectorless neighbor contributes neither numerator nor weight,
+    matching entity_embeddings' missing-page rule).  The neighbor
+    vectors are re-quantized to fixed-point int64 at the read, so the
+    sums are order-free exact and the single terminal division is
+    bit-identical to the SQL mirror under any partitioning (the
+    entity_vecs determinism regime).
+
+    Distributed shape: ONE tagged co-group joins the edge stream
+    (keyed by the neighbor endpoint) with the exploded vector state
+    (keyed by entity) and emits per-group (node, dim) partial sums;
+    exchange 2 merges per node — entity-vocabulary-bounded.  Hybrid
+    single-task fast path under ``local_threshold`` edges,
+    bit-identical.
+    """
+    import ray.data as rd
+
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    vecs = vecs_ds.materialize()
+
+    def _finish(qsum: np.ndarray, wsum: np.ndarray) -> np.ndarray:
+        return qsum / (wsum * np.float64(scale))
+
+    if edges.count() <= local_threshold:
+        edf = edges.to_pandas()
+        vdf = vecs.to_pandas()
+        vdf = vdf.assign(
+            qa=np.floor(
+                vdf["avg"].to_numpy(np.float64) * np.float64(scale)
+            ).astype(np.int64)
+        )
+        m = edf[["a", "b", "cnt"]].merge(
+            vdf[["entity", "dim", "qa"]],
+            left_on="b",
+            right_on="entity",
+            how="inner",
+        )
+        if len(m) == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "entity": pa.array([], pa.string()),
+                        "dim": pa.array([], pa.int64()),
+                        "avg": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        cnt = m["cnt"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "entity": m["a"].to_numpy(),
+                    "dim": m["dim"].to_numpy(np.int64),
+                    "qp": m["qa"].to_numpy(np.int64) * cnt,
+                    "w": cnt,
+                }
+            )
+            .groupby(["entity", "dim"], sort=False, as_index=False)
+            .sum()
+        )
+        g = g.sort_values(["entity", "dim"], kind="stable")
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "entity": pa.array(
+                        g["entity"].to_numpy(dtype=object).astype(str),
+                        pa.string(),
+                    ),
+                    "dim": pa.array(g["dim"].to_numpy(np.int64), pa.int64()),
+                    "avg": pa.array(
+                        _finish(
+                            g["qp"].to_numpy(np.int64),
+                            g["w"].to_numpy(np.int64),
+                        ),
+                        pa.float64(),
+                    ),
+                }
+            )
+        )
+
+    _NA_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),  # co-group key: edge 'b' / vec entity
+            ("other", pa.string()),  # the aggregating node (edge 'a')
+            ("dim", pa.int64()),
+            ("v", pa.int64()),  # side 0: edge weight; side 1: qa
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        b = pd.Series(batch["b"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(b)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(b, pa.string()),
+                "other": batch["a"].cast(pa.string()),
+                "dim": pa.array(np.zeros(n, dtype=np.int64)),
+                "v": batch["cnt"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(b, num_buckets), pa.int32()),
+            },
+            schema=_NA_TAG,
+        )
+
+    def tag_vecs(batch: pa.Table) -> pa.Table:
+        ent = pd.Series(
+            batch["entity"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(ent)
+        qa = np.floor(
+            batch["avg"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * np.float64(scale)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(ent, pa.string()),
+                "other": pa.array([""] * n, pa.string()),
+                "dim": batch["dim"].cast(pa.int64()),
+                "v": pa.array(qa, pa.int64()),
+                "_bucket": pa.array(bucket_of(ent, num_buckets), pa.int32()),
+            },
+            schema=_NA_TAG,
+        )
+
+    def agg_group(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        vv = df[df["side"] == 1]
+        if len(e) == 0 or len(vv) == 0:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series(dtype=str),
+                    "dim": pd.Series(dtype=np.int64),
+                    "qp": pd.Series(dtype=np.int64),
+                    "w": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        m = e[["key", "other", "v"]].rename(columns={"v": "cnt"}).merge(
+            vv[["key", "dim", "v"]], on="key", how="inner"
+        )
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "entity": pd.Series(dtype=str),
+                    "dim": pd.Series(dtype=np.int64),
+                    "qp": pd.Series(dtype=np.int64),
+                    "w": pd.Series(dtype=np.int64),
+                    "_bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        cnt = m["cnt"].to_numpy(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "entity": m["other"].to_numpy(),
+                    "dim": m["dim"].to_numpy(np.int64),
+                    "qp": m["v"].to_numpy(np.int64) * cnt,
+                    "w": cnt,
+                }
+            )
+            .groupby(["entity", "dim"], sort=False, as_index=False)
+            .sum()
+        )
+        g["qp"] = g["qp"].astype(np.int64)
+        g["w"] = g["w"].astype(np.int64)
+        g["_bucket"] = bucket_of(
+            pd.Series(g["entity"]).astype(str), num_buckets
+        ).astype(np.int32)
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["entity", "dim"], sort=False, as_index=False)[
+            ["qp", "w"]
+        ].sum()
+        return pd.DataFrame(
+            {
+                "entity": g["entity"].to_numpy(),
+                "dim": g["dim"].to_numpy(np.int64),
+                "avg": _finish(
+                    g["qp"].to_numpy(np.int64), g["w"].to_numpy(np.int64)
+                ),
+            }
+        )
+
+    return (
+        edges.map_batches(tag_edges, batch_format="pyarrow")
+        .union(vecs.map_batches(tag_vecs, batch_format="pyarrow"))
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(agg_group), batch_format="pandas")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )

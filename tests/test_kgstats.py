@@ -537,3 +537,68 @@ def test_triple_support_separator_adversarial(ray_session):
     got = K.triple_support(_triples(rows), num_buckets=2).to_pandas()
     assert len(got) == 2  # two distinct assertions, not one merged row
     assert sorted(got["n_pages"]) == [1, 1]
+
+
+def test_neighbor_agg_distributed_matches_local(ray_session):
+    """The GraphSAGE-layer aggregation must be bit-identical between
+    the single-task fast path and the forced tagged co-group path
+    (fixed-point sums are order-free by construction)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from information_extraction_t5_ray.stages.kgstats import neighbor_agg
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x", "y", "y", "z", "x", "z"]),
+                "b": pa.array(["y", "x", "z", "y", "z", "x"]),
+                "cnt": pa.array([2, 2, 1, 1, 3, 3], type=pa.int64()),
+            }
+        )
+    ).repartition(3)
+    vec_rows = []
+    for ent, vec in (("x", [0.5, -1.25]), ("y", [2.0, 0.75]), ("z", [-0.1, 4.0])):
+        for d, v in enumerate(vec):
+            vec_rows.append((ent, d, v))
+    vecs = ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array([r[0] for r in vec_rows]),
+                "dim": pa.array([r[1] for r in vec_rows], type=pa.int64()),
+                "avg": pa.array([r[2] for r in vec_rows], type=pa.float64()),
+            }
+        )
+    ).repartition(2)
+    loc = (
+        neighbor_agg(edges, vecs)
+        .to_pandas()
+        .sort_values(["entity", "dim"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        neighbor_agg(edges, vecs, local_threshold=0)
+        .to_pandas()
+        .sort_values(["entity", "dim"])
+        .reset_index(drop=True)
+    )
+    assert loc.equals(dist)
+    # hand value: x's neighbors y (w=2) and z (w=3):
+    # dim0 = (2*2.0 + 3*(-0.1)) / 5 = 0.74
+    got = loc.set_index(["entity", "dim"])["avg"]
+    assert got[("x", 0)] == (2 * 2_000_000 + 3 * (-100_000)) / (5 * 1e6)
+    # vectorless-neighbor rule: a neighbor absent from vecs contributes
+    # neither numerator nor weight
+    edges2 = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x", "q", "x", "y"]),
+                "b": pa.array(["q", "x", "y", "x"]),
+                "cnt": pa.array([9, 9, 1, 1], type=pa.int64()),
+            }
+        )
+    )
+    out2 = neighbor_agg(edges2, vecs).to_pandas()
+    x0 = out2.set_index(["entity", "dim"])["avg"][("x", 0)]
+    assert x0 == 2.0  # only y counts; q (no vector) is ignored entirely
