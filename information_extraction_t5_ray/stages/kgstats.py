@@ -1210,6 +1210,12 @@ def neighbor_agg(
     if edges.count() <= local_threshold:
         edf = edges.to_pandas()
         vdf = vecs.to_pandas()
+        # prune to entities that ARE someone's neighbor before paying
+        # the quantization: a small edge list against a large vector
+        # table must not floor the whole vocabulary on the driver
+        vdf = vdf[
+            vdf["entity"].isin(pd.unique(edf["b"]))
+        ]
         vdf = vdf.assign(
             qa=np.floor(
                 vdf["avg"].to_numpy(np.float64) * np.float64(scale)
@@ -1244,7 +1250,8 @@ def neighbor_agg(
             .groupby(["entity", "dim"], sort=False, as_index=False)
             .sum()
         )
-        g = g.sort_values(["entity", "dim"], kind="stable")
+        # NOTE: row order is not part of the contract (the distributed
+        # path emits per-bucket order); only the VALUES are identical
         return rd.from_arrow(
             pa.table(
                 {
@@ -1371,7 +1378,7 @@ def neighbor_agg(
             }
         )
 
-    return (
+    out = (
         edges.map_batches(tag_edges, batch_format="pyarrow")
         .union(vecs.map_batches(tag_vecs, batch_format="pyarrow"))
         .repartition(num_buckets)
@@ -1381,3 +1388,16 @@ def neighbor_agg(
         .groupby("_bucket")
         .map_groups(arrowed(merge), batch_format="pandas")
     )
+    # a zero-row typed block rides along so the no-vector-overlap case
+    # still yields the documented (entity, dim, avg) schema (an
+    # all-empty groupby produces a schemaless dataset otherwise —
+    # local-path parity on the empty case)
+    return rd.from_arrow(
+        pa.schema(
+            [
+                ("entity", pa.string()),
+                ("dim", pa.int64()),
+                ("avg", pa.float64()),
+            ]
+        ).empty_table()
+    ).union(out)

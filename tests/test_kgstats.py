@@ -602,3 +602,43 @@ def test_neighbor_agg_distributed_matches_local(ray_session):
     out2 = neighbor_agg(edges2, vecs).to_pandas()
     x0 = out2.set_index(["entity", "dim"])["avg"][("x", 0)]
     assert x0 == 2.0  # only y counts; q (no vector) is ignored entirely
+
+
+def test_neighbor_agg_no_vector_overlap_keeps_schema(ray_session):
+    """Edges whose endpoints have NO vectors must yield a typed empty
+    (entity, dim, avg) result on BOTH paths, not a schemaless one."""
+    import pyarrow as pa
+    import ray
+
+    from information_extraction_t5_ray.stages.kgstats import neighbor_agg
+
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x", "y"]),
+                "b": pa.array(["y", "x"]),
+                "cnt": pa.array([1, 1], type=pa.int64()),
+            }
+        )
+    )
+    vecs = ray.data.from_arrow(
+        pa.table(
+            {
+                "entity": pa.array(["q"]),
+                "dim": pa.array([0], type=pa.int64()),
+                "avg": pa.array([1.5], type=pa.float64()),
+            }
+        )
+    )
+    for thresh in (0, 4_000_000):
+        ds = neighbor_agg(edges, vecs, local_threshold=thresh)
+        # Ray 2.49's to_pandas() drops columns for ANY zero-row dataset
+        # (even a typed from_arrow empty), so the schema contract is
+        # asserted at the Dataset level — where the distributed path
+        # previously reported NO columns at all
+        assert [f.name for f in ds.schema().base_schema] == [
+            "entity",
+            "dim",
+            "avg",
+        ], thresh
+        assert ds.count() == 0, thresh
