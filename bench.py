@@ -654,7 +654,13 @@ def main() -> None:
         if args.only is None and (
             os.environ.get("GRAFT_STRESS") == "1" or _sf_of(args.sf_dir) >= 0.05
         ):
-            result["stress"] = run_stress(args.sf_dir, args.num_cpus)
+            # the endurance entry must never cost the per-query results:
+            # a stress-child failure (timeout, OOM) is recorded, not
+            # propagated — the driver still gets the full JSON line
+            try:
+                result["stress"] = run_stress(args.sf_dir, args.num_cpus)
+            except Exception as ex:  # noqa: BLE001 - fail-soft by design
+                result["stress"] = {"error": f"{type(ex).__name__}: {ex}"[:500]}
     print(json.dumps(result))
     if ray.is_initialized():
         ray.shutdown()
