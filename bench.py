@@ -424,13 +424,20 @@ def run_stress(sf_dir: str, num_cpus: int) -> dict:
         pq.ParquetFile(p).metadata.num_rows for p in documents_paths(sf_dir)
     )
     repeat = max(1, -(-STRESS_TARGET_PAGES // n_docs))
+    # save/restore rather than pop: don't clobber user-preset values
+    prior = {
+        k: os.environ.get(k) for k in ("GRAFT_TIMED_RUNS", "GRAFT_WARM")
+    }
     os.environ["GRAFT_TIMED_RUNS"] = "1"
     os.environ["GRAFT_WARM"] = "lite"
     try:
         out = _run_child(sf_dir, num_cpus, repeat=repeat)
     finally:
-        os.environ.pop("GRAFT_TIMED_RUNS", None)
-        os.environ.pop("GRAFT_WARM", None)
+        for k, v in prior.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     out["target_pages"] = STRESS_TARGET_PAGES
     return out
 

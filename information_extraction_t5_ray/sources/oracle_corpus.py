@@ -60,10 +60,12 @@ def streaming_dedup_sql() -> str:
     already holds every base-document text, so the admissions are
     exactly the distinct dup-corpus texts absent from ``documents``
     (one row per distinct new content; the carrying doc_id is arrival
-    order and deliberately not projected)."""
+    order and deliberately not projected).  NOT EXISTS, not NOT IN: a
+    single NULL base text would make NOT IN yield zero rows while the
+    engine's index still admits new texts (ADVICE r4)."""
     return f"""WITH {DUP_CORPUS_CTE}
-SELECT DISTINCT text FROM corpus
-WHERE text NOT IN (SELECT text FROM documents)"""
+SELECT DISTINCT text FROM corpus c
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = c.text)"""
 
 
 def _jaccard_pair_ctes(

@@ -451,6 +451,14 @@ def _exact_sum_nonneg(v: np.ndarray) -> int:
     without any driver-resident vector."""
     if len(v) == 0:
         return 0
+    # the hi/lo partials are only wrap-proof while each partial stays
+    # below 2^63: lo <= len(v) * (2^32 - 1), so enforce the bound that
+    # keeps the guard itself trustworthy instead of silently passing
+    if len(v) >= 2**31:
+        raise OverflowError(
+            "_exact_sum_nonneg: group exceeds 2^31 rows; hi/lo partial "
+            "sums could wrap — sum this group in chunks"
+        )
     v = v.astype(np.int64, copy=False)
     return (int((v >> 32).sum()) << 32) + int((v & 0xFFFFFFFF).sum())
 
@@ -1265,6 +1273,20 @@ def _local_random_walks(
     out_n = [cur.copy()]
     order = np.argsort(a, kind="stable")
     a_s, b_s = a[order], b[order]
+    # loud precondition (ADVICE r4): the per-step a2[firsts] pick is
+    # only the correct group head when EVERY node id has >= 1
+    # out-edge — guaranteed by a symmetric edge list, silently wrong
+    # (another node's neighbor) or IndexError otherwise.  a2 is a
+    # permutation of a_s every step, so checking a_s once suffices.
+    firsts0 = np.searchsorted(a_s, np.arange(n))
+    if (firsts0 >= len(a_s)).any() or not (
+        a_s[np.minimum(firsts0, len(a_s) - 1)] == np.arange(n)
+    ).all():
+        raise ValueError(
+            "random_walks requires a SYMMETRIC edge list (every node "
+            "must have an out-edge); pass "
+            "cooccur_edges(..., symmetric=True)"
+        )
     for s in range(1, n_steps + 1):
         # the successor is a function of the NODE (walks at the same
         # node take the same hop), so compute succ[] once per step:
@@ -1339,6 +1361,10 @@ def random_walks(
             )
         )
 
+    # same precondition as bfs_layers/shortest_paths — the distributed
+    # per-step group-head pick AND dense_node_ids' "'a' covers every
+    # node" contract both require the symmetric multiset (ADVICE r4)
+    _check_symmetric(edges, num_buckets)
     ids_ds = dense_node_ids(edges, num_buckets).materialize()
 
     _RW_TAG = pa.schema(

@@ -285,21 +285,34 @@ class T5Scorer:
             import os as _os
             import re as _re
 
-            # newest checkpoint, deterministically: primary key is the
-            # LAST number in the filename (epoch/step — 'epoch-10'
-            # sorts before 'epoch-9' as a string, the reference
-            # predict.py:33-40 glob-order bug), then mtime (which a
-            # tar/cp restore can flatten — hence not primary), then
-            # name as the total-order tiebreak
+            # newest checkpoint, deterministically: primary keys are
+            # NAMED epoch= / step= captures when present (so
+            # 'epoch=9-val_loss=0.35.ckpt' ranks on 9, never on the
+            # loss digits), falling back to the LAST bare number
+            # ('epoch-10' sorts before 'epoch-9' as a string, the
+            # reference predict.py:33-40 glob-order bug), then mtime
+            # (which a tar/cp restore can flatten — hence not
+            # primary), then name as the total-order tiebreak
+            def _named(p: str, field: str) -> int:
+                m = _re.search(rf"{field}[=\-_](\d+)", p)
+                return int(m.group(1)) if m else -1
+
             def _ckpt_key(p: str):
-                nums = _re.findall(r"\d+", _os.path.basename(p))
+                base = _os.path.basename(p)
+                nums = _re.findall(r"\d+", base)
                 return (
+                    _named(base, "epoch"),
+                    _named(base, "step"),
                     int(nums[-1]) if nums else -1,
                     _os.path.getmtime(p),
                     p,
                 )
 
             ckpts = _glob.glob(f"{checkpoint_path}/*ckpt")
+            if not ckpts:
+                raise FileNotFoundError(
+                    f"no *ckpt files under {checkpoint_path!r}"
+                )
             newest = max(ckpts, key=_ckpt_key)
             state = torch.load(newest, map_location="cpu")["state_dict"]
             self.model = T5ForConditionalGeneration.from_pretrained(model_name)

@@ -168,6 +168,34 @@ def test_t5_scorer_numberless_checkpoints_fall_back_to_mtime(
     assert torch.last_loaded_path == str(new)
 
 
+def test_t5_scorer_epoch_beats_loss_decimals(fake_hf, tmp_path):
+    """'epoch=9-val_loss=0.35.ckpt' must rank on epoch 9, not on the
+    loss digits (ADVICE r4: last-number key compared 35 vs 99)."""
+    import os
+
+    import torch
+
+    from information_extraction_t5_ray.stages.score import T5Scorer
+
+    best = tmp_path / "epoch=9-val_loss=0.35.ckpt"
+    worse = tmp_path / "epoch=2-val_loss=0.99.ckpt"
+    best.write_bytes(b"fake")
+    worse.write_bytes(b"fake")
+    past = best.stat().st_mtime - 100
+    os.utime(best, (past, past))
+    T5Scorer(checkpoint_path=str(tmp_path), use_sentence_id=True)
+    assert torch.last_loaded_path == str(best)
+
+
+def test_t5_scorer_empty_ckpt_dir_raises_clearly(fake_hf, tmp_path):
+    import pytest
+
+    from information_extraction_t5_ray.stages.score import T5Scorer
+
+    with pytest.raises(FileNotFoundError, match="ckpt"):
+        T5Scorer(checkpoint_path=str(tmp_path), use_sentence_id=True)
+
+
 def test_t5_scorer_triples_end_to_end(fake_hf, ray_session):
     """T5Scorer predictions -> argmax -> split -> project -> link ->
     canonicalize produces the SAME (subj, pred, obj) set as the mock
