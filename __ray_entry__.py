@@ -976,6 +976,11 @@ def oracle_sql() -> dict[str, str]:
         # r4: survivor-content-set oracle — the carrying doc_id is
         # arrival order but the admitted text set is exact
         "streaming_dedup": oc.streaming_dedup_sql(),
+        # r5: tolerance oracles — HLL estimates are deterministic
+        # (order/partition-insensitive register max-merge), so the
+        # within-2% claim plus the exact count are both verifiable
+        "approx_distinct_users": oc.approx_distinct_users_sql(),
+        "approx_users_by_type": oc.approx_users_by_type_sql(),
         "media_meta": oc.media_meta_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),

@@ -889,25 +889,57 @@ def q_sample_per_lang(sf_dir: str):
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """HLL cardinality of event users (approximate -> rows-only check;
-    accuracy vs exact COUNT(DISTINCT) is asserted in tests)."""
+    """HLL cardinality of event users, emitted as a TOLERANCE claim the
+    oracle can verify exactly (VERDICT r4 item 2): the HLL register
+    merge is order/partition-insensitive, so the estimate is
+    deterministic, and |est/exact - 1| <= 2% is a reproducible boolean
+    (p=12 -> ~1.6% standard error; measured max 1.2% on the sf dirs).
+    The exact count rides along via a distributed groupby so the oracle
+    checks a real value, not just the flag."""
 
     from ..stages.aggregates import approx_distinct
 
     ev = _read_pq(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ev, "user_id")
-    return pd.DataFrame({"approx_distinct_users": [int(round(est))]})
+    exact = ev.groupby("user_id").count().count()
+    return pd.DataFrame(
+        {
+            "exact_users": pd.array([int(exact)], dtype="int64"),
+            "hll_within_2pct": [bool(abs(est / exact - 1.0) <= 0.02)],
+        }
+    )
 
 
 def q_approx_users_by_type(sf_dir: str):
-    """Per-event-type HLL user cardinality (approximate -> rows-only;
-    3-sigma accuracy vs exact asserted in tests)."""
+    """Per-event-type HLL user cardinality as a per-group tolerance
+    claim (same pattern as :func:`q_approx_distinct_users`): exact
+    distinct via a distributed two-level groupby, HLL estimate within
+    +-2% per group as a deterministic boolean."""
     from ..stages.aggregates import grouped_approx_distinct
 
     ev = _read_pq(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    return grouped_approx_distinct(ev, "event_type", "user_id")
+    est = grouped_approx_distinct(ev, "event_type", "user_id").to_pandas()
+    exact = (
+        ev.groupby(["event_type", "user_id"])
+        .count()
+        .groupby("event_type")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "exact_users"})
+    )
+    out = est.merge(exact, on="event_type", validate="one_to_one")
+    return pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "exact_users": out["exact_users"].astype("int64"),
+            "hll_within_2pct": (
+                (out["approx_distinct"] / out["exact_users"] - 1.0).abs()
+                <= 0.02
+            ),
+        }
+    )
 
 
 def q_median_qty(sf_dir: str):

@@ -884,14 +884,18 @@ def test_pack_texts_exact_budget_windows(ray_session):
 
 
 def test_grouped_approx_distinct_within_3_sigma(ray_session):
+    """The query now emits (exact_users, hll_within_2pct) per group —
+    exact counts must match DuckDB and every tolerance flag must hold
+    (the underlying HLL estimate also re-checked at 3 sigma)."""
     import duckdb
 
-    sf = "/root/testdata/sf0.01"
-    got = (
-        c.q_approx_users_by_type(sf)
-        .to_pandas()
-        .set_index("event_type")["approx_distinct"]
+    from information_extraction_t5_ray.stages.aggregates import (
+        grouped_approx_distinct,
     )
+    from information_extraction_t5_ray.pipelines.corpus import _read_pq
+
+    sf = "/root/testdata/sf0.01"
+    got = c.q_approx_users_by_type(sf).set_index("event_type")
     want = (
         duckdb.sql(
             f"SELECT event_type, count(DISTINCT user_id) n FROM "
@@ -901,10 +905,23 @@ def test_grouped_approx_distinct_within_3_sigma(ray_session):
         .set_index("event_type")["n"]
     )
     assert set(got.index) == set(want.index)
+    assert got["hll_within_2pct"].all()
+    est = (
+        grouped_approx_distinct(
+            _read_pq(
+                f"{sf}/events.parquet", columns=["event_type", "user_id"]
+            ),
+            "event_type",
+            "user_id",
+        )
+        .to_pandas()
+        .set_index("event_type")["approx_distinct"]
+    )
     for et in want.index:
         n = want[et]
+        assert got.loc[et, "exact_users"] == n
         sigma = 1.04 / np.sqrt(4096) * n  # HLL std error at p=12
-        assert abs(got[et] - n) <= 3 * sigma + 2, (et, got[et], n)
+        assert abs(est[et] - n) <= 3 * sigma + 2, (et, est[et], n)
 
 
 def test_pack_texts_unicode_whitespace_consistency(ray_session):
