@@ -842,12 +842,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eval_by_qaid": _q_eval_by_qaid,
         # rows-only by construction (arrival order / sketch nondeterminism)
         "squad_sample": _q_squad_sample,  # rows-only r2 (golden-corpus E1)
-        "minhash_dupes": c.q_minhash_dupes,  # rows-only r2
-        "approx_users_by_type": c.q_approx_users_by_type,  # rows-only r2
-        "simhash_dupes": c.q_simhash_dupes,  # rows-only r2
-        "semdedup": c.q_semdedup,  # rows-only r2
-        "embedding_dupes_lsh": c.q_embedding_dupes_lsh,  # rows-only r2
-        "winnow_sketch": c.q_winnow,  # rows-only r2
+        "minhash_dupes": c.q_minhash_dupes,  # r5: planted-recall oracle
+        "approx_users_by_type": c.q_approx_users_by_type,  # r5: tolerance oracle
+        "simhash_dupes": c.q_simhash_dupes,  # r5: planted-recall oracle
+        "semdedup": c.q_semdedup,  # r5: survivor-set oracle
+        "embedding_dupes_lsh": c.q_embedding_dupes_lsh,  # r5: exact-set parity oracle
+        "winnow_sketch": c.q_winnow,  # r5: copy-sketch-equality oracle
         "media_features": c.q_media_features,  # rows-only r2
     }
 
@@ -981,6 +981,16 @@ def oracle_sql() -> dict[str, str]:
         # within-2% claim plus the exact count are both verifiable
         "approx_distinct_users": oc.approx_distinct_users_sql(),
         "approx_users_by_type": oc.approx_users_by_type_sql(),
+        # r5: derived-set oracles for the sketch family (VERDICT r4
+        # item 3) — planted-pair recall (minhash/simhash), survivor
+        # set (semdedup), exact-set parity (embedding_dupes_lsh),
+        # copy-sketch equality (winnow); see each query's docstring
+        # for the determinism argument
+        "minhash_dupes": oc.minhash_dupes_sql(),
+        "simhash_dupes": oc.simhash_dupes_sql(),
+        "semdedup": oc.semdedup_sql(),
+        "embedding_dupes_lsh": oc.embedding_dupes_sql(),
+        "winnow_sketch": oc.winnow_sketch_sql(),
         "media_meta": oc.media_meta_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),

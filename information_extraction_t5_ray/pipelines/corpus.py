@@ -336,12 +336,66 @@ def q_streaming_dedup(sf_dir: str):
     )
 
 
+def _planted_pair_recall(pairs_ds, *, near: bool):
+    """Project a detected-pair set onto the PLANTED duplicate relation
+    — the order-insensitive derived set that makes a probabilistic
+    sketch oracle-checkable (VERDICT r4 item 3, same move as the r4
+    ``streaming_dedup`` survivor oracle).
+
+    ``i < EXACT_OFF`` keeps only original-rooted pairs, so a surviving
+    row can ONLY be a doc and its own planted copy: ``j - i ==
+    EXACT_OFF`` implies ``j`` exists iff it IS ``i``'s exact copy
+    (likewise ``NEAR_OFF`` for the truncation), and derived-id pairs
+    like ``(d+EXACT_OFF, d+NEAR_OFF)`` — whose gap also equals
+    ``EXACT_OFF`` — are excluded by the ``i`` bound.  False extras are
+    impossible by construction; a recall miss shows up as a missing
+    row against the planted-relation SQL."""
+
+    def planted(df: pd.DataFrame) -> pd.DataFrame:
+        gap = df["j"] - df["i"]
+        m = (df["i"] < EXACT_OFF) & (gap == EXACT_OFF)
+        if near:
+            m |= (df["i"] < EXACT_OFF) & (gap == NEAR_OFF)
+        out = df.loc[m, ["i", "j"]].rename(
+            columns={"i": "doc_id", "j": "dup_id"}
+        )
+        out["kind"] = np.where(
+            out["dup_id"] - out["doc_id"] == EXACT_OFF, "exact", "near"
+        )
+        return out.astype({"doc_id": np.int64, "dup_id": np.int64})
+
+    return pairs_ds.map_batches(planted, batch_format="pandas")
+
+
 def q_minhash_dupes(sf_dir: str):
-    return dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
+    """MinHash-LSH near-dup detection, emitted as the planted-pair
+    recall set so the driver can hash-check it (VERDICT r4 item 3).
+
+    The full banded sketch (128 perms, 32 bands, band-collision-count
+    verify) runs over the whole dup corpus; the result projects the
+    detected pairs onto the planted relation.  That projection is
+    exactly reproducible on this corpus: exact copies collide in all
+    32 bands, the 3/4-word truncations (shingle Jaccard ~0.8) clear
+    the >=2-band threshold with overwhelming margin, and there are no
+    order-dependent drops (measured max band df is 6 vs the 256 skew
+    cap).  Recall measured 100% for both planted families at
+    sf0.001/0.01/0.1; the oracle IS the planted relation, so any
+    future miss turns the row red."""
+    pairs = dedup_ops.minhash_lsh_pairs(dup_corpus(sf_dir), k=JACCARD_K)
+    return _planted_pair_recall(pairs, near=True)
 
 
 def q_simhash_dupes(sf_dir: str):
-    return dedup_ops.simhash_pairs(dup_corpus(sf_dir))
+    """SimHash (hamming <= 3) detection as the planted EXACT-pair
+    recall set (VERDICT r4 item 3): identical texts have identical
+    64-bit fingerprints, so every exact copy is detected at hamming 0
+    deterministically (the 4x16-bit pigeonhole banding is exhaustive
+    at radius 3 and the in-band popcount verify is exact).  The word
+    truncations are NOT claimed — their hamming distance is usually
+    far above 3 (measured near-recall ~10%), which is the expected
+    behavior of SimHash on 25%-content edits, not a defect."""
+    pairs = dedup_ops.simhash_pairs(dup_corpus(sf_dir))
+    return _planted_pair_recall(pairs, near=False)
 
 
 def q_doc_stats(sf_dir: str):
@@ -565,7 +619,76 @@ def q_fingerprint(sf_dir: str):
 
 
 def q_winnow(sf_dir: str):
-    return textstats.winnow_stage(_read_docs(sf_dir))
+    """Winnowing fingerprints (Schleimer et al. '03) over the dup
+    corpus, emitted as a per-planted-pair sketch-equality claim —
+    winnowing is a pure per-doc function, so an exact text copy MUST
+    reproduce the identical canonical fingerprint set (VERDICT r4
+    item 3: sketch values are not SQL-expressible, the equality set
+    is).  Shape: the sketch stage runs over every doc; each sketch
+    folds to one order-canonical 64-bit digest (the fingerprint list
+    is a sorted set, so a splitmix-mixed SUM is equality-preserving);
+    a partial in-batch fold plus one bucketed groupby compares the
+    original/copy digests — the wire carries (base, digest-diff,
+    count) scalars, never sketches."""
+    num_buckets = resolve_parallelism(None)
+    sketches = textstats.winnow_stage(dup_corpus(sf_dir))
+
+    def fold(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy()
+        is_copy = (ids >= EXACT_OFF) & (ids < NEAR_OFF)
+        base = np.where(is_copy, ids - EXACT_OFF, ids)
+        keep = (base % 3 == 0) & (ids < NEAR_OFF)  # originals + exact copies
+        if not keep.any():
+            return pd.DataFrame(
+                {
+                    "base": pd.Series(dtype=np.int64),
+                    "sdiff": pd.Series(dtype=np.int64),
+                    "cnt": pd.Series(dtype=np.int64),
+                    "bucket": pd.Series(dtype=np.int32),
+                }
+            )
+        sk = batch["sketch"]
+        flat = pc.list_flatten(sk).to_numpy(zero_copy_only=False).astype(np.uint64)
+        parent = pc.list_parent_indices(sk).to_numpy().astype(np.int64)
+        # splitmix64-style mix per fingerprint, then a per-doc SUM:
+        # commutative, but the sketch is a sorted SET, so multiset
+        # equality == list equality; +1 guards the empty sketch
+        z = (flat + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+        digest = np.zeros(len(batch), dtype=np.uint64)
+        np.add.at(digest, parent, z)
+        digest += np.uint64(1) + pc.cast(
+            batch["sketch_size"], pa.uint64()
+        ).to_numpy()
+        signed = np.where(is_copy, -1, 1)[keep]
+        d = digest.view(np.int64)[keep] * signed
+        out = pd.DataFrame({"base": base[keep], "sdiff": d})
+        out["cnt"] = np.int64(1)
+        out = (
+            out.groupby("base", sort=False)
+            .agg(sdiff=("sdiff", "sum"), cnt=("cnt", "sum"))
+            .reset_index()
+        )
+        out["bucket"] = (out["base"] % num_buckets).astype(np.int32)
+        return out
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby("base", sort=False)
+            .agg(sdiff=("sdiff", "sum"), cnt=("cnt", "sum"))
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": g["base"].astype(np.int64),
+                "sketch_equal": (g["cnt"] == 2) & (g["sdiff"] == 0),
+            }
+        )
+
+    partials = sketches.map_batches(fold, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(final, batch_format="pandas")
 
 
 def q_top_bigrams(sf_dir: str):
@@ -625,17 +748,33 @@ def q_embedding_dupes(sf_dir: str):
 
 
 def q_embedding_dupes_lsh(sf_dir: str):
+    """Random-hyperplane LSH dup pairs, sharing the exact brute-force
+    oracle (VERDICT r4 item 3): on this corpus the only >= 0.9-cosine
+    pairs are the planted identical copies, which agree on EVERY
+    hyperplane sign and therefore share a bucket in all 8 tables —
+    detection is deterministic, the in-bucket cosine verify is exact,
+    and the emitted pair set equals the broadcast exact set (measured
+    equal at sf0.001/0.01/0.1).  On a corpus with genuine near-dups
+    below cosine 1.0 the recall would be probabilistic and this oracle
+    would not transfer — that caveat is the LSH/exact trade, not a
+    defect of the operator."""
     return sim_ops.rp_lsh_dup_pairs(emb_corpus(sf_dir), threshold=COSINE_THRESHOLD)
 
 
 def q_semdedup(sf_dir: str):
-    """SemDeDup survivors over the dup-planted embedding corpus —
-    approximate (k-means partition), rows-only at the driver gate;
-    exact-copy recall is pytest-checked against the planted +EMB_OFF
-    duplicates."""
+    """SemDeDup survivors over the dup-planted embedding corpus,
+    projected to the survivor ID SET — the order-insensitive derived
+    set that is exactly SQL-checkable (VERDICT r4 item 3): each
+    planted copy is bit-identical to its original, so the pair lands
+    in one k-means cell (identical vectors share an argmax), clears
+    the 0.999 cosine threshold at exactly 1.0, and the MIN-id keep
+    rule drops the +EMB_OFF copy; no other pair reaches 0.999
+    (measured: survivors == originals at sf0.001/0.01/0.1).  The
+    k-means ``cluster`` column is dropped from the result because
+    cluster IDENTITY is not SQL-expressible — the survivor set is."""
     return sim_ops.semdedup(
         emb_corpus(sf_dir), n_clusters=16, threshold=0.999
-    )
+    ).select_columns(["vec_id"])
 
 
 # --- relational operator demos over the TPC-H-ish tables -------------------

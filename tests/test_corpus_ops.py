@@ -29,7 +29,9 @@ def exact_jaccard_pairs(ray_session):
 
 
 def test_minhash_recall_precision(ray_session, exact_jaccard_pairs):
-    got = _pairs(c.q_minhash_dupes(SF))
+    # the raw pair set (q_minhash_dupes now emits the planted-recall
+    # projection; the full detector is still the first stage of it)
+    got = _pairs(dd.minhash_lsh_pairs(c.dup_corpus(SF), k=c.JACCARD_K))
     truth = exact_jaccard_pairs
     assert truth, "constructed corpus must contain true near-dup pairs"
     recall = len(got & truth) / len(truth)
@@ -39,7 +41,7 @@ def test_minhash_recall_precision(ray_session, exact_jaccard_pairs):
 
 
 def test_simhash_finds_exact_copies(ray_session):
-    got = _pairs(c.q_simhash_dupes(SF))
+    got = _pairs(dd.simhash_pairs(c.dup_corpus(SF)))
     # every exact copy (hamming 0) must be found
     import pyarrow.parquet as pq
 
