@@ -541,6 +541,40 @@ def _pagerank_check_sums(csum: np.ndarray, total: int, limit: int) -> None:
         )
 
 
+def _local_pagerank(
+    batch: pa.Table,
+    n_iters: int,
+    teleport: int,
+    seeds: Optional[list] = None,
+) -> pa.Table:
+    """Single-task PageRank kernel (the whole bounded edge list is one
+    block after ``repartition(1)``) — arithmetic-identical to the
+    distributed rounds; runs worker-side so the driver never holds the
+    edge strings (VERDICT r4 item 2)."""
+    edf = batch.to_pandas()
+    nodes = np.unique(edf["a"].to_numpy(dtype=object).astype(str))
+    idx = {n: i for i, n in enumerate(nodes)}
+    a_idx = edf["a"].astype(str).map(idx).to_numpy(np.int64)
+    b_idx = edf["b"].astype(str).map(idx).to_numpy(np.int64)
+    w = edf["cnt"].to_numpy(np.int64)
+    outw = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(outw, a_idx, w)
+    mask = (
+        np.isin(nodes, np.asarray(list(seeds), dtype=str))
+        if seeds is not None
+        else None
+    )
+    ranks = _pagerank_iterate_local(
+        a_idx, b_idx, w, outw, n_iters, teleport, seed_mask=mask
+    )
+    return pa.table(
+        {
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "rank_int": pa.array(ranks.tolist(), pa.int64()),
+        }
+    )
+
+
 def pagerank(
     edges_ds,
     n_iters: int = 5,
@@ -585,34 +619,18 @@ def pagerank(
 
     # small graphs: each Ray pass costs ~1-2 s of fixed pipeline
     # overhead, so below the same edge bound dedup's _local_cc uses,
-    # iterate on one worker — arithmetic-identical (integer ops) to
-    # the distributed path, which stays for crawl-scale edge volumes
+    # iterate in ONE WORKER TASK (the bfs_layers kernel shape,
+    # VERDICT r4 item 2: repartition(1).map_batches keeps even the
+    # bounded fast path's edge strings off the driver heap) —
+    # arithmetic-identical (integer ops) to the distributed path,
+    # which stays for crawl-scale edge volumes
     if edges_ds.count() <= local_edge_threshold:
-        import ray.data as rd
-
-        edf = edges_ds.to_pandas()
-        nodes = np.unique(edf["a"].to_numpy(dtype=object).astype(str))
-        idx = {n: i for i, n in enumerate(nodes)}
-        a_idx = edf["a"].astype(str).map(idx).to_numpy(np.int64)
-        b_idx = edf["b"].astype(str).map(idx).to_numpy(np.int64)
-        w = edf["cnt"].to_numpy(np.int64)
-        outw = np.zeros(len(nodes), dtype=np.int64)
-        np.add.at(outw, a_idx, w)
-        mask = (
-            np.isin(nodes, np.asarray(list(seeds), dtype=str))
-            if seeds is not None
-            else None
+        seed_list = list(seeds) if seeds is not None else None
+        return edges_ds.repartition(1).map_batches(
+            lambda t: _local_pagerank(t, n_iters, teleport, seed_list),
+            batch_format="pyarrow",
+            batch_size=None,
         )
-        ranks = _pagerank_iterate_local(
-            a_idx, b_idx, w, outw, n_iters, teleport, seed_mask=mask
-        )
-        out = pa.table(
-            {
-                "node": pa.array(nodes.tolist(), pa.string()),
-                "rank_int": pa.array(ranks.tolist(), pa.int64()),
-            }
-        )
-        return rd.from_arrow(out)
 
     # ---- open-vocabulary distributed path (VERDICT r3 item 2) -------
     # EVERY per-node structure — out-weights, the rank vector — lives
@@ -1311,6 +1329,26 @@ def _local_random_walks(
     )
 
 
+def _local_random_walks_table(batch: pa.Table, n_steps: int) -> pa.Table:
+    """Single-task wrapper around :func:`_local_random_walks` taking
+    the whole bounded edge list as one Arrow block (the
+    ``repartition(1).map_batches`` shape) and emitting the typed walk
+    table worker-side."""
+    edf = batch.to_pandas()
+    nodes = np.unique(edf["a"].to_numpy(dtype=object).astype(str))
+    ids = pd.DataFrame(
+        {"node": nodes, "id": np.arange(len(nodes), dtype=np.int64)}
+    )
+    out = _local_random_walks(edf, ids, n_steps)
+    return pa.table(
+        {
+            "walk": pa.array(out["walk"].to_numpy(np.int64)),
+            "step": pa.array(out["step"].to_numpy(np.int64)),
+            "node_id": pa.array(out["node_id"].to_numpy(np.int64)),
+        }
+    )
+
+
 def random_walks(
     edges_ds,
     n_steps: int = 4,
@@ -1339,26 +1377,16 @@ def random_walks(
     edges = edges_ds.materialize()
 
     if edges.count() <= local_edge_threshold:
-        # ids computed IN-PROCESS: rank of sorted distinct 'a' (==
+        # single WORKER task (bfs_layers kernel shape, VERDICT r4
+        # item 2 — the driver never holds the edge strings): ids
+        # computed in-task as the rank of sorted distinct 'a' (==
         # dense_node_ids' global contract — symmetric edges make 'a'
         # cover every node) — the distributed assignment's ~5 fixed
         # Ray stages would dominate a small graph's wall time
-        edf = edges.to_pandas()
-        nodes = np.unique(edf["a"].to_numpy(dtype=object).astype(str))
-        ids = pd.DataFrame(
-            {"node": nodes, "id": np.arange(len(nodes), dtype=np.int64)}
-        )
-        out = _local_random_walks(edf, ids, n_steps)
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "walk": pa.array(out["walk"].to_numpy(np.int64)),
-                    "step": pa.array(out["step"].to_numpy(np.int64)),
-                    "node_id": pa.array(
-                        out["node_id"].to_numpy(np.int64)
-                    ),
-                }
-            )
+        return edges.repartition(1).map_batches(
+            lambda t: _local_random_walks_table(t, n_steps),
+            batch_format="pyarrow",
+            batch_size=None,
         )
 
     # same precondition as bfs_layers/shortest_paths — the distributed

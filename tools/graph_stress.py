@@ -1,0 +1,96 @@
+"""Open-vocabulary graph stress: synthetic N-node symmetric ring+chord
+graph built INSIDE read tasks (never on the driver), forced through the
+distributed paths (or, with ``--local``, through the bounded
+single-task fast paths).  Reports wall time per op and driver peak RSS;
+``--assert-flat-rss MB`` fails loudly if the driver high-water mark
+grows by more than the bound across the run — the regression guard for
+VERDICT r4 item 2 (fast paths must run worker-side: a driver
+``to_pandas`` of 4M edge strings costs several hundred MB and trips
+the bound immediately).
+
+Usage:
+    python tools/graph_stress.py 10000000 pagerank,lpa,bfs
+    python tools/graph_stress.py 1000000 pagerank,walks --local --assert-flat-rss 250
+"""
+import resource
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import DataContext
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+OPS = sys.argv[2].split(",") if len(sys.argv) > 2 else ["pagerank", "lpa", "bfs"]
+LOCAL = "--local" in sys.argv
+RSS_BOUND = None
+if "--assert-flat-rss" in sys.argv:
+    RSS_BOUND = float(sys.argv[sys.argv.index("--assert-flat-rss") + 1])
+
+if not ray.is_initialized():
+    ray.init(
+        address="local", num_cpus=16, include_dashboard=False,
+        logging_level="ERROR",
+    )
+DataContext.get_current().enable_progress_bars = False
+sys.path.insert(0, "/root/repo")
+from information_extraction_t5_ray.stages import graph as G  # noqa: E402
+
+# local fast paths trigger at <= 4M edges; force with a huge threshold
+# when --local, force the distributed rounds with 0 otherwise
+THRESH = (1 << 60) if LOCAL else 0
+
+
+def make_edges(batch):
+    # ring + one chord per node, emitted in both directions (symmetric)
+    i = batch["id"].to_numpy()
+    nxt = (i + 1) % N
+    chord = (i * 7 + 3) % N
+    a = np.concatenate([i, nxt, i, chord])
+    b = np.concatenate([nxt, i, chord, i])
+    s = np.char.add("n", np.char.zfill(a.astype(str), 10))
+    t = np.char.add("n", np.char.zfill(b.astype(str), 10))
+    return pa.table({
+        "a": pa.array(s.tolist(), pa.string()),
+        "b": pa.array(t.tolist(), pa.string()),
+        "cnt": pa.array(np.ones(len(a), dtype=np.int64)),
+    })
+
+
+edges = ray.data.range(N).map_batches(make_edges, batch_format="pyarrow").materialize()
+n_edges = edges.count()
+rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+print(f"N={N} edges={n_edges} rss_after_build={rss0:.0f}MB local={LOCAL}", flush=True)
+
+failed = False
+for op in OPS:
+    t0 = time.time()
+    if op == "pagerank":
+        out = G.pagerank(edges, n_iters=2, local_edge_threshold=THRESH)
+    elif op == "lpa":
+        out = G.label_propagation(edges, n_rounds=2, local_edge_threshold=THRESH)
+    elif op == "bfs":
+        out = G.bfs_layers(edges, n_seeds=2, max_rounds=3, local_threshold=THRESH)
+    elif op == "kcore":
+        out = G.k_core(edges, k=4, n_rounds=3, local_threshold=THRESH)
+    elif op == "sssp":
+        out = G.shortest_paths(edges, n_rounds=4, local_threshold=THRESH)
+    elif op == "walks":
+        out = G.random_walks(edges, n_steps=3, local_edge_threshold=THRESH)
+    else:
+        raise SystemExit(f"unknown op {op}")
+    nrows = out.count()
+    dt = time.time() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+    grew = rss - rss0
+    print(
+        f"{op}: {dt:.1f}s rows={nrows} driver_peak_rss={rss:.0f}MB "
+        f"(+{grew:.0f}MB)",
+        flush=True,
+    )
+    if RSS_BOUND is not None and grew > RSS_BOUND:
+        print(f"FAIL: {op} grew driver RSS by {grew:.0f}MB > {RSS_BOUND}MB")
+        failed = True
+ray.shutdown()
+sys.exit(1 if failed else 0)
