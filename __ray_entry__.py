@@ -610,6 +610,26 @@ def _q_kg_neighbor_agg(sf_dir: str):
     )
 
 
+def _q_kg_neighbor_agg2(sf_dir: str):
+    """TWO GraphSAGE layers (VERDICT r4 item 6): the second
+    neighbor_agg consumes the first's own exploded (entity, dim, avg)
+    output — the layout was designed to compose, this query proves it.
+    Determinism composes too: layer 1's floats are bit-identical to
+    the SQL mirror (hash-proven), so layer 2's floor re-quantization
+    agrees on both sides and the whole stack stays oracle-exact."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import cooccur_edges
+    from information_extraction_t5_ray.stages.kgstats import (
+        entity_embeddings,
+        neighbor_agg,
+    )
+
+    tri = run_kg(sf_dir).materialize()
+    edges = cooccur_edges(tri, symmetric=True).materialize()
+    layer1 = neighbor_agg(edges, entity_embeddings(tri, sf_dir))
+    return neighbor_agg(edges, layer1)
+
+
 def _q_kg_entity_vecs(sf_dir: str):
     """Entity-embedding construction (KG x embeddings bridge, the
     bi-encoder side of the linking rerank): mean page vector per
@@ -730,6 +750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,  # NEW r4: personalized PageRank
         "kg_sssp": _q_kg_sssp,  # NEW r4: weighted shortest paths
         "kg_neighbor_agg": _q_kg_neighbor_agg,  # NEW r4: GraphSAGE layer
+        "kg_neighbor_agg2": _q_kg_neighbor_agg2,  # NEW r5: composed 2-layer
         # --- relational demos whose only green row is r1 ---
         "acctbal_range_join": c.q_acctbal_range_join,  # binned interval join
         "distinct_user_events": c.q_distinct_user_events,  # generic distinct
@@ -899,6 +920,7 @@ def oracle_sql() -> dict[str, str]:
         kg_degree_delta_sql,
         kg_entity_vecs_sql,
         kg_neighbor_agg_sql,
+        kg_neighbor_agg2_sql,
         kg_fuse_sql,
     )
 
@@ -941,6 +963,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_delta": kg_degree_delta_sql(),
         "kg_entity_vecs": kg_entity_vecs_sql(),
         "kg_neighbor_agg": kg_neighbor_agg_sql(),
+        "kg_neighbor_agg2": kg_neighbor_agg2_sql(),
         "kg_fuse": kg_fuse_sql(),
         "kg_pg_roundtrip": kg_cooccur_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),

@@ -896,6 +896,32 @@ SELECT entity, dim,
 FROM j"""
 
 
+def kg_neighbor_agg2_sql(scale: int = 1_000_000) -> str:
+    """Two composed GraphSAGE layers — ground truth for the
+    kg_neighbor_agg2 query: the layer-1 oracle nests as the
+    (MATERIALIZED) vector side of the same weighted-mean join, its
+    floats re-quantized with the identical floor(avg * scale) the
+    engine applies, so exactness composes layer over layer."""
+    # CTE names are suffixed '2': DuckDB hoists MATERIALIZED CTEs into
+    # one namespace, so the nested layer-1 subquery's own em/ev/j must
+    # not collide with the outer layer's
+    return f"""{_graph_cte()},
+em2 AS MATERIALIZED (SELECT a, b, cnt FROM e),
+ev2 AS MATERIALIZED (
+  SELECT entity, dim,
+         CAST(floor(avg * {scale}) AS BIGINT) AS qa
+  FROM ({kg_neighbor_agg_sql(scale)}) sub),
+j2 AS (SELECT em2.a AS entity, ev2.dim AS dim,
+             CAST(SUM(ev2.qa * em2.cnt) AS BIGINT) AS qsum,
+             CAST(SUM(em2.cnt) AS BIGINT) AS wsum
+      FROM em2 JOIN ev2 ON ev2.entity = em2.b
+      GROUP BY em2.a, ev2.dim)
+SELECT entity, dim,
+       CAST(qsum AS DOUBLE)
+       / (CAST(wsum AS DOUBLE) * CAST({scale} AS DOUBLE)) AS avg
+FROM j2"""
+
+
 def kg_entity_vecs_sql(scale: int = 1_000_000) -> str:
     """Entity embeddings (mean page vector per graph-pred entity) —
     ground truth for stages/kgstats.entity_embeddings.  Fixed-point
