@@ -313,8 +313,15 @@ def test_pagerank_overflow_raises(ray_session):
             "cnt": pa.array([big, big], pa.int64()),
         }
     )
-    with _pytest.raises(OverflowError):
+    # the bounded fast path now runs worker-side (r5), so the guard's
+    # OverflowError surfaces wrapped in RayTaskError — assert the loud
+    # failure either way, with the original type in the traceback chain
+    import traceback
+
+    with _pytest.raises(Exception) as ei:
         pagerank(rd.from_arrow(edges)).to_pandas()
+    tb = "".join(traceback.format_exception(ei.value))
+    assert isinstance(ei.value, OverflowError) or "OverflowError" in tb, tb
 
 
 def test_xlsx_numpy_scalars_are_numeric_cells(tmp_path):
