@@ -275,6 +275,57 @@ def _q_kg_link_predict(sf_dir: str):
     return link_predict(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_wcore(sf_dir: str):
+    """Weighted k-core (s-core, Eidsaa & Almaas): peel on surviving
+    co-mention STRENGTH (sum of cnt) with a corpus-scaled threshold
+    k = max(2, n_docs // 8), sharing the k_core rounds (unweighted
+    path sums ones, so one code path serves both)."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.sources.synth import documents_paths
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        k_core,
+    )
+
+    n_docs = sum(
+        pq.ParquetFile(p).metadata.num_rows for p in documents_paths(sf_dir)
+    )
+    return k_core(
+        cooccur_edges(run_kg(sf_dir), symmetric=True),
+        k=max(2, n_docs // 8),
+        weighted=True,
+    )
+
+
+def _q_kg_ball2(sf_dir: str):
+    """Exact 2-hop neighborhood sizes (distinct nodes within distance
+    <= 2, excluding self) via the middle-node wedge co-group; fails
+    loudly on quadratic hubs instead of silently capping."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        two_hop_counts,
+    )
+
+    return two_hop_counts(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
+def _q_kg_hyperball(sf_dir: str):
+    """HyperBall (Boldi & Vigna) cross-validated against the exact
+    2-hop counts: per-node HLL registers advanced by 2 max-merge
+    co-groups, emitted as (entity, exact n_ball2, within-10% flag) —
+    the graph-sketch instance of the HLL tolerance-oracle pattern."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        ball2_check,
+        cooccur_edges,
+    )
+
+    return ball2_check(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_kcore(sf_dir: str):
     """19-core of the symmetric co-mention graph (fixed-round
     synchronous peeling; k=19 prunes the 3 lowest-degree entities at
@@ -726,7 +777,7 @@ def _q_kg_nt_roundtrip(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """117 entries, ordered by driver value: the verify gate checks the
+    """120 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (CORRECTNESS_r0{2,3,4} are exactly the first 50 keys of
     each round's dict), so queries whose newest green row is STALEST —
     or whose running code/oracle changed since that row — come first.
@@ -738,10 +789,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     this round), then the graph + kgstats/fusion families — r3-green
     rows but r4 consolidated their degree-state exchange machinery and
     rewired the wedge family AFTER those rows were earned (VERDICT r4
-    item 1) — and 4 of the 7 crawl ops.  Everything r4-green
-    (relational, corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg)
-    rotates out on its fresh rows; the remaining crawl trio and the
-    eval/pivot set ride r3 rows over code untouched since r3."""
+    item 1), the three NEW r5 graph ops (weighted core, exact 2-hop
+    ball, HyperBall cross-validation), and crawl_latest (the 50th).
+    Everything r4-green (relational, corpus-dedup, eval harness,
+    kg_sssp/kg_neighbor_agg) rotates out on its fresh rows; the
+    remaining crawl ops and the eval/pivot set ride r3 rows over code
+    untouched since r3."""
     from information_extraction_t5_ray.pipelines import corpus as c
 
     return {
@@ -777,6 +830,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_link_predict": _q_kg_link_predict,
         "kg_bfs": _q_kg_bfs,
         "kg_kcore": _q_kg_kcore,
+        # --- NEW r5: weighted core + 2-hop ball family ---
+        "kg_wcore": _q_kg_wcore,
+        "kg_ball2": _q_kg_ball2,
+        "kg_hyperball": _q_kg_hyperball,
         # --- kgstats / fusion family: r3 rows, shared primitives and
         # triples/kg sinks touched in r4 ---
         "kg_merge": _q_kg_merge,
@@ -799,8 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_vecs": _q_kg_entity_vecs,
         "kg_fuse": _q_kg_fuse,
         "kg_pg_roundtrip": _q_kg_pg_roundtrip,
-        # --- crawl-intake family: 4 of 7 (code untouched since r3 but
-        # the shared read helper grew list-path support in r4) ---
+        # --- crawl-intake family: crawl_latest holds slot 50 (code
+        # untouched since r3; the rest ride their r3 rows) ---
         "crawl_latest": _q_crawl_latest,
         "domain_stats": _q_domain_stats,
         "blocklist_filter": _q_blocklist_filter,
@@ -899,6 +956,9 @@ def oracle_sql() -> dict[str, str]:
         kg_bfs_sql,
         kg_cooccur_sql,
         kg_kcore_sql,
+        kg_wcore_sql,
+        kg_ball2_sql,
+        kg_hyperball_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -957,6 +1017,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_link_predict": kg_link_predict_sql(),
         "kg_bfs": kg_bfs_sql(),
         "kg_kcore": kg_kcore_sql(),
+        "kg_wcore": kg_wcore_sql(),
+        "kg_ball2": kg_ball2_sql(),
+        "kg_hyperball": kg_hyperball_sql(),
         "kg_support": kg_support_sql(),
         "kg_schema_profile": kg_profile_sql(),
         "kg_constraints": kg_constraints_sql(),

@@ -138,6 +138,47 @@ def _bench_queries(sf_dir: str):
 
         return k_core(_edges(True), k=19).count()
 
+    def kg_wcore() -> int:
+        import pyarrow.parquet as pq
+
+        from information_extraction_t5_ray.sources.synth import (
+            documents_paths,
+        )
+        from information_extraction_t5_ray.stages.graph import k_core
+
+        n_docs = sum(
+            pq.ParquetFile(pth).metadata.num_rows
+            for pth in documents_paths(sf_dir)
+        )
+        return k_core(
+            _edges(True), k=max(2, n_docs // 8), weighted=True
+        ).count()
+
+    def kg_ball2() -> int:
+        from information_extraction_t5_ray.stages.graph import two_hop_counts
+
+        return two_hop_counts(_edges(True)).count()
+
+    def kg_hyperball() -> int:
+        from information_extraction_t5_ray.stages.graph import ball2_check
+
+        return ball2_check(_edges(True)).count()
+
+    def kg_neighbor_agg2() -> int:
+        from information_extraction_t5_ray.stages.common import (
+            resolve_parallelism,
+        )
+        from information_extraction_t5_ray.stages.kgstats import (
+            entity_embeddings,
+            neighbor_agg,
+        )
+
+        width = max(4, resolve_parallelism(per_cpu=1) // 2)
+        l1 = neighbor_agg(
+            _edges(True), entity_embeddings(_tri(), sf_dir, vecs_scatter=width)
+        )
+        return neighbor_agg(_edges(True), l1).count()
+
     def kg_temporal() -> int:
         # temporal provenance join over the SHARED materialized triples
         # (the extraction is timed once by kg_triples); this entry times
@@ -327,6 +368,10 @@ def _bench_queries(sf_dir: str):
         "kg_components": kg_components,
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,
+        "kg_wcore": kg_wcore,
+        "kg_ball2": kg_ball2,
+        "kg_hyperball": kg_hyperball,
+        "kg_neighbor_agg2": kg_neighbor_agg2,
         "kg_clustering": kg_clustering,
         "kg_canonical": kg_canonical,
         "kg_temporal": kg_temporal,

@@ -669,6 +669,64 @@ c{i} AS MATERIALIZED (SELECT a, b FROM {prev}
     return "".join(parts)
 
 
+def kg_wcore_sql(n_rounds: int = 16, k_divisor: int = 8) -> str:
+    """Weighted k-core (s-core) peeling, unrolled CTEs — ground truth
+    for stages/graph.k_core(weighted=True) as driven by _q_kg_wcore:
+    round i keeps nodes whose SUM(cnt) among round i-1 survivors is
+    >= k, with k = GREATEST(2, n_docs // k_divisor) so the threshold
+    tracks the corpus scale (co-mention counts grow with documents)."""
+    parts = [_graph_cte()]
+    parts.append(
+        f", kd AS (SELECT GREATEST(2, count(*) // {k_divisor}) AS k "
+        "FROM documents)"
+    )
+    parts.append(", w0 AS MATERIALIZED (SELECT a, b, cnt FROM e)")
+    for i in range(1, n_rounds + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f""", ws{i} AS MATERIALIZED (
+  SELECT a AS node FROM {prev} GROUP BY a
+  HAVING SUM(cnt) >= (SELECT k FROM kd)),
+w{i} AS MATERIALIZED (SELECT a, b, cnt FROM {prev}
+  WHERE a IN (SELECT node FROM ws{i}) AND b IN (SELECT node FROM ws{i}))"""
+        )
+    parts.append(f" SELECT node AS entity FROM ws{n_rounds}")
+    return "".join(parts)
+
+
+def kg_ball2_sql() -> str:
+    """Exact 2-hop neighborhood sizes — ground truth for
+    stages/graph.two_hop_counts: distinct nodes within distance <= 2,
+    excluding self, over the symmetric co-mention edges."""
+    return f"""{_graph_cte()},
+pairs AS (
+  SELECT a, b AS x FROM e
+  UNION
+  SELECT e1.a AS a, e2.b AS x FROM e e1 JOIN e e2 ON e2.a = e1.b
+  WHERE e2.b <> e1.a
+)
+SELECT a AS entity, CAST(count(DISTINCT x) AS BIGINT) AS n_ball2
+FROM pairs GROUP BY a"""
+
+
+def kg_hyperball_sql() -> str:
+    """Tolerance oracle for the HyperBall cross-validation (the HLL
+    pattern): the exact ball sizes are SQL ground truth; the HyperBall
+    estimate is deterministic (blake2b node hashes, order-free
+    register max-merge), so the within-10% claim is a fixed boolean
+    per corpus — `true` is the verified expectation at every sf dir."""
+    return f"""{_graph_cte()},
+pairs AS (
+  SELECT a, b AS x FROM e
+  UNION
+  SELECT e1.a AS a, e2.b AS x FROM e e1 JOIN e e2 ON e2.a = e1.b
+  WHERE e2.b <> e1.a
+)
+SELECT a AS entity, CAST(count(DISTINCT x) AS BIGINT) AS n_ball2,
+       true AS hll_within_10pct
+FROM pairs GROUP BY a"""
+
+
 def kg_diff_sql(
     added_pred: str = "form.cpf", removed_pred: str = "form.agencia"
 ) -> str:

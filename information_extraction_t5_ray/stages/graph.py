@@ -3068,20 +3068,30 @@ def bfs_layers(
     return dist_ds.sort("node")
 
 
-def _local_kcore(batch: pa.Table, k: int, n_rounds: int) -> pa.Table:
+def _local_kcore(
+    batch: pa.Table, k: int, n_rounds: int, weighted: bool = False
+) -> pa.Table:
     """Single-task fixed-round k-core peeling over one complete
-    SYMMETRIC edge block (numpy mirror of the distributed rounds)."""
+    SYMMETRIC edge block (numpy mirror of the distributed rounds).
+    ``weighted`` peels on the surviving WEIGHTED degree (int64 sum of
+    ``cnt``) instead of the edge count."""
     a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
     b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
     if len(a) == 0:
         return pa.table({"entity": pa.array([], pa.string())})
+    w = (
+        batch["cnt"].to_numpy().astype(np.int64)
+        if weighted
+        else np.ones(len(a), dtype=np.int64)
+    )
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     src = inv[: len(a)]
     dst = inv[len(a):]
     alive = np.ones(len(nodes), dtype=bool)
     for _ in range(n_rounds):
         keep = alive[src] & alive[dst]
-        deg = np.bincount(src[keep], minlength=len(nodes))
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(deg, src[keep], w[keep])
         nxt = alive & (deg >= k)
         if (nxt == alive).all():
             break
@@ -3095,6 +3105,7 @@ def k_core(
     n_rounds: int = 16,
     num_buckets: Optional[int] = None,
     local_threshold: int = 4_000_000,
+    weighted: bool = False,
 ):
     """Fixed-round synchronous k-core peeling over a SYMMETRIC edge
     list: ``(entity)`` — the nodes still alive after ``n_rounds`` of
@@ -3103,6 +3114,13 @@ def k_core(
     posture, mirrored by the oracle's unrolled CTEs); when peeling
     converges earlier the remaining rounds are no-ops, so the output
     IS the true k-core whenever the cascade depth fits the budget.
+
+    ``weighted`` peels on the surviving WEIGHTED degree (int64 sum of
+    ``cnt`` — the co-mention strength s-core of Eidsaa & Almaas) via
+    the SAME rounds: the unweighted path sums ones, so both variants
+    share one bit-tested code path.  Weighted sums stay exact int64
+    (cnt is a document count, bounded far below the 2^63 / max-degree
+    product the pagerank guard polices).
 
     Distributed shape (the :func:`pagerank` posture): the survivor set
     is a hash-bucketed DATASET, never a driver set — each round
@@ -3117,7 +3135,7 @@ def k_core(
     _check_symmetric(edges, num_buckets)
     if edges.count() <= local_threshold:
         return edges.repartition(1).map_batches(
-            lambda t: _local_kcore(t, k, n_rounds),
+            lambda t: _local_kcore(t, k, n_rounds, weighted),
             batch_format="pyarrow",
             batch_size=None,
         )
@@ -3134,17 +3152,24 @@ def k_core(
         ]
     )
 
-    def tag_pairs(batch: pa.Table, key_col: str, other_col: str) -> pa.Table:
+    def tag_pairs(
+        batch: pa.Table, key_col: str, other_col: str, c_col: Optional[str]
+    ) -> pa.Table:
         kv = pd.Series(
             batch[key_col].to_numpy(zero_copy_only=False)
         ).astype(str)
         n = len(kv)
+        c = (
+            batch[c_col].cast(pa.int64())
+            if c_col is not None
+            else pa.array(np.ones(n, dtype=np.int64))
+        )
         return pa.table(
             {
                 "side": pa.array(np.zeros(n, dtype=np.int8)),
                 "key": pa.array(kv, pa.string()),
                 "other": batch[other_col].cast(pa.string()),
-                "c": pa.array(np.zeros(n, dtype=np.int64)),
+                "c": c,
                 "_bucket": pa.array(bucket_of(kv, num_buckets), pa.int32()),
             },
             schema=_KC_TAG,
@@ -3177,6 +3202,7 @@ def k_core(
                 {
                     "key": pd.Series(dtype=str),
                     "other": pd.Series(dtype=str),
+                    "c": pd.Series(dtype=np.int64),
                     "_bucket": pd.Series(dtype=np.int32),
                 }
             )
@@ -3188,6 +3214,7 @@ def k_core(
             {
                 "key": oth,  # next exchange keys on the other endpoint
                 "other": kv[keep],
+                "c": e["c"].to_numpy(np.int64)[keep],
                 "_bucket": bucket_of(
                     pd.Series(oth, dtype=object), num_buckets
                 ).astype(np.int32),
@@ -3210,11 +3237,14 @@ def k_core(
         kv = e["key"].to_numpy(dtype=object).astype(str)
         keep = np.isin(kv, sn)
         a = e["other"].to_numpy(dtype=object).astype(str)[keep]
-        vals, cnt = np.unique(a, return_counts=True)
+        w = e["c"].to_numpy(np.int64)[keep]
+        vals, inv = np.unique(a, return_inverse=True)
+        cnt = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(cnt, inv, w)  # unweighted: w == ones -> plain counts
         return pd.DataFrame(
             {
                 "node": vals,
-                "c": cnt.astype(np.int64),
+                "c": cnt,
                 "_bucket": bucket_of(
                     pd.Series(vals, dtype=object), num_buckets
                 ).astype(np.int32),
@@ -3223,11 +3253,18 @@ def k_core(
 
     def deg_first_round(batch: pa.Table) -> pd.DataFrame:
         a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
-        vals, cnt = np.unique(a, return_counts=True)
+        w = (
+            batch["cnt"].to_numpy().astype(np.int64)
+            if weighted
+            else np.ones(len(a), dtype=np.int64)
+        )
+        vals, inv = np.unique(a, return_inverse=True)
+        cnt = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(cnt, inv, w)
         return pd.DataFrame(
             {
                 "node": vals,
-                "c": cnt.astype(np.int64),
+                "c": cnt,
                 "_bucket": bucket_of(
                     pd.Series(vals, dtype=object), num_buckets
                 ).astype(np.int32),
@@ -3253,7 +3290,8 @@ def k_core(
             break
         # exchange 1: a-side semi-join
         t1 = edges.map_batches(
-            lambda t: tag_pairs(t, "a", "b"), batch_format="pyarrow"
+            lambda t: tag_pairs(t, "a", "b", "cnt" if weighted else None),
+            batch_format="pyarrow",
         ).union(alive_ds.map_batches(tag_alive, batch_format="pyarrow"))
         ab = (
             t1.repartition(num_buckets)
@@ -3262,7 +3300,8 @@ def k_core(
         )
         # exchange 2: b-side semi-join + degree partials of a
         t2 = ab.map_batches(
-            lambda t: tag_pairs(t, "key", "other"), batch_format="pyarrow"
+            lambda t: tag_pairs(t, "key", "other", "c"),
+            batch_format="pyarrow",
         ).union(alive_ds.map_batches(tag_alive, batch_format="pyarrow"))
         deg = (
             t2.repartition(num_buckets)
@@ -3410,4 +3449,492 @@ def clustering_coefficient(
         .repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(attach), batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2-hop neighborhood size: exact (wedge join) + HyperBall (HLL registers)
+# ---------------------------------------------------------------------------
+
+
+def _local_ball2(batch: pa.Table) -> pa.Table:
+    """Single-task exact 2-hop ball sizes over one complete SYMMETRIC
+    edge block: for every node, |{x : dist(node, x) <= 2, x != node}|."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {"entity": pa.array([], pa.string()),
+             "n_ball2": pa.array([], pa.int64())}
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    n = len(nodes)
+    src = inv[: len(a)].astype(np.int64)
+    dst = inv[len(a):].astype(np.int64)
+    # wedges through each middle m: all ordered neighbor pairs (u, v)
+    # of m's neighbor list (symmetric edges: rows with a == m)
+    order = np.argsort(src, kind="stable")
+    ms, ns = src[order], dst[order]
+    starts = np.searchsorted(ms, np.arange(n))
+    ends = np.searchsorted(ms, np.arange(n) + 1)
+    deg = ends - starts
+    # vectorized per-middle cartesian products via repeat/tile offsets
+    reps = np.repeat(np.arange(n), deg * deg)
+    # index arithmetic: for middle m with degree d at offset s, pair t
+    # (t in [0, d^2)) is (ns[s + t // d], ns[s + t % d])
+    t_all = np.concatenate([np.arange(d * d) for d in deg]) if n else np.empty(0, np.int64)
+    s_all = starts[reps]
+    d_all = deg[reps]
+    u = ns[s_all + t_all // np.maximum(d_all, 1)]
+    v = ns[s_all + t_all % np.maximum(d_all, 1)]
+    keep = u != v
+    pair_u = np.concatenate([src, u[keep]])
+    pair_v = np.concatenate([dst, v[keep]])
+    # distinct (u, x) pairs, x != u, then counts per u
+    key = pair_u * np.int64(n) + pair_v
+    uniq = np.unique(key)
+    uu = uniq // n
+    counts = np.bincount(uu, minlength=n).astype(np.int64)
+    return pa.table(
+        {"entity": pa.array(nodes.tolist(), pa.string()),
+         "n_ball2": pa.array(counts)}
+    )
+
+
+def two_hop_counts(
+    edges_ds,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+    max_middle_deg: int = 100_000,
+):
+    """EXACT 2-hop neighborhood sizes over a SYMMETRIC edge list:
+    ``(entity, n_ball2)`` with ``n_ball2 = |{x : 0 < dist(entity, x)
+    <= 2}|`` — the neighborhood-growth signal behind centrality and
+    spam/hub detection.
+
+    Distributed shape: exchange 1 groups the edge stream by the MIDDLE
+    node and emits each group's deduplicated ordered neighbor pairs
+    (the 2-hop candidates) plus nothing else — direct edges join the
+    stream as-is; exchange 2 counts distinct targets per source.  The
+    wedge volume is sum(deg(m)^2), the inherent cost of an exact
+    answer; ``max_middle_deg`` FAILS LOUDLY (never silently caps) when
+    a hub would make one group's emission quadratically explosive —
+    at that scale use :func:`hyperball_counts`, the sketch path.
+    Single-task fast path under ``local_threshold`` edges."""
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    _check_symmetric(edges, num_buckets)
+    if edges.count() <= local_threshold:
+        return edges.repartition(1).map_batches(
+            _local_ball2, batch_format="pyarrow", batch_size=None
+        )
+
+    def bucket_by_a(batch: pa.Table) -> pa.Table:
+        av = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        return pa.table(
+            {
+                "a": pa.array(av, pa.string()),
+                "b": batch["b"].cast(pa.string()),
+                "_bucket": pa.array(bucket_of(av, num_buckets), pa.int32()),
+            }
+        )
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """Per middle-node group: deduped neighbor list -> ordered
+        pairs (u, v), u != v, emitted keyed by u; plus the group's
+        direct edges (m -> neighbor)."""
+        out_u, out_v = [], []
+        for m, g in df.groupby("a", sort=False):
+            nbrs = np.unique(g["b"].to_numpy(dtype=object).astype(str))
+            d = len(nbrs)
+            if d > max_middle_deg:
+                raise ValueError(
+                    f"two_hop_counts: middle node {m!r} has degree {d} >"
+                    f" max_middle_deg={max_middle_deg}; the exact wedge"
+                    " join is quadratic in hub degree — use"
+                    " hyperball_counts for this graph"
+                )
+            if d > 1:
+                li = np.repeat(np.arange(d), d)
+                ri = np.tile(np.arange(d), d)
+                keep = li != ri
+                out_u.append(nbrs[li[keep]])
+                out_v.append(nbrs[ri[keep]])
+            out_u.append(np.full(d, m, dtype=object))
+            out_v.append(nbrs)
+        if not out_u:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=str), "x": pd.Series(dtype=str),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        u = np.concatenate(out_u)
+        x = np.concatenate(out_v)
+        df2 = pd.DataFrame({"u": u, "x": x}).drop_duplicates()
+        df2["_bucket"] = bucket_of(
+            df2["u"].astype(str), num_buckets
+        ).astype(np.int32)
+        return df2
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.drop_duplicates(["u", "x"])
+            .groupby("u", sort=False)
+            .size()
+            .rename("n_ball2")
+            .reset_index()
+        )
+        return pd.DataFrame(
+            {"entity": g["u"].to_numpy(dtype=object),
+             "n_ball2": g["n_ball2"].to_numpy(np.int64)}
+        )
+
+    return (
+        edges.map_batches(bucket_by_a, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(wedge_pairs), batch_format="pandas")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(count_distinct), batch_format="pandas")
+    )
+
+
+HYPERBALL_P = 10  # 1024 registers/node: sigma = 1.04/32 ~ 3.3%
+
+
+def _hll_node_hash(nodes: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hash per node string (blake2b, engine-side
+    only — the tolerance oracle never recomputes it)."""
+    import hashlib
+
+    return np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+            )
+            for s in nodes
+        ),
+        dtype=np.uint64,
+        count=len(nodes),
+    )
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (float64 log2 rounds
+    wrongly above 2^53 — a power-of-2 boundary crossing would corrupt
+    the register rank)."""
+    x = x.copy()
+    bl = np.zeros(x.shape, dtype=np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        bl[m] += s
+        x[m] >>= np.uint64(s)
+    bl[x > 0] += 1  # x is now 0 or 1
+    return bl
+
+
+def _hll_registers(nodes: np.ndarray, p: int) -> np.ndarray:
+    """(n, m) uint8 register matrix: row i = HLL registers of the
+    singleton {node_i} (one nonzero register)."""
+    m = 1 << p
+    h = _hll_node_hash(nodes)
+    idx = (h & np.uint64(m - 1)).astype(np.int64)
+    rest = h >> np.uint64(p)
+    # rho = 1 + number of leading zeros in the (64 - p)-bit remainder
+    width = 64 - p
+    rho = (width - _bit_length_u64(rest) + 1).astype(np.uint8)
+    regs = np.zeros((len(nodes), m), dtype=np.uint8)
+    regs[np.arange(len(nodes)), idx] = rho
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray, p: int) -> np.ndarray:
+    """Standard HLL estimate per row with the small-range linear
+    counting correction — pure float64 arithmetic, deterministic."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.power(2.0, -regs.astype(np.float64)).sum(axis=1)
+    est = alpha * m * m / inv
+    zeros = (regs == 0).sum(axis=1)
+    small = (est <= 2.5 * m) & (zeros > 0)
+    with np.errstate(divide="ignore"):
+        lin = m * np.log(m / np.maximum(zeros, 1).astype(np.float64))
+    return np.where(small, lin, est)
+
+
+def hyperball_counts(
+    edges_ds,
+    rounds: int = 2,
+    p: int = HYPERBALL_P,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """HyperBall (Boldi & Vigna 2013): APPROXIMATE r-hop ball sizes
+    ``(entity, est_ball)`` — per-node HyperLogLog registers advanced by
+    ``rounds`` max-merge exchanges over the SYMMETRIC edge list.  The
+    estimate includes the node itself (the round-0 singleton).
+
+    This is the scale path where :func:`two_hop_counts`' exact wedge
+    join explodes on hubs: state is nodes x 2^p bytes (1 KB/node at
+    p=10) and each round moves edges x 2^p bytes through ONE co-group
+    — linear in edges, hub-proof.  Every ingredient is deterministic
+    (blake2b node hashes, order-free register max), so the estimate is
+    reproducible under any partitioning and a tolerance claim against
+    the exact count is a fixed boolean per corpus (the HLL/tolerance
+    oracle pattern)."""
+    import ray.data as rd
+
+    num_buckets = resolve_parallelism(num_buckets)
+    m = 1 << p
+    edges = edges_ds.materialize()
+    _check_symmetric(edges, num_buckets)
+
+    if edges.count() <= local_threshold:
+        def local(batch: pa.Table) -> pa.Table:
+            a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+            b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+            if len(a) == 0:
+                return pa.table(
+                    {"entity": pa.array([], pa.string()),
+                     "est_ball": pa.array([], pa.float64())}
+                )
+            nodes, inv = np.unique(
+                np.concatenate([a, b]), return_inverse=True
+            )
+            src, dst = inv[: len(a)], inv[len(a):]
+            regs = _hll_registers(nodes, p)
+            chunk = 65536  # bound the (chunk, m) gather at ~64 MB
+            for _ in range(rounds):
+                nxt = regs.copy()
+                for s0 in range(0, len(src), chunk):
+                    sl = slice(s0, s0 + chunk)
+                    np.maximum.at(nxt, dst[sl], regs[src[sl]])
+                regs = nxt
+            return pa.table(
+                {
+                    "entity": pa.array(nodes.tolist(), pa.string()),
+                    "est_ball": pa.array(_hll_estimate(regs, p)),
+                }
+            )
+
+        return edges.repartition(1).map_batches(
+            local, batch_format="pyarrow", batch_size=None
+        )
+
+    # ---- dataset-resident register state (the pagerank posture) -----
+    _HB_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),  # co-group key: edge 'a' / state node
+            ("b", pa.string()),
+            ("regs", pa.binary()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        nodes = np.unique(
+            pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        )
+        regs = _hll_registers(nodes, p)
+        return pa.table(
+            {
+                "node": pa.array(nodes.tolist(), pa.string()),
+                "regs": pa.array([r.tobytes() for r in regs], pa.binary()),
+                "_bucket": pa.array(
+                    bucket_of(pd.Series(nodes, dtype=object), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def dedup_state(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")[["node", "regs", "_bucket"]]
+
+    state = (
+        edges.map_batches(init_state, batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(dedup_state), batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        av = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(av)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": pa.array(av, pa.string()),
+                "b": batch["b"].cast(pa.string()),
+                "regs": pa.array([b""] * n, pa.binary()),
+                "_bucket": pa.array(bucket_of(av, num_buckets), pa.int32()),
+            },
+            schema=_HB_TAG,
+        )
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        nv = pd.Series(
+            batch["node"].to_numpy(zero_copy_only=False)
+        ).astype(str)
+        n = len(nv)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(nv, pa.string()),
+                "b": pa.array([""] * n, pa.string()),
+                "regs": batch["regs"],
+                "_bucket": pa.array(bucket_of(nv, num_buckets), pa.int32()),
+            },
+            schema=_HB_TAG,
+        )
+
+    def send_regs(df: pd.DataFrame) -> pd.DataFrame:
+        """Co-group on the source endpoint: ship the source's registers
+        to every neighbor, plus a self-carry row."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(s) == 0:
+            return pd.DataFrame(
+                {"node": pd.Series(dtype=str),
+                 "regs": pd.Series(dtype=object),
+                 "_bucket": pd.Series(dtype=np.int32)}
+            )
+        smap = pd.Series(
+            s["regs"].to_numpy(), index=s["key"].to_numpy(dtype=object)
+        )
+        dst = e["b"].to_numpy(dtype=object).astype(str)
+        regs = smap.loc[e["key"].to_numpy(dtype=object)].to_numpy()
+        out_n = np.concatenate([dst, s["key"].to_numpy(dtype=object)])
+        out_r = np.concatenate([regs, s["regs"].to_numpy()])
+        out = pd.DataFrame({"node": out_n, "regs": out_r})
+        out["_bucket"] = bucket_of(
+            out["node"].astype(str), num_buckets
+        ).astype(np.int32)
+        return out
+
+    def max_merge(df: pd.DataFrame) -> pd.DataFrame:
+        nodes_out, regs_out = [], []
+        for node, g in df.groupby("node", sort=False):
+            mat = np.frombuffer(
+                b"".join(g["regs"].tolist()), dtype=np.uint8
+            ).reshape(-1, m)
+            nodes_out.append(node)
+            regs_out.append(mat.max(axis=0).tobytes())
+        out = pd.DataFrame({"node": nodes_out, "regs": regs_out})
+        out["_bucket"] = bucket_of(
+            out["node"].astype(str), num_buckets
+        ).astype(np.int32)
+        return out
+
+    for _ in range(rounds):
+        tagged = edges.map_batches(tag_edges, batch_format="pyarrow").union(
+            state.map_batches(tag_state, batch_format="pyarrow")
+        )
+        sent = (
+            tagged.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(send_regs), batch_format="pandas")
+        )
+        state = (
+            sent.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(max_merge), batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        regs = np.frombuffer(
+            b"".join(batch["regs"].to_pylist()), dtype=np.uint8
+        ).reshape(-1, m)
+        return pa.table(
+            {
+                "entity": batch["node"].cast(pa.string()),
+                "est_ball": pa.array(_hll_estimate(regs, p)),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow")
+
+
+def ball2_check(
+    edges_ds,
+    tol: float = 0.10,
+    p: int = HYPERBALL_P,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Exact 2-hop ball sizes cross-validated by HyperBall: ``(entity,
+    n_ball2, hll_within_10pct)`` — the exact wedge-join count plus a
+    deterministic boolean claiming the HyperBall estimate (which
+    includes self) sits within ``tol`` of ``n_ball2 + 1``.  Both
+    ingredients are partition-independent, so the flag is a fixed
+    property of the corpus (the approx_distinct tolerance-oracle
+    pattern applied to graph sketches)."""
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    exact = two_hop_counts(
+        edges, num_buckets=num_buckets, local_threshold=local_threshold
+    )
+    est = hyperball_counts(
+        edges,
+        rounds=2,
+        p=p,
+        num_buckets=num_buckets,
+        local_threshold=local_threshold,
+    )
+
+    _BC_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),
+            ("v", pa.float64()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag(side: int, key_col: str, v_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            kv = pd.Series(
+                batch[key_col].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            n = len(kv)
+            return pa.table(
+                {
+                    "side": pa.array(np.full(n, side, dtype=np.int8)),
+                    "key": pa.array(kv, pa.string()),
+                    "v": batch[v_col].cast(pa.float64()),
+                    "_bucket": pa.array(
+                        bucket_of(kv, num_buckets), pa.int32()
+                    ),
+                },
+                schema=_BC_TAG,
+            )
+
+        return fn
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        ex = df[df["side"] == 0]
+        es = df[df["side"] == 1]
+        m_ = ex[["key", "v"]].merge(
+            es[["key", "v"]], on="key", suffixes=("_x", "_e"), how="inner"
+        )
+        exact_n = m_["v_x"].to_numpy(np.float64)
+        estv = m_["v_e"].to_numpy(np.float64)
+        return pd.DataFrame(
+            {
+                "entity": m_["key"].to_numpy(dtype=object),
+                "n_ball2": exact_n.astype(np.int64),
+                "hll_within_10pct": np.abs(estv / (exact_n + 1.0) - 1.0)
+                <= tol,
+            }
+        )
+
+    tagged = exact.map_batches(
+        tag(0, "entity", "n_ball2"), batch_format="pyarrow"
+    ).union(est.map_batches(tag(1, "entity", "est_ball"), batch_format="pyarrow"))
+    return (
+        tagged.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(join), batch_format="pandas")
     )
