@@ -326,6 +326,21 @@ def _q_kg_hyperball(sf_dir: str):
     return ball2_check(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_harmonic(sf_dir: str):
+    """Radius-2 harmonic centrality: n1 + (n2 - n1)/2 over the exact
+    2-hop ball — the bounded-radius closeness a 100-TB graph actually
+    computes (full closeness needs all-pairs distances)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        harmonic_centrality_2,
+    )
+
+    return harmonic_centrality_2(
+        cooccur_edges(run_kg(sf_dir), symmetric=True)
+    )
+
+
 def _q_kg_kcore(sf_dir: str):
     """19-core of the symmetric co-mention graph (fixed-round
     synchronous peeling; k=19 prunes the 3 lowest-degree entities at
@@ -777,7 +792,7 @@ def _q_kg_nt_roundtrip(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """120 entries, ordered by driver value: the verify gate checks the
+    """123 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (CORRECTNESS_r0{2,3,4} are exactly the first 50 keys of
     each round's dict), so queries whose newest green row is STALEST —
     or whose running code/oracle changed since that row — come first.
@@ -789,12 +804,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     this round), then the graph + kgstats/fusion families — r3-green
     rows but r4 consolidated their degree-state exchange machinery and
     rewired the wedge family AFTER those rows were earned (VERDICT r4
-    item 1), the three NEW r5 graph ops (weighted core, exact 2-hop
-    ball, HyperBall cross-validation), and crawl_latest (the 50th).
-    Everything r4-green (relational, corpus-dedup, eval harness,
-    kg_sssp/kg_neighbor_agg) rotates out on its fresh rows; the
-    remaining crawl ops and the eval/pivot set ride r3 rows over code
-    untouched since r3."""
+    item 1), and the six NEW r5 ops (weighted core, exact 2-hop ball,
+    HyperBall cross-validation, radius-2 harmonic centrality, weighted
+    Poisson sampling, grouping-sets rollup).  Everything r4-green
+    (relational, corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg)
+    rotates out on its fresh rows; kg_fuse / kg_pg_roundtrip and the
+    crawl + eval/pivot families ride r3 rows (their own code untouched
+    since r3; the builder's sf0.01 mirror sweep re-verifies all 123
+    every round)."""
     from information_extraction_t5_ray.pipelines import corpus as c
 
     return {
@@ -834,6 +851,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_wcore": _q_kg_wcore,
         "kg_ball2": _q_kg_ball2,
         "kg_hyperball": _q_kg_hyperball,
+        "kg_harmonic": _q_kg_harmonic,
+        "weighted_sample": c.q_weighted_sample,
+        "docs_rollup": c.q_docs_rollup,
         # --- kgstats / fusion family: r3 rows, shared primitives and
         # triples/kg sinks touched in r4 ---
         "kg_merge": _q_kg_merge,
@@ -856,8 +876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entity_vecs": _q_kg_entity_vecs,
         "kg_fuse": _q_kg_fuse,
         "kg_pg_roundtrip": _q_kg_pg_roundtrip,
-        # --- crawl-intake family: crawl_latest holds slot 50 (code
-        # untouched since r3; the rest ride their r3 rows) ---
+        # --- crawl-intake family (code untouched since r3; rides the
+        # r3 rows + the in-repo mirror sweep) ---
         "crawl_latest": _q_crawl_latest,
         "domain_stats": _q_domain_stats,
         "blocklist_filter": _q_blocklist_filter,
@@ -959,6 +979,7 @@ def oracle_sql() -> dict[str, str]:
         kg_wcore_sql,
         kg_ball2_sql,
         kg_hyperball_sql,
+        kg_harmonic_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -1020,6 +1041,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_wcore": kg_wcore_sql(),
         "kg_ball2": kg_ball2_sql(),
         "kg_hyperball": kg_hyperball_sql(),
+        "kg_harmonic": kg_harmonic_sql(),
+        "weighted_sample": oc.weighted_sample_sql(),
+        "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),
         "kg_schema_profile": kg_profile_sql(),
         "kg_constraints": kg_constraints_sql(),

@@ -164,6 +164,13 @@ def _bench_queries(sf_dir: str):
 
         return ball2_check(_edges(True)).count()
 
+    def kg_harmonic() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            harmonic_centrality_2,
+        )
+
+        return harmonic_centrality_2(_edges(True)).count()
+
     def kg_neighbor_agg2() -> int:
         from information_extraction_t5_ray.stages.common import (
             resolve_parallelism,
@@ -371,6 +378,7 @@ def _bench_queries(sf_dir: str):
         "kg_wcore": kg_wcore,
         "kg_ball2": kg_ball2,
         "kg_hyperball": kg_hyperball,
+        "kg_harmonic": kg_harmonic,
         "kg_neighbor_agg2": kg_neighbor_agg2,
         "kg_clustering": kg_clustering,
         "kg_canonical": kg_canonical,

@@ -1497,4 +1497,123 @@ def bench_queries(sf_dir: str):
         "lm_score": lambda: q_lm_score(sf_dir).count(),
         "sessionize": lambda: q_sessionize(sf_dir).count(),
         "asof_join": lambda: q_purchase_asof_signup(sf_dir).count(),
+        "weighted_sample": lambda: q_weighted_sample(sf_dir).count(),
+        "docs_rollup": lambda: q_docs_rollup(sf_dir).count(),
     }
+
+
+WEIGHTED_SAMPLE_MULT = 200  # keep P = min(1, n_chars * 200 / 100000)
+WEIGHTED_SAMPLE_DENOM = 100_000
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weight-proportional (Poisson) sampling: keep each document with
+    probability proportional to its length — the importance-sampling
+    primitive behind loss-weighted data selection.  Fully integral and
+    partition-independent: keep iff ``lcg(doc_id) % 100000 <
+    min(100000, n_chars * 200)`` (docs over 500 chars are always
+    kept), the same LCG the stratified sampler mirrors in SQL —
+    deliberately NOT Efraimidis–Spirakis top-k, whose ``ln(u)/w`` keys
+    would hinge on cross-engine libm ulps."""
+    from ..stages.sampling import lcg_bucket
+
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        w = batch["n_chars"].to_numpy().astype(np.int64)
+        r = lcg_bucket(ids, denom=WEIGHTED_SAMPLE_DENOM)
+        thr = np.minimum(
+            WEIGHTED_SAMPLE_DENOM, w * WEIGHTED_SAMPLE_MULT
+        )
+        return batch.filter(pa.array(r < thr))
+
+    return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def q_docs_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(lang, source) in ONE pass over the corpus: the
+    finest (lang, source) partials are computed per batch; the
+    lang-level and grand-total rows are derived by RE-AGGREGATING THE
+    PARTIALS (never the raw rows) — the grouping-sets pushdown every
+    warehouse engine does, expressed as partial -> bucketed fold ->
+    tiny total fold.  Rolled-up keys use the 'ALL' sentinel so the
+    result is NULL-free (hash-compare friendly)."""
+    num_buckets = resolve_parallelism(None)
+    docs = _read_pq(
+        f"{sf_dir}/documents.parquet", columns=["lang", "source", "n_chars"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = (
+            pd.DataFrame(
+                {
+                    "lang": batch["lang"].to_pylist(),
+                    "source": batch["source"].to_pylist(),
+                    "n_chars": batch["n_chars"].to_numpy(),
+                }
+            )
+            .groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index()
+        )
+        df["n_docs"] = df["n_docs"].astype(np.int64)
+        df["sum_chars"] = df["sum_chars"].astype(np.int64)
+        from ..stages.common import bucket_of
+
+        df["bucket"] = bucket_of(df["lang"].astype(str), num_buckets).astype(
+            np.int32
+        )
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        fine = (
+            df.groupby(["lang", "source"], sort=False)
+            .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+            .reset_index()
+        )
+        lang = (
+            fine.groupby("lang", sort=False)
+            .agg(n_docs=("n_docs", "sum"), sum_chars=("sum_chars", "sum"))
+            .reset_index()
+        )
+        lang["source"] = "ALL"
+        total = pd.DataFrame(
+            {
+                "lang": ["\x00TOTAL"],  # partial row, folded in stage 3
+                "source": ["ALL"],
+                "n_docs": [np.int64(fine["n_docs"].sum())],
+                "sum_chars": [np.int64(fine["sum_chars"].sum())],
+            }
+        )
+        out = pd.concat(
+            [fine, lang[["lang", "source", "n_docs", "sum_chars"]], total],
+            ignore_index=True,
+        )
+        return out[["lang", "source", "n_docs", "sum_chars"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        is_tot = df["lang"] == "\x00TOTAL"
+        keep = df.loc[~is_tot]
+        tot = pd.DataFrame(
+            {
+                "lang": ["ALL"],
+                "source": ["ALL"],
+                "n_docs": [np.int64(df.loc[is_tot, "n_docs"].sum())],
+                "sum_chars": [np.int64(df.loc[is_tot, "sum_chars"].sum())],
+            }
+        )
+        return pd.concat([keep, tot], ignore_index=True)
+
+    return (
+        docs.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(
+            lambda d: fold(d.drop(columns=["bucket"])),
+            batch_format="pandas",
+        )
+        .repartition(1)
+        .map_batches(final, batch_format="pandas")
+    )

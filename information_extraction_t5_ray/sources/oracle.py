@@ -727,6 +727,28 @@ SELECT a AS entity, CAST(count(DISTINCT x) AS BIGINT) AS n_ball2,
 FROM pairs GROUP BY a"""
 
 
+def kg_harmonic_sql() -> str:
+    """Radius-2 harmonic centrality — ground truth for
+    stages/graph.harmonic_centrality_2: n1 = distinct neighbors (the
+    symmetric co-mention list is already distinct pairs), n2 = the
+    exact 2-hop ball, harmonic2 = n1 + (n2 - n1)/2 (one IEEE halving,
+    bit-identical both sides)."""
+    return f"""{_graph_cte()},
+pairs AS (
+  SELECT a, b AS x FROM e
+  UNION
+  SELECT e1.a AS a, e2.b AS x FROM e e1 JOIN e e2 ON e2.a = e1.b
+  WHERE e2.b <> e1.a
+),
+b2 AS (SELECT a AS entity, CAST(count(DISTINCT x) AS BIGINT) AS n2
+       FROM pairs GROUP BY a),
+d1 AS (SELECT a AS entity, CAST(count(*) AS BIGINT) AS n1
+       FROM e GROUP BY a)
+SELECT d1.entity, d1.n1, b2.n2,
+       d1.n1 + (b2.n2 - d1.n1) / 2.0 AS harmonic2
+FROM d1 JOIN b2 ON b2.entity = d1.entity"""
+
+
 def kg_diff_sql(
     added_pred: str = "form.cpf", removed_pred: str = "form.agencia"
 ) -> str:

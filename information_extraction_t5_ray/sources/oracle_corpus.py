@@ -1044,3 +1044,26 @@ def winnow_sketch_sql() -> str:
     one equality boolean per planted exact pair."""
     return """SELECT doc_id, true AS sketch_equal
 FROM documents WHERE doc_id % 3 = 0"""
+
+
+def weighted_sample_sql() -> str:
+    """Weight-proportional Poisson sampling mirror — same LCG residue
+    as the stratified sampler, threshold min(100000, n_chars * 200)."""
+    from ..pipelines.corpus import (
+        WEIGHTED_SAMPLE_DENOM,
+        WEIGHTED_SAMPLE_MULT,
+    )
+
+    return f"""SELECT doc_id, n_chars FROM documents
+WHERE ((doc_id * 1103515245 + 12345) % 2147483648) % {WEIGHTED_SAMPLE_DENOM}
+  < LEAST({WEIGHTED_SAMPLE_DENOM}, n_chars * {WEIGHTED_SAMPLE_MULT})"""
+
+
+def docs_rollup_sql() -> str:
+    """GROUP BY ROLLUP mirror with the 'ALL' sentinel for rolled-up
+    keys (the engine result is NULL-free by construction)."""
+    return """SELECT COALESCE(lang, 'ALL') AS lang,
+  COALESCE(source, 'ALL') AS source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP(lang, source)"""
