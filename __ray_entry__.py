@@ -341,6 +341,19 @@ def _q_kg_harmonic(sf_dir: str):
     )
 
 
+def _q_kg_lift(sf_dir: str):
+    """Integer-exact association lift per co-mention pair (KG pruning:
+    lift >> 1e6 fixed-point separates systematic relations from
+    frequency coincidences)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        cooccur_lift,
+    )
+
+    return cooccur_lift(cooccur_edges(run_kg(sf_dir)))
+
+
 def _q_kg_kcore(sf_dir: str):
     """19-core of the symmetric co-mention graph (fixed-round
     synchronous peeling; k=19 prunes the 3 lowest-degree entities at
@@ -792,7 +805,7 @@ def _q_kg_nt_roundtrip(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """123 entries, ordered by driver value: the verify gate checks the
+    """124 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (CORRECTNESS_r0{2,3,4} are exactly the first 50 keys of
     each round's dict), so queries whose newest green row is STALEST —
     or whose running code/oracle changed since that row — come first.
@@ -852,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ball2": _q_kg_ball2,
         "kg_hyperball": _q_kg_hyperball,
         "kg_harmonic": _q_kg_harmonic,
+        "kg_lift": _q_kg_lift,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
         # --- kgstats / fusion family: r3 rows, shared primitives and
@@ -980,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         kg_ball2_sql,
         kg_hyperball_sql,
         kg_harmonic_sql,
+        kg_lift_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -1042,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ball2": kg_ball2_sql(),
         "kg_hyperball": kg_hyperball_sql(),
         "kg_harmonic": kg_harmonic_sql(),
+        "kg_lift": kg_lift_sql(),
         "weighted_sample": oc.weighted_sample_sql(),
         "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),

@@ -164,6 +164,11 @@ def _bench_queries(sf_dir: str):
 
         return ball2_check(_edges(True)).count()
 
+    def kg_lift() -> int:
+        from information_extraction_t5_ray.stages.graph import cooccur_lift
+
+        return cooccur_lift(_edges(False)).count()
+
     def kg_harmonic() -> int:
         from information_extraction_t5_ray.stages.graph import (
             harmonic_centrality_2,
@@ -379,6 +384,7 @@ def _bench_queries(sf_dir: str):
         "kg_ball2": kg_ball2,
         "kg_hyperball": kg_hyperball,
         "kg_harmonic": kg_harmonic,
+        "kg_lift": kg_lift,
         "kg_neighbor_agg2": kg_neighbor_agg2,
         "kg_clustering": kg_clustering,
         "kg_canonical": kg_canonical,

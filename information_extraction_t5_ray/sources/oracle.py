@@ -749,6 +749,24 @@ SELECT d1.entity, d1.n1, b2.n2,
 FROM d1 JOIN b2 ON b2.entity = d1.entity"""
 
 
+def kg_lift_sql(scale: int = 1_000_000) -> str:
+    """Association lift per co-mention pair — ground truth for
+    stages/graph.cooccur_lift: floor(cnt * N * scale / (ca * cb)) in
+    HUGEINT (the engine folds Python big ints), where ca/cb are the
+    out-weights of the symmetric list (== both-endpoint weighted
+    degrees of the a<b pairs) and N = SUM(cnt) over the a<b list."""
+    return f"""{_graph_cte()},
+nt AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS n FROM e0)
+SELECT e0.a, e0.b, e0.cnt,
+       CAST((CAST(e0.cnt AS HUGEINT) * nt.n * {scale})
+            // (CAST(wa.w AS HUGEINT) * CAST(wb.w AS HUGEINT)) AS BIGINT)
+         AS lift_x1e6
+FROM e0
+JOIN w wa ON wa.node = e0.a
+JOIN w wb ON wb.node = e0.b
+CROSS JOIN nt"""
+
+
 def kg_diff_sql(
     added_pred: str = "form.cpf", removed_pred: str = "form.agencia"
 ) -> str:

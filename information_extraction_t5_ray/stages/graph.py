@@ -4029,3 +4029,198 @@ def harmonic_centrality_2(
         .groupby("_bucket")
         .map_groups(arrowed(join), batch_format="pandas")
     )
+
+
+LIFT_SCALE = 1_000_000  # fixed-point lift: floor(cnt * N * 1e6 / (ca * cb))
+
+
+def cooccur_lift(
+    edges_ds,
+    num_buckets: Optional[int] = None,
+):
+    """Association lift per co-mention pair: ``(a, b, cnt, lift_x1e6)``
+    with ``lift = P(a,b) / (P(a) P(b))`` over mention events — the
+    KG-pruning signal separating systematic relations from frequency
+    coincidences (lift >> 1e6 fixed-point = genuinely associated).
+
+    Everything stays INTEGRAL: ``lift_x1e6 = floor(cnt * N * 1e6 //
+    (ca * cb))`` where ``N = sum(cnt)`` over the a<b pair list and
+    ``ca`` is a's total co-mention weight — Python-int exact in the
+    final fold (no int64 overflow: the numerator is computed per row
+    as an object-dtype big int), bit-identical to the SQL mirror's
+    HUGEINT arithmetic.
+
+    Shape: one weighted-degree aggregate (bucketed partials), one
+    tagged co-group attaching ``ca``/``cb`` to each pair (keyed twice
+    — the wedge-family degree-attach pattern), zero broadcasts."""
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()  # a < b rows (the cooccur contract)
+
+    # total weight N: per-block partial sums -> driver scalar (exact:
+    # int64 partials, Python-int fold)
+    parts = edges.map_batches(
+        lambda t: pa.table(
+            {"s": pa.array([int(t["cnt"].to_numpy().sum())], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_total = int(parts["s"].sum())
+
+    _LF_TAG = pa.schema(
+        [
+            ("side", pa.int8()),  # 0 = pair row, 1 = degree state
+            ("key", pa.string()),
+            ("other", pa.string()),
+            ("cnt", pa.int64()),
+            ("deg", pa.int64()),
+            ("keyed_on_a", pa.int8()),  # pair rows: which endpoint keys
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def deg_partial(batch: pa.Table) -> pd.DataFrame:
+        # weighted degree counts BOTH endpoints of each a<b pair
+        a = pd.Series(batch["a"].to_numpy(zero_copy_only=False)).astype(str)
+        b = pd.Series(batch["b"].to_numpy(zero_copy_only=False)).astype(str)
+        w = batch["cnt"].to_numpy().astype(np.int64)
+        node = np.concatenate([a.to_numpy(dtype=object), b.to_numpy(dtype=object)])
+        ww = np.concatenate([w, w])
+        vals, inv = np.unique(node.astype(str), return_inverse=True)
+        deg = np.zeros(len(vals), dtype=np.int64)
+        np.add.at(deg, inv, ww)
+        return pd.DataFrame(
+            {
+                "node": vals,
+                "deg": deg,
+                "_bucket": bucket_of(
+                    pd.Series(vals, dtype=object), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["deg"].sum()
+        g["_bucket"] = bucket_of(g["node"].astype(str), num_buckets).astype(
+            np.int32
+        )
+        return g
+
+    deg_ds = (
+        edges.map_batches(arrowed(deg_partial), batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(deg_merge), batch_format="pandas")
+        .materialize()
+    )
+
+    def tag_pairs(key_col: str, other_col: str, keyed_on_a: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            kv = pd.Series(
+                batch[key_col].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            n = len(kv)
+            return pa.table(
+                {
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "key": pa.array(kv, pa.string()),
+                    "other": batch[other_col].cast(pa.string()),
+                    "cnt": batch["cnt"].cast(pa.int64()),
+                    "deg": pa.array(np.zeros(n, dtype=np.int64)),
+                    "keyed_on_a": pa.array(
+                        np.full(n, keyed_on_a, dtype=np.int8)
+                    ),
+                    "_bucket": pa.array(
+                        bucket_of(kv, num_buckets), pa.int32()
+                    ),
+                },
+                schema=_LF_TAG,
+            )
+
+        return fn
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        kv = pd.Series(batch["node"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(kv)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(kv, pa.string()),
+                "other": pa.array([""] * n, pa.string()),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "deg": batch["deg"].cast(pa.int64()),
+                "keyed_on_a": pa.array(np.zeros(n, dtype=np.int8)),
+                "_bucket": pa.array(bucket_of(kv, num_buckets), pa.int32()),
+            },
+            schema=_LF_TAG,
+        )
+
+    def attach_a(df: pd.DataFrame) -> pd.DataFrame:
+        """Attach ca to pairs keyed on a; re-key output by b."""
+        pr = df[df["side"] == 0]
+        dg = df[df["side"] == 1]
+        m = pr.merge(
+            dg[["key", "deg"]].rename(columns={"deg": "ca"}),
+            on="key",
+            how="inner",
+        )
+        out = pd.DataFrame(
+            {
+                "key": m["other"].to_numpy(dtype=object),  # now keyed by b
+                "other": m["key"].to_numpy(dtype=object),
+                "cnt": m["cnt"].to_numpy(np.int64),
+                "deg": m["ca"].to_numpy(np.int64),  # carries ca forward
+                "keyed_on_a": np.int8(0),
+                "side": np.int8(0),
+            }
+        )
+        out["_bucket"] = bucket_of(out["key"].astype(str), num_buckets).astype(
+            np.int32
+        )
+        return out[["side", "key", "other", "cnt", "deg", "keyed_on_a", "_bucket"]]
+
+    def attach_b_and_lift(df: pd.DataFrame) -> pd.DataFrame:
+        pr = df[df["side"] == 0]
+        dg = df[df["side"] == 1]
+        m = pr.merge(
+            dg[["key", "deg"]].rename(columns={"deg": "cb"}),
+            on="key",
+            how="inner",
+        )
+        if len(m) == 0:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype=str),
+                    "b": pd.Series(dtype=str),
+                    "cnt": pd.Series(dtype=np.int64),
+                    "lift_x1e6": pd.Series(dtype=np.int64),
+                }
+            )
+        cnt = m["cnt"].astype(object)  # Python ints: overflow-proof
+        ca = m["deg"].astype(object)
+        cb = m["cb"].astype(object)
+        lift = (cnt * n_total * LIFT_SCALE) // (ca * cb)
+        return pd.DataFrame(
+            {
+                "a": m["other"].to_numpy(dtype=object),
+                "b": m["key"].to_numpy(dtype=object),
+                "cnt": m["cnt"].to_numpy(np.int64),
+                "lift_x1e6": lift.astype(np.int64),
+            }
+        )
+
+    t1 = edges.map_batches(
+        tag_pairs("a", "b", 1), batch_format="pyarrow"
+    ).union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+    keyed_b = (
+        t1.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach_a), batch_format="pandas")
+    )
+    t2 = keyed_b.map_batches(
+        lambda t: t.cast(_LF_TAG), batch_format="pyarrow"
+    ).union(deg_ds.map_batches(tag_deg, batch_format="pyarrow"))
+    return (
+        t2.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach_b_and_lift), batch_format="pandas")
+    )
