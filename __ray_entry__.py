@@ -967,9 +967,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": c.q_ann_topk,
         "purchase_asof_signup": c.q_purchase_asof_signup,
         "sessionize": c.q_sessionize,
-        # rows-only by construction (golden-corpus / opaque payloads)
-        "squad_sample": _q_squad_sample,  # rows-only (golden-corpus E1)
-        "media_features": c.q_media_features,  # rows-only (opaque codec)
+        # every remaining query now carries an oracle (r5)
+        "squad_sample": _q_squad_sample,  # r5: frozen-golden oracle
+        "media_features": c.q_media_features,  # r5: decode-completeness oracle
     }
 
 
@@ -1126,6 +1126,10 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": oc.semdedup_sql(),
         "embedding_dupes_lsh": oc.embedding_dupes_sql(),
         "winnow_sketch": oc.winnow_sketch_sql(),
+        # r5: frozen-golden VALUES oracle, reference-parity-anchored
+        "squad_sample": oc.squad_sample_sql(),
+        # r5: decode-completeness invariants (dims + histogram mass)
+        "media_features": oc.media_features_sql(),
         "media_meta": oc.media_meta_sql(),
         "decontaminate": oc.decontaminate_sql(),
         "embedding_dupes": oc.embedding_dupes_sql(),

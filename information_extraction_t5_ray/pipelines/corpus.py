@@ -1464,15 +1464,20 @@ def q_media_meta(sf_dir: str):
 def q_media_features(sf_dir: str):
     """Multimodal plumbing end-to-end: attach a deterministic binary
     image payload per doc (stand-in for real WARC media), decode +
-    histogram-feature inside an actor-pool stage, then frame-sample
-    (stages/multimodal.py; decode backends gated behind import-try)."""
+    histogram-feature inside an actor-pool stage
+    (stages/multimodal.py; decode backends gated behind import-try).
+    The feature VECTORS are RNG-pixel-derived (engine-side only); the
+    projection emits the decode-completeness invariants a SQL oracle
+    CAN predict — feature_dim = 3 channels x 16 bins and hist_mass =
+    the pre-normalization histogram total, which must equal the
+    payload's 48*48*3 pixels iff every byte decoded and binned."""
     from ..stages import multimodal as mm
 
     docs = _read_docs(sf_dir).map_batches(
         lambda b: mm.attach_payload(b), batch_format="pyarrow"
     )
     feats = mm.media_features_stage(docs)
-    return feats.select_columns(["doc_id", "feature_dim"])
+    return feats.select_columns(["doc_id", "feature_dim", "hist_mass"])
 
 
 # --- bench subset ----------------------------------------------------------

@@ -1067,3 +1067,52 @@ def docs_rollup_sql() -> str:
   CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY ROLLUP(lang, source)"""
+
+
+def squad_sample_sql() -> str:
+    """Frozen-golden VALUES oracle for the E1 converter on the
+    reference's own shipped sample corpus (the input is FIXED — sf_dir
+    is unused by the query).  Provenance: the fixture was frozen from
+    the pipeline output at a commit where
+    ``tests/test_squad_e1_parity.py`` proves the SQuAD structure
+    byte-equal to the REFERENCE converter executed in-process — so the
+    pin is reference-anchored, and any later drift in either the
+    converter or the flat projection turns this row red."""
+    import json
+    from pathlib import Path
+
+    fix = json.load(
+        open(Path(__file__).parent / "fixtures_squad_golden.json")
+    )
+    cols = fix["columns"]
+
+    def lit(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    rows = ",\n".join(
+        "(" + ", ".join(lit(r[c]) for c in cols) + ")" for r in fix["rows"]
+    )
+    collist = ", ".join(cols)
+    return (
+        f"SELECT url, CAST(window_id AS INTEGER) AS window_id,\n"
+        f"  qa_id, question, input_sentence, label_sentence,\n"
+        f"  CAST(answer_start AS BIGINT) AS answer_start,\n"
+        f"  CAST(is_negative AS BOOLEAN) AS is_negative,\n"
+        f"  answer, context, CAST(qa_seq AS INTEGER) AS qa_seq\n"
+        f"FROM (VALUES\n{rows}\n) AS t({collist})"
+    )
+
+
+def media_features_sql() -> str:
+    """Decode-completeness oracle for the media feature stage: the
+    48x48x3 FIMG payload must yield 3x16 = 48 histogram bins whose
+    pre-normalization mass equals the 6912 decoded pixels.  (The
+    feature VALUES are RNG-pixel-derived and stay engine-side.)"""
+    return """SELECT doc_id,
+  CAST(48 AS INTEGER) AS feature_dim,
+  CAST(6912 AS BIGINT) AS hist_mass
+FROM documents"""

@@ -156,7 +156,7 @@ class MediaFeatureExtractor:
         self.edges = np.linspace(0, 256, bins + 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, masses = [], []
         for payload in batch["payload"].to_pylist():
             img = self.codec.decode(payload)
             per_ch = [
@@ -164,6 +164,10 @@ class MediaFeatureExtractor:
                 for ch in range(img.shape[-1])
             ]
             v = np.concatenate(per_ch).astype(np.float64)
+            # pre-normalization histogram MASS == total decoded pixels
+            # (h*w*c): the decode-completeness invariant a SQL oracle
+            # can predict from the payload dimensions
+            masses.append(int(v.sum()))
             n = np.linalg.norm(v)
             feats.append((v / n if n else v).tolist())
         return pa.table(
@@ -173,6 +177,7 @@ class MediaFeatureExtractor:
                 "feature_dim": pa.array(
                     [len(f) for f in feats], pa.int32()
                 ),
+                "hist_mass": pa.array(masses, pa.int64()),
             }
         )
 
