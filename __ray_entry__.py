@@ -823,7 +823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     (relational, corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg)
     rotates out on its fresh rows; kg_fuse / kg_pg_roundtrip and the
     crawl + eval/pivot families ride r3 rows (their own code untouched
-    since r3; the builder's sf0.01 mirror sweep re-verifies all 123
+    since r3; the builder's sf0.01 mirror sweep re-verifies all 124
     every round)."""
     from information_extraction_t5_ray.pipelines import corpus as c
 
