@@ -78,6 +78,43 @@ for op in OPS:
         out = G.shortest_paths(edges, n_rounds=4, local_threshold=THRESH)
     elif op == "walks":
         out = G.random_walks(edges, n_steps=3, local_edge_threshold=THRESH)
+    elif op == "wcore":
+        # derive varying weights (the build keeps cnt=1 for the other
+        # legs' round-over-round comparability)
+        def _w(t):
+            import pyarrow.compute as pc
+            import zlib
+            import numpy as _np
+
+            w = _np.fromiter(
+                (zlib.crc32(x.encode()) % 9 + 1 for x in t["a"].to_pylist()),
+                dtype=_np.int64,
+                count=len(t),
+            )
+            return t.set_column(
+                t.schema.get_field_index("cnt"), "cnt", pa.array(w)
+            )
+
+        wedges = edges.map_batches(_w, batch_format="pyarrow").materialize()
+        out = G.k_core(wedges, k=12, n_rounds=3, local_threshold=THRESH, weighted=True)
+    elif op == "ball2":
+        out = G.two_hop_counts(edges, local_threshold=THRESH)
+    elif op == "hyperball":
+        # p=8 (256 B/node) keeps the register shuffle at edges x 256 B
+        out = G.hyperball_counts(edges, rounds=2, p=8, local_threshold=THRESH)
+    elif op == "harmonic":
+        out = G.harmonic_centrality_2(edges, local_threshold=THRESH)
+    elif op == "lift":
+        # cooccur_lift takes the a<b pair list (the cooccur contract)
+        lo = edges.map_batches(
+            lambda t: t.filter(
+                __import__("pyarrow.compute", fromlist=["compute"]).less(
+                    t["a"], t["b"]
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out = G.cooccur_lift(lo)
     else:
         raise SystemExit(f"unknown op {op}")
     nrows = out.count()
