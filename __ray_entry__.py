@@ -354,6 +354,31 @@ def _q_kg_lift(sf_dir: str):
     return cooccur_lift(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_ktruss(sf_dir: str):
+    """k-truss of the co-mention graph (k=8: every surviving edge sits
+    in >= 6 triangles among survivors — the cohesion primitive one
+    level finer than k-core, peeling EDGES on triangle support; k=8
+    peels ~40% of the corpus graph's edges through a real cascade)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        k_truss,
+    )
+
+    return k_truss(cooccur_edges(run_kg(sf_dir)), k=8)
+
+
+def _q_kg_hits(sf_dir: str):
+    """Integer-exact HITS hub/authority scores over the directed
+    (subj -> obj) assertion graph: authority of a value = total
+    assertion breadth of the documents asserting it; hub of a document
+    weights its values' authority — the source-trust / fusion signal."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import hits_scores
+
+    return hits_scores(run_kg(sf_dir))
+
+
 def _q_kg_kcore(sf_dir: str):
     """19-core of the symmetric co-mention graph (fixed-round
     synchronous peeling; k=19 prunes the 3 lowest-degree entities at
@@ -866,6 +891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hyperball": _q_kg_hyperball,
         "kg_harmonic": _q_kg_harmonic,
         "kg_lift": _q_kg_lift,
+        "kg_hits": _q_kg_hits,
+        "kg_ktruss": _q_kg_ktruss,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
         # --- kgstats / fusion family: r3 rows, shared primitives and
@@ -995,6 +1022,8 @@ def oracle_sql() -> dict[str, str]:
         kg_hyperball_sql,
         kg_harmonic_sql,
         kg_lift_sql,
+        kg_hits_sql,
+        kg_ktruss_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -1058,6 +1087,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_hyperball": kg_hyperball_sql(),
         "kg_harmonic": kg_harmonic_sql(),
         "kg_lift": kg_lift_sql(),
+        "kg_hits": kg_hits_sql(),
+        "kg_ktruss": kg_ktruss_sql(k=8),
         "weighted_sample": oc.weighted_sample_sql(),
         "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),

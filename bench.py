@@ -169,6 +169,16 @@ def _bench_queries(sf_dir: str):
 
         return cooccur_lift(_edges(False)).count()
 
+    def kg_hits() -> int:
+        from information_extraction_t5_ray.stages.graph import hits_scores
+
+        return hits_scores(_tri()).count()
+
+    def kg_ktruss() -> int:
+        from information_extraction_t5_ray.stages.graph import k_truss
+
+        return k_truss(_edges(False), k=8).count()
+
     def kg_harmonic() -> int:
         from information_extraction_t5_ray.stages.graph import (
             harmonic_centrality_2,
@@ -381,6 +391,8 @@ def _bench_queries(sf_dir: str):
         "kg_edge_jaccard": kg_edge_jaccard,
         "kg_kcore": kg_kcore,
         "kg_wcore": kg_wcore,
+        "kg_hits": kg_hits,
+        "kg_ktruss": kg_ktruss,
         "kg_ball2": kg_ball2,
         "kg_hyperball": kg_hyperball,
         "kg_harmonic": kg_harmonic,

@@ -694,6 +694,28 @@ w{i} AS MATERIALIZED (SELECT a, b, cnt FROM {prev}
     return "".join(parts)
 
 
+def kg_ktruss_sql(k: int = 4, n_rounds: int = 8) -> str:
+    """Fixed-round k-truss peeling, unrolled MATERIALIZED CTEs (the
+    kg_kcore_sql pattern) — ground truth for stages/graph.k_truss:
+    round i keeps edges with >= k-2 common neighbors among round i-1
+    survivors; converged rounds are no-ops."""
+    parts = [_graph_cte()]
+    parts.append(", t0 AS MATERIALIZED (SELECT a, b FROM e0)")
+    for i in range(1, n_rounds + 1):
+        prev = f"t{i - 1}"
+        parts.append(
+            f""", sym{i} AS MATERIALIZED (
+  SELECT a, b FROM {prev} UNION ALL SELECT b, a FROM {prev}),
+t{i} AS MATERIALIZED (
+  SELECT t.a, t.b FROM {prev} t
+  JOIN sym{i} e1 ON e1.a = t.a
+  JOIN sym{i} e2 ON e2.a = t.b AND e2.b = e1.b
+  GROUP BY t.a, t.b HAVING count(*) >= {k - 2})"""
+        )
+    parts.append(f" SELECT a, b FROM t{n_rounds}")
+    return "".join(parts)
+
+
 def kg_ball2_sql() -> str:
     """Exact 2-hop neighborhood sizes — ground truth for
     stages/graph.two_hop_counts: distinct nodes within distance <= 2,
@@ -765,6 +787,27 @@ FROM e0
 JOIN w wa ON wa.node = e0.a
 JOIN w wb ON wb.node = e0.b
 CROSS JOIN nt"""
+
+
+def kg_hits_sql() -> str:
+    """Integer-exact HITS over the directed (subj -> obj) assertion
+    graph — ground truth for stages/graph.hits_scores: distinct pairs,
+    h1 = out-degree, a1 = sum of adjacent h1, h2 = sum of adjacent a1,
+    all BIGINT (no normalization inside the fixed 2-iteration budget,
+    so sums are bit-exact in both engines)."""
+    return f"""WITH t AS ({oracle_triples_sql()}),
+e AS (SELECT DISTINCT subj, obj FROM t),
+h1 AS (SELECT subj AS node, CAST(count(*) AS BIGINT) AS w
+       FROM e GROUP BY subj),
+a1 AS (SELECT e.obj AS node, CAST(SUM(h1.w) AS BIGINT) AS w
+       FROM e JOIN h1 ON h1.node = e.subj GROUP BY e.obj),
+h2 AS (SELECT e.subj AS node, CAST(SUM(a1.w) AS BIGINT) AS w
+       FROM e JOIN a1 ON a1.node = e.obj GROUP BY e.subj),
+n AS (SELECT subj AS node FROM e UNION SELECT obj AS node FROM e)
+SELECT n.node,
+       CAST(COALESCE(h2.w, 0) AS BIGINT) AS hub_int,
+       CAST(COALESCE(a1.w, 0) AS BIGINT) AS auth_int
+FROM n LEFT JOIN h2 ON h2.node = n.node LEFT JOIN a1 ON a1.node = n.node"""
 
 
 def kg_diff_sql(

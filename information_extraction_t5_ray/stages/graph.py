@@ -3328,6 +3328,223 @@ def k_core(
     return alive_ds.sort("entity")
 
 
+def _edge_support_codes(cu: np.ndarray, cv: np.ndarray, V: int):
+    """Per-edge triangle support over a canonical (cu < cv) int-coded
+    edge list: degree-ordered wedge emission (the _local_triangles
+    kernel) but scattered to the three EDGES of each confirmed
+    triangle instead of its corners.  Returns int64 support aligned
+    with the (sorted-unique) input edge codes."""
+    keys = cu * V + cv
+    deg = np.bincount(np.concatenate([cu, cv]), minlength=V)
+    order = np.lexsort((np.arange(V), deg))
+    rank = np.empty(V, dtype=np.int64)
+    rank[order] = np.arange(V)
+    swap = rank[cu] > rank[cv]
+    lo = np.where(swap, cv, cu)
+    hi = np.where(swap, cu, cv)
+    srt = np.lexsort((rank[hi], lo))
+    lo, hi = lo[srt], hi[srt]
+    new = np.ones(len(lo), dtype=bool)
+    new[1:] = lo[1:] != lo[:-1]
+    sizes = np.bincount(np.cumsum(new) - 1)
+    starts = np.flatnonzero(new)
+    n1, n2, g = _pairs_by_size_class(starts, sizes, hi)
+    support = np.zeros(len(keys), dtype=np.int64)
+    if len(n1):
+        apex = lo[starts[g]]
+        okeys = np.minimum(lo, hi) * V + np.maximum(lo, hi)  # == keys set
+        hit = np.isin(
+            np.minimum(n1, n2) * V + np.maximum(n1, n2), okeys
+        )
+        ta, t1, t2 = apex[hit], n1[hit], n2[hit]
+        # each triangle supports its three canonical edges
+        e_keys = np.concatenate(
+            [
+                np.minimum(ta, t1) * V + np.maximum(ta, t1),
+                np.minimum(ta, t2) * V + np.maximum(ta, t2),
+                np.minimum(t1, t2) * V + np.maximum(t1, t2),
+            ]
+        )
+        pos = np.searchsorted(keys, e_keys)
+        np.add.at(support, pos, 1)
+    return support
+
+
+def _local_ktruss(batch: pa.Table, k: int, n_rounds: int) -> pa.Table:
+    """Single-task fixed-round k-truss peeling over one complete a<b
+    edge block: per round, drop every edge in fewer than k-2 triangles
+    among the survivors; numpy mirror of the distributed rounds."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+    if len(a) == 0:
+        return empty
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    V = np.int64(len(nodes))
+    u, v = inv[: len(a)].astype(np.int64), inv[len(a):].astype(np.int64)
+    cu, cv = np.minimum(u, v), np.maximum(u, v)
+    keys = np.unique(cu * V + cv)
+    for _ in range(n_rounds):
+        if len(keys) == 0:
+            break
+        cu, cv = keys // V, keys % V
+        support = _edge_support_codes(cu, cv, int(V))
+        nxt = keys[support >= k - 2]
+        if len(nxt) == len(keys):
+            break
+        keys = nxt
+    if len(keys) == 0:
+        return empty
+    return pa.table(
+        {
+            "a": pa.array(nodes[keys // V], pa.string()),
+            "b": pa.array(nodes[keys % V], pa.string()),
+        }
+    )
+
+
+def k_truss(
+    edges_ds,
+    k: int = 4,
+    n_rounds: int = 8,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Fixed-round synchronous k-truss peeling over the a<b co-mention
+    edge list: the edges still alive after ``n_rounds`` of "drop every
+    edge supported by fewer than k-2 triangles among the survivors" —
+    the cohesion primitive one level finer than k-core (every k-truss
+    edge sits inside the (k-1)-core, but not vice versa).  Output
+    ``(a, b)``, sorted.  ``k >= 3`` required (k == 2 keeps every edge
+    and the support recount would be wasted work).
+
+    The round count is part of the operator contract (the k_core /
+    fixed-round-LPA posture, mirrored by the oracle's unrolled
+    MATERIALIZED CTEs); converged rounds are no-ops, so the output IS
+    the true k-truss whenever the cascade depth fits the budget.
+
+    Distributed shape: per round the per-edge triangle support is
+    recomputed with the degree-ordered wedge machinery
+    (:func:`_tagged_wedge_stream` — orientation bounds every
+    out-neighborhood by sqrt(E), so hot entities never emit quadratic
+    wedges) and each confirmed triangle scatters +1 to its three
+    canonical edges; one pair-key-bucketed merge thresholds the
+    support and emits the next edge set.  The driver holds only the
+    surviving-edge COUNT (monotone shrink makes count equality the
+    convergence test) — no edge set, no node map.  Cost: the
+    triangle_counts exchange set (~5 bounded exchanges) per round —
+    the price of truss over core, paid worker-side.
+    """
+    if k < 3:
+        raise ValueError("k_truss requires k >= 3")
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.select_columns(["a", "b"]).materialize()
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_ktruss(t, k, n_rounds),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    import ray.data as rd
+
+    def confirm_edges(df: pd.DataFrame) -> pd.DataFrame:
+        """Wedge-vs-edge confirm emitting the three canonical edge
+        keys of each triangle (support partials), not corners."""
+        is_e = df["_is_edge"] == 1
+        eset = df[is_e][["n1", "n2"]]
+        w = df[~is_e]
+        tri = w.merge(eset, on=["n1", "n2"], how="inner")
+        if len(tri) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                    "_bucket3": pa.array([], pa.int32()),
+                }
+            )
+        # object arrays: np.minimum has no loop across mixed-width
+        # unicode dtypes; elementwise comparisons do
+        ap = tri["apex"].to_numpy(dtype=object)
+        n1 = tri["n1"].to_numpy(dtype=object)
+        n2 = tri["n2"].to_numpy(dtype=object)
+        ea = np.concatenate(
+            [
+                np.where(ap < n1, ap, n1),
+                np.where(ap < n2, ap, n2),
+                np.where(n1 < n2, n1, n2),
+            ]
+        )
+        eb = np.concatenate(
+            [
+                np.where(ap < n1, n1, ap),
+                np.where(ap < n2, n2, ap),
+                np.where(n1 < n2, n2, n1),
+            ]
+        )
+        key = pd.DataFrame({"a": ea, "b": eb})
+        g = key.groupby(["a", "b"], sort=False, as_index=False).size()
+        out = pd.DataFrame(
+            {
+                "a": g["a"].to_numpy(dtype=object),
+                "b": g["b"].to_numpy(dtype=object),
+                "c": g["size"].to_numpy(np.int64),
+            }
+        )
+        out["_bucket3"] = bucket_of(
+            out["a"].astype(str) + "\x1f" + out["b"].astype(str), num_buckets
+        )
+        return out
+
+    def threshold_edges(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "a" not in df.columns:
+            # an all-empty support round reaches here without columns
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        g = df.groupby(["a", "b"], sort=False, as_index=False)["c"].sum()
+        keep = g[g["c"] >= k - 2]
+        return pd.DataFrame(
+            {
+                "a": keep["a"].to_numpy(dtype=object),
+                "b": keep["b"].to_numpy(dtype=object),
+            }
+        )
+
+    for _ in range(n_rounds):
+        if n_edges == 0:
+            break
+        deg_ds = _degree_ds(edges, num_buckets)
+        tagged, _ = _tagged_wedge_stream(edges, deg_ds, num_buckets)
+        support = (
+            tagged.groupby("_bucket2")
+            .map_groups(arrowed(confirm_edges), batch_format="pandas")
+        )
+        nxt = (
+            support.repartition(num_buckets)
+            .groupby("_bucket3")
+            .map_groups(arrowed(threshold_edges), batch_format="pandas")
+            .materialize()
+        )
+        n_nxt = nxt.count()
+        edges = nxt
+        if n_nxt == n_edges:  # monotone shrink: equal count == converged
+            break
+        n_edges = n_nxt
+
+    if n_edges == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        )
+    return edges.sort(["a", "b"])
+
+
 def clustering_coefficient(
     edges_ds,
     num_buckets: Optional[int] = None,
@@ -4223,4 +4440,310 @@ def cooccur_lift(
         t2.repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(attach_b_and_lift), batch_format="pandas")
+    )
+
+
+def _local_hits(batch: pa.Table) -> pa.Table:
+    """Single-task HITS kernel over one complete distinct-edge block
+    (``repartition(1)`` keeps the strings off the driver): factorize
+    endpoints, two integer half-step pushes via ``np.add.at`` —
+    arithmetic-identical to the distributed rounds."""
+    s = batch["subj"].to_numpy(zero_copy_only=False).astype(str)
+    o = batch["obj"].to_numpy(zero_copy_only=False).astype(str)
+    if len(s) == 0:
+        return pa.table(
+            {
+                "node": pa.array([], pa.string()),
+                "hub_int": pa.array([], pa.int64()),
+                "auth_int": pa.array([], pa.int64()),
+            }
+        )
+    nodes, inv = np.unique(np.concatenate([s, o]), return_inverse=True)
+    si, oi = inv[: len(s)], inv[len(s):]
+    n = len(nodes)
+    # h1(u) = out-degree (a0 = 1 everywhere)
+    h1 = np.bincount(si, minlength=n).astype(np.int64)
+    # a1(v) = sum of h1(u) over in-edges (u, v)
+    a1 = np.zeros(n, dtype=np.int64)
+    np.add.at(a1, oi, h1[si])
+    if _exact_sum_nonneg(a1) != _exact_sum_nonneg(h1[si]):
+        raise OverflowError("hits: authority accumulation wrapped int64")
+    # h2(u) = sum of a1(v) over out-edges (u, v)
+    h2 = np.zeros(n, dtype=np.int64)
+    np.add.at(h2, si, a1[oi])
+    if _exact_sum_nonneg(h2) != _exact_sum_nonneg(a1[oi]):
+        raise OverflowError("hits: hub accumulation wrapped int64")
+    return pa.table(
+        {
+            "node": pa.array(nodes.tolist(), pa.string()),
+            "hub_int": pa.array(h2, pa.int64()),
+            "auth_int": pa.array(a1, pa.int64()),
+        }
+    )
+
+
+def hits_scores(
+    triples_ds,
+    num_buckets: Optional[int] = None,
+    local_edge_threshold: int = 4_000_000,
+):
+    """Integer-exact HITS (Kleinberg) hub/authority scores over the
+    DIRECTED assertion graph ``subj -> obj`` (distinct pairs over the
+    full triples table — on the doc->value bipartite KG, authority of
+    a value = total assertion breadth of the documents asserting it;
+    hub of a document weights its values' authority: the
+    source-trust / fusion-confidence signal).
+
+    Two half-step iterations from ``a0 = 1``::
+
+        h1(u) = #out-edges of u
+        a1(v) = sum over in-edges (u, v) of h1(u)
+        h2(u) = sum over out-edges (u, v) of a1(v)
+
+    No normalization inside the fixed budget, so every value is an
+    int64 sum — bit-exact under any partitioning, mirrored 1:1 by the
+    SQL oracle; accumulations carry the repo's exact hi/lo wrap guard
+    (:func:`_exact_sum_nonneg`).  Output ``(node, hub_int, auth_int)``
+    for every endpoint (zeros where a side is empty).
+
+    Distributed path (above ``local_edge_threshold`` distinct edges):
+    the open-vocabulary posture — state lives in hash-bucketed Dataset
+    blocks, each half-step is one tagged-union co-group on the source
+    endpoint plus one destination-bucket merge (the pagerank exchange
+    shape); the final zero-filled outer merge is a third tagged
+    co-group on the node universe.  No broadcast node maps.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    # distinct (subj, obj): per-batch dedup partials -> pair-bucketed
+    # distinct merge (two-phase; raw triples cross the wire once)
+    def pair_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "subj": batch["subj"].to_pandas().astype(str),
+                "obj": batch["obj"].to_pandas().astype(str),
+            }
+        ).drop_duplicates()
+        df["_bucket"] = bucket_of(
+            df["subj"] + "\x1f" + df["obj"], num_buckets
+        )
+        return df
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["subj", "obj"])[["subj", "obj"]]
+
+    edges = (
+        triples_ds.select_columns(["subj", "obj"])
+        .map_batches(arrowed(pair_partial), batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(pair_distinct), batch_format="pandas")
+        .materialize()
+    )
+
+    if edges.count() <= local_edge_threshold:
+        return edges.repartition(1).map_batches(
+            _local_hits, batch_format="pyarrow", batch_size=None
+        )
+
+    # ---- open-vocabulary distributed path ---------------------------
+    _HT_TAG = pa.schema(
+        [
+            ("side", pa.int8()),  # 0 = edge row, 1 = state row
+            ("key", pa.string()),
+            ("dst", pa.string()),
+            ("w", pa.int64()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_edges(src_col: str, dst_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = pd.Series(
+                batch[src_col].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            n = len(k)
+            return pa.table(
+                {
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "key": pa.array(k, pa.string()),
+                    "dst": batch[dst_col].cast(pa.string()),
+                    "w": pa.array(np.zeros(n, dtype=np.int64)),
+                    "_bucket": pa.array(bucket_of(k, num_buckets), pa.int32()),
+                },
+                schema=_HT_TAG,
+            )
+
+        return fn
+
+    def tag_state(batch: pa.Table) -> pa.Table:
+        k = pd.Series(batch["node"].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(k)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(k, pa.string()),
+                "dst": pa.array([""] * n, pa.string()),
+                "w": batch["w"].cast(pa.int64()),
+                "_bucket": pa.array(bucket_of(k, num_buckets), pa.int32()),
+            },
+            schema=_HT_TAG,
+        )
+
+    def push(df: pd.DataFrame) -> pd.DataFrame:
+        """Co-group kernel: attach state w(key) to edge rows, emit
+        per-dst partial sums (missing state = 0: nodes with no score
+        yet contribute nothing)."""
+        e = df[df["side"] == 0]
+        st = df[df["side"] == 1]
+        if len(e) == 0:
+            # typed Arrow empty (size-estimator spam rule)
+            return pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "w": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        m = pd.Series(st["w"].to_numpy(np.int64), index=st["key"].to_numpy())
+        wv = e["key"].map(m).fillna(0).astype(np.int64).to_numpy()
+        g = (
+            pd.DataFrame({"node": e["dst"].to_numpy(), "w": wv})
+            .groupby("node", sort=False, as_index=False)["w"]
+            .sum()
+        )
+        gw = g["w"].to_numpy(np.int64)
+        if bool((gw < 0).any()) or _exact_sum_nonneg(gw) != _exact_sum_nonneg(
+            wv
+        ):
+            raise OverflowError("hits: push accumulation wrapped int64")
+        g["_bucket"] = bucket_of(g["node"].astype(str), num_buckets).astype(
+            np.int32
+        )
+        return g
+
+    def merge_state(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False, as_index=False)["w"].sum()
+        gw = g["w"].to_numpy(np.int64)
+        win = df["w"].to_numpy(np.int64)
+        if bool((gw < 0).any()) or _exact_sum_nonneg(gw) != _exact_sum_nonneg(
+            win
+        ):
+            raise OverflowError("hits: merge accumulation wrapped int64")
+        return g[["node", "w"]]
+
+    def half_step(state_ds, src_col: str, dst_col: str):
+        tagged = edges.map_batches(
+            tag_edges(src_col, dst_col), batch_format="pyarrow"
+        ).union(state_ds.map_batches(tag_state, batch_format="pyarrow"))
+        return (
+            tagged.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(push), batch_format="pandas")
+            .repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(merge_state), batch_format="pandas")
+            .materialize()
+        )
+
+    # h1 = out-degree: push a0 = 1 along reversed edges would need an
+    # a0 state; the count form is cheaper (node-bounded two-phase)
+    def h1_partial(batch: pa.Table) -> pd.DataFrame:
+        g = (
+            pd.DataFrame(
+                {"node": batch["subj"].to_pandas().astype(str)}
+            )
+            .groupby("node", sort=False, as_index=False)
+            .size()
+            .rename(columns={"size": "w"})
+        )
+        g["w"] = g["w"].astype(np.int64)
+        g["_bucket"] = bucket_of(g["node"], num_buckets)
+        return g
+
+    h1_ds = (
+        edges.map_batches(arrowed(h1_partial), batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(merge_state), batch_format="pandas")
+        .materialize()
+    )
+    a1_ds = half_step(h1_ds, "subj", "obj")
+    h2_ds = half_step(a1_ds, "obj", "subj")
+
+    # zero-filled outer merge over the endpoint universe: tagged union
+    # (side 0 = hub rows, 1 = auth rows, 2 = universe rows)
+    _OUT_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("node", pa.string()),
+            ("w", pa.int64()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_out(side: int, col: str = "w"):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = pd.Series(
+                batch["node"].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            n = len(k)
+            w = (
+                batch[col].cast(pa.int64())
+                if col in batch.column_names
+                else pa.array(np.zeros(n, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "side": pa.array(np.full(n, side, dtype=np.int8)),
+                    "node": pa.array(k, pa.string()),
+                    "w": w,
+                    "_bucket": pa.array(bucket_of(k, num_buckets), pa.int32()),
+                },
+                schema=_OUT_TAG,
+            )
+
+        return fn
+
+    def universe(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["subj"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["obj"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        df = pd.DataFrame({"node": vals})
+        df["w"] = np.int64(0)
+        df["_bucket"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    def outer(df: pd.DataFrame) -> pd.DataFrame:
+        hub = df[df["side"] == 0].groupby("node")["w"].sum()
+        auth = df[df["side"] == 1].groupby("node")["w"].sum()
+        nodes = df[df["side"] == 2]["node"].drop_duplicates()
+        return pd.DataFrame(
+            {
+                "node": nodes.to_numpy(dtype=object),
+                "hub_int": nodes.map(hub).fillna(0).astype(np.int64).to_numpy(),
+                "auth_int": nodes.map(auth)
+                .fillna(0)
+                .astype(np.int64)
+                .to_numpy(),
+            }
+        )
+
+    tagged_out = (
+        h2_ds.map_batches(tag_out(0), batch_format="pyarrow")
+        .union(a1_ds.map_batches(tag_out(1), batch_format="pyarrow"))
+        .union(
+            edges.map_batches(arrowed(universe), batch_format="pyarrow")
+            .map_batches(tag_out(2), batch_format="pyarrow")
+        )
+    )
+    return (
+        tagged_out.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(outer), batch_format="pandas")
     )

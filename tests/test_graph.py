@@ -765,3 +765,101 @@ def test_shortest_paths_distributed_matches_local(ray_session):
     sd = loc.set_index("node")["dist"]
     assert sd["n0000"] == 0 and sd.min() == 0
     assert (sd >= 0).all()
+
+
+def test_hits_scores_closed_form(ray_session):
+    """Hand-computable bipartite HITS: h1 = out-degree, a1 = sum of
+    asserting docs' out-degrees, h2 = sum of values' a1."""
+    got = (
+        G.hits_scores(_triples(FIXTURE))
+        .to_pandas()
+        .set_index("node")
+        .sort_index()
+    )
+    # out-degrees: d1=3, d2=2, d3=2, d4=1, d5=2
+    # a1(recife) = d1+d2+d4+d5 = 3+2+1+2 = 8; a1(pe) = 3+2 = 5
+    # a1(ana) = 3; a1(natal) = 2; a1(rn) = 2; a1(pb) = 2
+    assert got.loc["recife", "auth_int"] == 8
+    assert got.loc["pe", "auth_int"] == 5
+    assert got.loc["ana", "auth_int"] == 3
+    # h2(d1) = a1(recife) + a1(pe) + a1(ana) = 8 + 5 + 3 = 16
+    assert got.loc["d1", "hub_int"] == 16
+    # h2(d4) = a1(recife) = 8
+    assert got.loc["d4", "hub_int"] == 8
+    # doc nodes have no in-edges; value nodes have no out-edges
+    assert got.loc["d1", "auth_int"] == 0
+    assert got.loc["recife", "hub_int"] == 0
+
+
+def test_hits_distributed_matches_local(ray_session):
+    """The open-vocabulary distributed path (local_edge_threshold=0)
+    must be bit-identical to the single-task kernel, including the
+    duplicate-pair dedup and the zero-filled universe."""
+    rows = FIXTURE + [("d1", "form.extra", "recife")]  # dup (d1, recife)
+    loc = (
+        G.hits_scores(_triples(rows))
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.hits_scores(_triples(rows), local_edge_threshold=0)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)
+    # the duplicated (d1, recife) pair must count once: h1(d1) still 3
+    assert (
+        loc.set_index("node").loc["recife", "auth_int"] == 8
+    ), "distinct-pair contract violated"
+
+
+def test_ktruss_closed_form_and_cascade(ray_session):
+    """5-clique: every edge has support 3 -> survives k=5, peeled at
+    k=6.  Two triangles sharing an edge: the shared edge has support
+    2 but its wingmen have 1, so k=4 cascades to empty (round 1 drops
+    the wings, round 2 starves the shared edge)."""
+    import itertools
+
+    clique = [(f"c{i}", f"c{j}", 1) for i, j in
+              itertools.combinations(range(5), 2)]
+    got = G.k_truss(_edges(clique, blocks=2), k=5).to_pandas()
+    assert len(got) == 10
+    assert len(G.k_truss(_edges(clique, blocks=2), k=6).to_pandas()) == 0
+    bowtie = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+              ("b", "d", 1), ("c", "d", 1)]  # triangles abc + bcd
+    assert len(G.k_truss(_edges(bowtie), k=3).to_pandas()) == 5
+    assert len(G.k_truss(_edges(bowtie), k=4).to_pandas()) == 0
+    # round cap honored: one round only drops the wings
+    one = G.k_truss(_edges(bowtie), k=4, n_rounds=1).to_pandas()
+    assert sorted(map(tuple, one.values.tolist())) == [("b", "c")]
+    with pytest.raises(ValueError, match="k >= 3"):
+        G.k_truss(_edges(bowtie), k=2)
+
+
+def test_ktruss_distributed_matches_local(ray_session):
+    """Forced-distributed rounds (local_threshold=0) must equal the
+    single-task kernel, including pendant edges (support 0) and the
+    full-collapse case."""
+    import itertools
+
+    rows = (
+        [(f"c{i}", f"c{j}", 1) for i, j in itertools.combinations(range(5), 2)]
+        + [("c0", "x", 1), ("x", "y", 1)]  # pendant path
+        + [("p", "q", 1), ("p", "r", 1), ("q", "r", 1)]  # lone triangle
+    )
+    def pairs(ds):
+        df = ds.to_pandas()  # empty datasets lose their columns
+        if "a" not in df.columns:
+            return []
+        return sorted(map(tuple, df[["a", "b"]].values.tolist()))
+
+    for k in (3, 5, 6):
+        loc = pairs(G.k_truss(_edges(rows, blocks=3), k=k))
+        dist = pairs(G.k_truss(_edges(rows, blocks=3), k=k, local_threshold=0))
+        assert loc == dist, k
+        if k == 5:
+            assert len(loc) == 10  # the clique alone
+        if k == 6:
+            assert loc == []

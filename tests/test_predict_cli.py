@@ -152,9 +152,13 @@ def test_cli_query_list_covers_registry(capsys):
     # every registered query appears with its oracle marker
     import __ray_entry__ as entry
 
-    for name in entry.queries():
-        assert name in out
-    assert "oracle" in out and "rows-only" in out
+    oracled = set(entry.oracle_sql())
+    for line in out.strip().splitlines():
+        name, marker = line.split("\t")
+        expected = "oracle" if name in oracled else "rows-only"
+        assert marker == expected, (name, marker)
+    listed = {ln.split("\t")[0] for ln in out.strip().splitlines()}
+    assert listed == set(entry.queries())
 
 
 def test_predict_scores_only_file_defined_pairs(ray_session, tmp_path):
