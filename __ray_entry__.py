@@ -522,6 +522,23 @@ def _q_crawl_latest(sf_dir: str):
     return latest_snapshot(read_crawl(sf_dir))
 
 
+def _q_crawl_canonical(sf_dir: str):
+    """URL canonicalization dedup: deterministic dirty surface forms
+    (tracking params / fragments / host case / dangling separators)
+    merged back onto canonical urls, newest snapshot per canonical —
+    the intake step ahead of latest_snapshot on raw WARC listings."""
+    from information_extraction_t5_ray.sources.crawl import (
+        messy_urls,
+        read_crawl,
+    )
+    from information_extraction_t5_ray.stages.crawl import canonical_latest
+
+    dirty = read_crawl(sf_dir).map_batches(
+        messy_urls, batch_format="pyarrow"
+    )
+    return canonical_latest(dirty)
+
+
 def _q_domain_stats(sf_dir: str):
     """Per-domain inventory (exact distinct urls, page counts)."""
     from information_extraction_t5_ray.sources.crawl import read_crawl
@@ -893,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lift": _q_kg_lift,
         "kg_hits": _q_kg_hits,
         "kg_ktruss": _q_kg_ktruss,
+        "heavy_hitters": c.q_heavy_hitters,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
         # --- kgstats / fusion family: r3 rows, shared primitives and
@@ -920,6 +938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- crawl-intake family (code untouched since r3; rides the
         # r3 rows + the in-repo mirror sweep) ---
         "crawl_latest": _q_crawl_latest,
+        "crawl_canonical": _q_crawl_canonical,
         "domain_stats": _q_domain_stats,
         "blocklist_filter": _q_blocklist_filter,
         "recrawl_changes": _q_recrawl_changes,
@@ -1089,6 +1108,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lift": kg_lift_sql(),
         "kg_hits": kg_hits_sql(),
         "kg_ktruss": kg_ktruss_sql(k=8),
+        "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "weighted_sample": oc.weighted_sample_sql(),
         "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),
@@ -1110,6 +1130,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_fuse": kg_fuse_sql(),
         "kg_pg_roundtrip": kg_cooccur_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
+        "crawl_canonical": ocr.crawl_canonical_sql(),
         "domain_stats": ocr.domain_stats_sql(),
         "blocklist_filter": ocr.blocklist_filter_sql(),
         "recrawl_changes": ocr.recrawl_changes_sql(),

@@ -372,6 +372,20 @@ def _bench_queries(sf_dir: str):
 
         return latest_snapshot(read_crawl(sf_dir)).count()
 
+    def crawl_canonical() -> int:
+        from information_extraction_t5_ray.sources.crawl import (
+            messy_urls,
+            read_crawl,
+        )
+        from information_extraction_t5_ray.stages.crawl import (
+            canonical_latest,
+        )
+
+        dirty = read_crawl(sf_dir).map_batches(
+            messy_urls, batch_format="pyarrow"
+        )
+        return canonical_latest(dirty).count()
+
     def url_frontier() -> int:
         from information_extraction_t5_ray.sources.crawl import read_crawl
         from information_extraction_t5_ray.stages.crawl import (
@@ -415,6 +429,7 @@ def _bench_queries(sf_dir: str):
         "kg_merge": kg_merge,
         "kg_fuse": kg_fuse,
         "crawl_latest": crawl_latest,
+        "crawl_canonical": crawl_canonical,
         "url_frontier": url_frontier,
     }
     for name, fn in corpus.bench_queries(sf_dir).items():

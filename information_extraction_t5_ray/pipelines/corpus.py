@@ -1504,6 +1504,7 @@ def bench_queries(sf_dir: str):
         "asof_join": lambda: q_purchase_asof_signup(sf_dir).count(),
         "weighted_sample": lambda: q_weighted_sample(sf_dir).count(),
         "docs_rollup": lambda: q_docs_rollup(sf_dir).count(),
+        "heavy_hitters": lambda: q_heavy_hitters(sf_dir).count(),
     }
 
 
@@ -1622,3 +1623,10 @@ def q_docs_rollup(sf_dir: str):
         .repartition(1)
         .map_batches(final, batch_format="pandas")
     )
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact 1/k-heavy hitters over the corpus token stream (k=150):
+    two-pass candidate/verify — the full vocabulary never crosses the
+    wire, yet the output is exact (token, cnt)."""
+    return textstats.heavy_hitters(_read_docs(sf_dir), k=150)

@@ -106,3 +106,43 @@ def read_crawl(sf_dir: str, repeat: int = 1):
     ds = ds.repartition(16)
     ds = replicate_doc_ids(ds, repeat)
     return ds.map_batches(documents_to_crawl, batch_format="pyarrow")
+
+
+def messy_urls(batch: pa.Table) -> pa.Table:
+    """Deterministic 'dirty surface form' decoration of the crawl urls
+    — the fixture side of URL canonicalization (real crawls see the
+    same page under tracking params, fragments, mixed-case hosts and
+    dangling separators).  Closed-form per row so the DuckDB oracle
+    rebuilds it exactly: with ``d = content_id // 16`` and
+    ``r = (seconds(warc_ts) - d*60) // 86400`` (the generator's
+    revision index), variant ``m = (d + r) % 4``::
+
+        m == 0 -> url + '?utm_source=feed&utm_campaign=c{d%7}'
+        m == 1 -> url + '#sec{d%5}'
+        m == 2 -> scheme+host UPPERCASED
+        m == 3 -> url + '?'
+
+    Only the url column changes; canonicalization must merge all
+    variants of a page back onto one key."""
+    url = pd.Series(batch["url"].to_pandas(), dtype=str)
+    d = np.asarray(batch["content_id"].to_numpy(zero_copy_only=False),
+                   np.int64) // 16
+    secs = batch["warc_ts"].cast(pa.int64()).to_numpy() // 1_000_000
+    base = (CRAWL_BASE_TS - np.datetime64(0, "us")).astype(
+        "timedelta64[us]"
+    ).astype(np.int64) // 1_000_000
+    r = (secs - base - d * 60) // 86_400
+    m = (d + r) % 4
+    utm = "?utm_source=feed&utm_campaign=c" + pd.Series(d % 7).astype(str)
+    frag = "#sec" + pd.Series(d % 5).astype(str)
+    upper = url.str.replace(
+        r"^([A-Za-z]+://[^/]*)", lambda mt: mt.group(1).upper(), regex=True
+    )
+    out = url.copy()
+    out[m == 0] = (url + utm)[m == 0]
+    out[m == 1] = (url + frag)[m == 1]
+    out[m == 2] = upper[m == 2]
+    out[m == 3] = (url + "?")[m == 3]
+    cols = {c: batch[c] for c in batch.column_names}
+    cols["url"] = pa.array(out.tolist(), pa.string())
+    return pa.table(cols)

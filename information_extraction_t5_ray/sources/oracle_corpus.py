@@ -885,6 +885,19 @@ SELECT ngram, count(*) AS cnt FROM ng
 GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 100"""
 
 
+def heavy_hitters_sql(k: int = 150) -> str:
+    """Exact 1/k-heavy hitters — ground truth for
+    stages/textstats.heavy_hitters: tokens are \\S+ runs, keep tokens
+    with count * k strictly greater than the total token count."""
+    return f"""WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS token FROM documents
+),
+tot AS (SELECT count(*) AS n FROM toks)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM toks CROSS JOIN tot
+GROUP BY token, tot.n HAVING count(*) * {k} > tot.n"""
+
+
 def events_pivot_sql() -> str:
     return """SELECT user_id,
   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

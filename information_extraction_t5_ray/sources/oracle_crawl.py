@@ -120,3 +120,45 @@ SELECT host, url, warc_ts FROM (
          row_number() OVER (PARTITION BY host ORDER BY warc_ts, url) AS rn
   FROM latest
 ) WHERE rn <= {k}"""
+
+
+def crawl_canonical_sql() -> str:
+    """URL canonicalization + newest-per-canonical-url — ground truth
+    for stages/crawl.canonical_latest over sources/crawl.messy_urls:
+    the dirty decoration is closed-form in (d, r) and the canonical
+    chain runs the SAME four RE2 patterns in the same order."""
+    return f"""{_crawl_cte()},
+mess AS (
+  SELECT *, content_id // 16 AS d,
+    (date_diff('second', TIMESTAMP '2020-01-01', warc_ts)
+       - (content_id // 16) * 60) // 86400 AS r
+  FROM c
+),
+dirty AS (
+  SELECT warc_ts, content_id, n_bytes,
+    CASE CAST((d + r) % 4 AS INTEGER)
+      WHEN 0 THEN url || '?utm_source=feed&utm_campaign=c'
+                      || CAST(d % 7 AS VARCHAR)
+      WHEN 1 THEN url || '#sec' || CAST(d % 5 AS VARCHAR)
+      WHEN 2 THEN upper(regexp_extract(url, '^[A-Za-z]+://[^/]*'))
+                  || regexp_replace(url, '^[A-Za-z]+://[^/]*', '')
+      ELSE url || '?'
+    END AS url
+  FROM mess
+),
+canon AS (
+  SELECT warc_ts, content_id, n_bytes, url,
+    lower(regexp_extract(u3, '^[A-Za-z]+://[^/]*'))
+      || regexp_replace(u3, '^[A-Za-z]+://[^/]*', '') AS canon_url
+  FROM (
+    SELECT *, regexp_replace(regexp_replace(regexp_replace(
+        url, '#.*$', ''), '[?&]utm_[^&#]*', '', 'g'), '[?&]+$', '') AS u3
+    FROM dirty
+  )
+)
+SELECT canon_url, url, warc_ts, content_id FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY canon_url
+    ORDER BY warc_ts DESC, content_id DESC, n_bytes DESC, url DESC) AS rn
+  FROM canon
+) WHERE rn = 1"""

@@ -454,3 +454,62 @@ def run_crawl_checkpointed(sf_dir: str, ckpt_dir: str, quota_k: int = 10):
         fp_quota,
     )
     return quota, skipped
+
+
+# URL canonicalization chain — ORDER IS THE CONTRACT, and every pattern
+# is RE2-compatible so the DuckDB oracle runs the same chain verbatim:
+#   1. strip the fragment            (#.*$        -> '')
+#   2. strip utm_* tracking params   ([?&]utm_[^&#]* -> '', global)
+#   3. strip dangling separators     ([?&]+$      -> '')
+#   4. lowercase scheme + host       (prefix ^[A-Za-z]+://[^/]*)
+CANON_FRAGMENT_RE = r"#.*$"
+CANON_UTM_RE = r"[?&]utm_[^&#]*"
+CANON_DANGLING_RE = r"[?&]+$"
+CANON_PREFIX_RE = r"^[A-Za-z]+://[^/]*"
+
+
+def canonicalize_url_series(url: pd.Series) -> pd.Series:
+    """Vectorized canonical chain over a string Series (pandas .str
+    ops are the Python mirror of the oracle's regexp_replace chain)."""
+    u = url.str.replace(CANON_FRAGMENT_RE, "", regex=True)
+    u = u.str.replace(CANON_UTM_RE, "", regex=True)
+    u = u.str.replace(CANON_DANGLING_RE, "", regex=True)
+    return u.str.replace(
+        CANON_PREFIX_RE, lambda m: m.group(0).lower(), regex=True
+    )
+
+
+def canonical_latest(crawl_ds, num_buckets: Optional[int] = None):
+    """Newest snapshot per CANONICAL url over dirty surface forms:
+    ``(canon_url, url, warc_ts, content_id)`` — url dedup under
+    tracking params / fragments / host case / dangling separators,
+    the intake step ahead of latest_snapshot when the frontier feeds
+    raw WARC listings.
+
+    Same two-phase argmax as :func:`latest_snapshot`, keyed on the
+    canonical form computed map-side (no extra exchange: canonical-
+    ization rides the partial pass); the surviving row carries the
+    winning DIRTY url for provenance."""
+    num_buckets = resolve_parallelism(num_buckets)
+    cols = ["canon_url", "warc_ts", "content_id", "n_bytes", "url"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(
+            ["url", "warc_ts", "content_id", "n_bytes"]
+        ).to_pandas()
+        df["canon_url"] = canonicalize_url_series(df["url"].astype(str))
+        df = df.sort_values(cols, kind="stable")
+        top = df.groupby("canon_url", sort=False).tail(1).copy()
+        top["_bucket"] = bucket_of(top["canon_url"], num_buckets)
+        return top[cols + ["_bucket"]]
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(cols, kind="stable")
+        top = df.groupby("canon_url", sort=False).tail(1)
+        return top[["canon_url", "url", "warc_ts", "content_id"]]
+
+    return (
+        crawl_ds.map_batches(arrowed(partial), batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )

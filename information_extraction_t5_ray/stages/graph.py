@@ -4461,6 +4461,10 @@ def _local_hits(batch: pa.Table) -> pa.Table:
     nodes, inv = np.unique(np.concatenate([s, o]), return_inverse=True)
     si, oi = inv[: len(s)], inv[len(s):]
     n = len(nodes)
+    # distinct (subj, obj) pairs — the kernel dedups itself, so the
+    # local path never pays a bucketed distinct exchange
+    codes = np.unique(si.astype(np.int64) * n + oi.astype(np.int64))
+    si, oi = codes // n, codes % n
     # h1(u) = out-degree (a0 = 1 everywhere)
     h1 = np.bincount(si, minlength=n).astype(np.int64)
     # a1(v) = sum of h1(u) over in-edges (u, v)
@@ -4515,8 +4519,9 @@ def hits_scores(
     """
     num_buckets = resolve_parallelism(num_buckets)
 
-    # distinct (subj, obj): per-batch dedup partials -> pair-bucketed
-    # distinct merge (two-phase; raw triples cross the wire once)
+    # distinct (subj, obj): per-batch dedup partials first (cheap, no
+    # shuffle); the bucketed distinct merge is only paid on the
+    # distributed path — the local kernel dedups itself
     def pair_partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame(
             {
@@ -4532,19 +4537,24 @@ def hits_scores(
     def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(subset=["subj", "obj"])[["subj", "obj"]]
 
-    edges = (
+    partials = (
         triples_ds.select_columns(["subj", "obj"])
         .map_batches(arrowed(pair_partial), batch_format="pyarrow")
-        .repartition(num_buckets)
+        .materialize()
+    )
+
+    if partials.count() <= local_edge_threshold:
+        # per-batch-deduped pairs upper-bound the distinct edge count
+        return partials.repartition(1).map_batches(
+            _local_hits, batch_format="pyarrow", batch_size=None
+        )
+
+    edges = (
+        partials.repartition(num_buckets)
         .groupby("_bucket")
         .map_groups(arrowed(pair_distinct), batch_format="pandas")
         .materialize()
     )
-
-    if edges.count() <= local_edge_threshold:
-        return edges.repartition(1).map_batches(
-            _local_hits, batch_format="pyarrow", batch_size=None
-        )
 
     # ---- open-vocabulary distributed path ---------------------------
     _HT_TAG = pa.schema(

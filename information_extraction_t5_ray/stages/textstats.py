@@ -771,3 +771,137 @@ def tfidf_top_terms(
     )
     with_df = rows.groupby("bucket").map_groups(attach_df, batch_format="pandas")
     return with_df.groupby("dbucket").map_groups(topk, batch_format="pandas")
+
+
+def heavy_hitters(
+    docs_ds,
+    k: int = 200,
+    num_buckets: int | None = None,
+    batch_size: int = 2048,
+):
+    """EXACT phi-heavy hitters (phi = 1/k) over the corpus token
+    stream — every token whose global count strictly exceeds N/k,
+    with its exact count — via the classic two-pass candidate/verify
+    shape (Misra-Gries / SpaceSaving's distributed form), so the full
+    token vocabulary NEVER crosses the wire:
+
+    1. Candidate pass: per batch, exact in-batch token counts
+       (np.unique — the vectorized equivalent of a k-counter
+       Misra-Gries summary over a batch that fits in memory); keep
+       tokens with ``cnt_b * k > n_b``.  Pigeonhole guarantee: a token
+       with global count > N/k must clear that threshold in at least
+       one batch, so the union of per-batch candidates is a SUPERSET
+       of the answer — and each batch emits FEWER THAN k rows by
+       construction, so the driver-folded candidate set is bounded by
+       k x n_batches (scalars + a small vocabulary, not data).
+    2. Verify pass: the deduped candidate array broadcasts once
+       (``ray.put``); each batch recounts ONLY candidates, one
+       bucketed merge sums them, and the final filter ``cnt * k > N``
+       (N = exact total tokens, folded from pass-1 partials) makes the
+       output exact.
+
+    Tokens are ``\\S+`` runs (``str.split()``), mirrored by the SQL
+    oracle's ``regexp_extract_all(text, '\\S+')``.  Output
+    ``(token, cnt)``, BIGINT counts.
+    """
+    import ray
+
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def candidates_partial(batch: pa.Table) -> pa.Table:
+        toks: List[np.ndarray] = []
+        for t in batch["text"].to_pylist():
+            w = (t or "").split()
+            if w:
+                toks.append(np.asarray(w, dtype=object))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "n_b": pa.array([], pa.int64())}
+            )
+        flat = np.concatenate(toks)
+        vals, cnt = np.unique(flat.astype(str), return_counts=True)
+        n_b = len(flat)
+        keep = cnt.astype(np.int64) * k > n_b
+        # one extra row (token = "", n_b = batch total) carries the
+        # exact token-count partial alongside the candidates
+        return pa.table(
+            {
+                "token": pa.array(
+                    vals[keep].tolist() + [""], pa.string()
+                ),
+                "n_b": pa.array(
+                    np.concatenate(
+                        [np.zeros(int(keep.sum()), dtype=np.int64),
+                         np.asarray([n_b], dtype=np.int64)]
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    # bounded driver fold: < k candidate rows + 1 scalar row per batch
+    pass1 = docs_ds.map_batches(
+        candidates_partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    n_total = int(pass1["n_b"].sum())
+    cand = np.unique(
+        pass1.loc[pass1["token"] != "", "token"].to_numpy(dtype=object).astype(str)
+    )
+    if len(cand) == 0 or n_total == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        )
+    cand_ref = ray.put(cand)  # broadcast ONCE, read per task
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        cd = ray.get(cand_ref)
+        toks: List[np.ndarray] = []
+        for t in batch["text"].to_pylist():
+            w = (t or "").split()
+            if w:
+                toks.append(np.asarray(w, dtype=object))
+        if not toks:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()),
+                 "_bucket": pa.array([], pa.int32())}
+            )
+        flat = np.concatenate(toks).astype(str)
+        flat = flat[np.isin(flat, cd)]
+        vals, cnt = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(vals.tolist(), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                "_bucket": pa.array(
+                    bucket_of(pd.Series(vals, dtype=object), num_buckets),
+                    pa.int32(),
+                ),
+            }
+        )
+
+    def merge_threshold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "token" not in df.columns:
+            return pa.table(
+                {"token": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64())}
+            )
+        g = df.groupby("token", sort=False, as_index=False)["cnt"].sum()
+        g = g[g["cnt"].to_numpy(np.int64) * k > n_total]
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g[["token", "cnt"]]
+
+    return (
+        docs_ds.map_batches(
+            verify_partial, batch_format="pyarrow", batch_size=batch_size
+        )
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(merge_threshold, batch_format="pandas")
+    )

@@ -1102,3 +1102,42 @@ def test_minhash_rejects_degenerate_band_config(ray_session):
         minhash_lsh_pairs(ds, num_perm=64, bands=128)  # rows would be 0
     with pytest.raises(ValueError, match="bands"):
         minhash_lsh_pairs(ds, num_perm=64, bands=48)  # remainder dropped
+
+
+def test_heavy_hitters_exact_and_batch_invariant(ray_session):
+    """Planted heavy hitter: the two-pass candidate/verify shape must
+    return EXACT counts with a strict cnt*k > N threshold, identically
+    at any batch size (the candidate superset guarantee)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    # 60 docs; "hot" appears twice per doc (120), "warm" once per doc
+    # (60), fillers unique per doc (2 each).  N = 60*5 = 300 tokens.
+    docs = [
+        {"doc_id": i, "text": f"hot hot warm u{i}a u{i}b"} for i in range(60)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+                "text": pa.array([d["text"] for d in docs], pa.string()),
+            }
+        )
+    )
+    # k=4: threshold N/k = 75 -> only "hot" (120) qualifies; "warm"
+    # (60) misses; at k=5 the threshold is 60 and warm STILL misses
+    # (strict >), proving threshold semantics
+    for bs in (2048, 7):
+        got = (
+            ts.heavy_hitters(ds, k=4, batch_size=bs)
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        assert got["token"].tolist() == ["hot"], bs
+        assert got["cnt"].tolist() == [120], bs
+    k5 = ts.heavy_hitters(ds, k=5).to_pandas()
+    assert sorted(k5["token"]) == ["hot"]  # strict >: 60*5 == 300 fails
+    # k=6: threshold 50 -> warm (60) now qualifies
+    k6 = ts.heavy_hitters(ds, k=6).to_pandas()
+    assert sorted(k6["token"]) == ["hot", "warm"]

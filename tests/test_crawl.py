@@ -243,3 +243,49 @@ def test_latest_intervals_matches_composed(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(fused, composed)
+
+
+def test_canonicalize_url_chain_semantics():
+    import pandas as pd
+
+    from information_extraction_t5_ray.stages.crawl import (
+        canonicalize_url_series,
+    )
+
+    u = pd.Series(
+        [
+            "https://a.example.org/p/1?utm_source=x&utm_campaign=y",
+            "https://a.example.org/p/1#sec2",
+            "HTTPS://A.EXAMPLE.ORG/p/1",
+            "https://a.example.org/p/1?",
+            "https://a.example.org/p/1?q=keep&utm_medium=z#frag",
+        ]
+    )
+    got = canonicalize_url_series(u).tolist()
+    assert got[:4] == ["https://a.example.org/p/1"] * 4
+    # non-utm params survive; fragment and utm do not
+    assert got[4] == "https://a.example.org/p/1?q=keep"
+
+
+def test_canonical_latest_merges_dirty_variants(ray_session):
+    """All dirty variants of a page must collapse onto ONE canonical
+    row, and the winner must be the newest snapshot."""
+    from information_extraction_t5_ray.sources.crawl import (
+        messy_urls,
+        read_crawl,
+    )
+    from information_extraction_t5_ray.stages.crawl import (
+        canonical_latest,
+        latest_snapshot,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dirty = read_crawl(sf).map_batches(messy_urls, batch_format="pyarrow")
+    canon = canonical_latest(dirty).to_pandas()
+    clean_latest = latest_snapshot(read_crawl(sf)).to_pandas()
+    # one row per page, same key space as the clean-url latest
+    assert sorted(canon["canon_url"]) == sorted(clean_latest["url"])
+    # winners are the same snapshots (newest per page)
+    a = canon.sort_values("canon_url")["content_id"].tolist()
+    b = clean_latest.sort_values("url")["content_id"].tolist()
+    assert a == b
