@@ -911,6 +911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "kg_ktruss": _q_kg_ktruss,
         "heavy_hitters": c.q_heavy_hitters,
+        "dup_spans": c.q_dup_spans,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
         # --- kgstats / fusion family: r3 rows, shared primitives and
@@ -1109,6 +1110,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": kg_hits_sql(),
         "kg_ktruss": kg_ktruss_sql(k=8),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
+        "dup_spans": oc.dup_spans_sql(w=8),
         "weighted_sample": oc.weighted_sample_sql(),
         "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),

@@ -1505,6 +1505,7 @@ def bench_queries(sf_dir: str):
         "weighted_sample": lambda: q_weighted_sample(sf_dir).count(),
         "docs_rollup": lambda: q_docs_rollup(sf_dir).count(),
         "heavy_hitters": lambda: q_heavy_hitters(sf_dir).count(),
+        "dup_spans": lambda: q_dup_spans(sf_dir).count(),
     }
 
 
@@ -1630,3 +1631,12 @@ def q_heavy_hitters(sf_dir: str):
     two-pass candidate/verify — the full vocabulary never crosses the
     wire, yet the output is exact (token, cnt)."""
     return textstats.heavy_hitters(_read_docs(sf_dir), k=150)
+
+
+def q_dup_spans(sf_dir: str):
+    """Repeated-span detection (the ExactSubstr detection phase, Lee
+    et al. 2022) over the dup-injected corpus: per doc, how many word
+    8-grams occur >= 2 times anywhere in the corpus and how many words
+    the duplicated spans cover — exact twice over (hash candidates,
+    then string-verified)."""
+    return dedup_ops.dup_spans(dup_corpus(sf_dir), w=8)

@@ -1129,3 +1129,35 @@ def media_features_sql() -> str:
   CAST(48 AS INTEGER) AS feature_dim,
   CAST(6912 AS BIGINT) AS hist_mass
 FROM documents"""
+
+
+def dup_spans_sql(w: int = 8) -> str:
+    """Repeated-span detection — ground truth for
+    stages/dedup.dup_spans: word w-grams occurring >= 2 times anywhere
+    in the corpus; per doc, the duplicated-gram count and the
+    interval-union word span via the min(gap, w) telescope."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(w))
+    gram = gram.replace("w[i+0]", "w[i]")
+    return f"""WITH {DUP_CORPUS_CTE},
+t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
+),
+g AS (
+  SELECT doc_id,
+    unnest(range(1, len(w) - {w - 2})) AS pos,
+    unnest(list_transform(range(1, len(w) - {w - 2}), i -> {gram})) AS gram
+  FROM t WHERE len(w) >= {w}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cand AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+m AS (
+  SELECT doc_id, pos,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM cand
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_dup_grams,
+       CAST(SUM(CASE WHEN prev IS NULL THEN {w}
+                     ELSE least(pos - prev, {w}) END) AS BIGINT)
+         AS dup_span_words
+FROM m GROUP BY doc_id"""

@@ -1598,3 +1598,192 @@ def incremental_dedup(new_ds, snapshot_ds, num_partitions: int | None = None,
     return incoming.join(
         seen, "left_anti", num_partitions=num_partitions, on=("key",)
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-span detection (the ExactSubstr detection phase)
+# ---------------------------------------------------------------------------
+
+
+def dup_spans(
+    docs_ds,
+    w: int = 8,
+    num_buckets: int | None = None,
+    batch_size: int = 1024,
+):
+    """Repeated-span detection — the detection phase of exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at word granularity): for every document,
+    how many of its word ``w``-grams occur at least TWICE anywhere in
+    the corpus (including within the same document — boilerplate
+    counts), and how many words those duplicated spans cover (union of
+    the [pos, pos+w) intervals).
+
+    Output ``(doc_id, n_dup_grams, dup_span_words)`` for docs with at
+    least one duplicated gram — the mask a removal pass would consume.
+
+    Exact without ever shipping the full gram stream as strings (the
+    decontaminate posture — hash first, string-verify only the hits):
+
+    1. duplicate-hash sketch: per-batch uint64 gram-hash count folds
+       (int64-only wire) -> bucketed sum -> hashes with count >= 2.
+       The DUPLICATED-gram vocabulary is the small side (bounded by
+       true duplication, not corpus size) and broadcasts once.
+    2. verify pass: batches re-derive grams, ``np.isin`` against the
+       broadcast dup-hash array, and only HIT rows ship their literal
+       gram string, bucketed BY HASH (same-string grams always share a
+       hash, so string groups are complete within a hash bucket);
+       per-bucket exact string counts drop hash collisions.
+    3. per-doc island fold: verified (doc, pos) rows bucket by doc;
+       sorted-position interval union via the min(gap, w) telescope —
+       no per-position Python loop.
+    """
+    import ray
+
+    from .textstats import batch_word_ngrams
+
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        _, h, _ = batch_word_ngrams(batch, w)
+        if len(h) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.int64()),
+                 "cnt": pa.array([], pa.int64()),
+                 "bucket": pa.array([], pa.int32())}
+            )
+        vals, cnt = np.unique(h, return_counts=True)
+        sv = vals.astype(np.int64)  # reinterpretable, order-stable
+        return pa.table(
+            {
+                "h": pa.array(sv),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "bucket": pa.array((vals % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def dup_hashes(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "h" not in df.columns:
+            return pa.table({"h": pa.array([], pa.int64())})
+        g = df.groupby("h", sort=False, as_index=False)["cnt"].sum()
+        return g.loc[g["cnt"] >= 2, ["h"]]
+
+    dup_parts = []
+    for b in (
+        docs_ds.map_batches(
+            hash_partial, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("bucket")
+        .map_groups(dup_hashes, batch_format="pandas")
+        .iter_batches(batch_format="pandas")
+    ):
+        dup_parts.append(b["h"].to_numpy(np.int64).astype(np.uint64))
+    dups = (
+        np.sort(np.concatenate(dup_parts))
+        if dup_parts
+        else np.empty(0, np.uint64)
+    )
+    if len(dups) == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_dup_grams": pa.array([], pa.int64()),
+                    "dup_span_words": pa.array([], pa.int64()),
+                }
+            )
+        )
+    dups_ref = ray.put(dups)
+
+    def verify_rows(batch: pa.Table) -> pa.Table:
+        dp = ray.get(dups_ref)
+        d, h, g, pos = batch_word_ngrams(batch, w, return_pos=True)
+        empty = pa.table(
+            {
+                "h": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int32()),
+            }
+        )
+        if len(h) == 0:
+            return empty
+        hit = np.isin(h, dp)
+        if not hit.any():
+            return empty
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        hh = h[hit]
+        return pa.table(
+            {
+                "h": pa.array(hh.astype(np.int64)),
+                "gram": g.filter(pa.array(hit)),
+                "doc_id": pa.array(doc_ids[d[hit]]),
+                "pos": pa.array(pos[hit]),
+                "bucket": pa.array((hh % num_buckets).astype(np.int32)),
+            }
+        )
+
+    def string_verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "gram" not in df.columns:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                    "dbucket": pa.array([], pa.int32()),
+                }
+            )
+        sizes = df.groupby("gram", sort=False)["gram"].transform("size")
+        keep = df[sizes >= 2]
+        out = keep[["doc_id", "pos"]].copy()
+        out["dbucket"] = (out["doc_id"].to_numpy() % num_buckets).astype(
+            np.int32
+        )
+        return out
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_dup_grams": pa.array([], pa.int64()),
+                    "dup_span_words": pa.array([], pa.int64()),
+                }
+            )
+        df = df.sort_values(["doc_id", "pos"], kind="stable")
+        doc = df["doc_id"].to_numpy(np.int64)
+        pos = df["pos"].to_numpy(np.int64)
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        # interval-union telescope: first gram of a doc contributes w,
+        # each subsequent one min(gap, w)
+        gap = np.empty(len(pos), dtype=np.int64)
+        gap[0] = w
+        gap[1:] = np.minimum(pos[1:] - pos[:-1], w)
+        gap[new] = w
+        seg = np.cumsum(new) - 1
+        n_docs = int(seg[-1]) + 1
+        cnt = np.bincount(seg, minlength=n_docs).astype(np.int64)
+        span = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(span, seg, gap)
+        return pd.DataFrame(
+            {
+                "doc_id": doc[new],
+                "n_dup_grams": cnt,
+                "dup_span_words": span,
+            }
+        )
+
+    return (
+        docs_ds.map_batches(
+            verify_rows, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("bucket")
+        .map_groups(string_verify, batch_format="pandas")
+        .groupby("dbucket")
+        .map_groups(islands, batch_format="pandas")
+    )

@@ -370,9 +370,11 @@ def rep_signals_stage(docs_ds, batch_size: int = 2048):
     )
 
 
-def batch_word_ngrams(batch: pa.Table, n: int):
+def batch_word_ngrams(batch: pa.Table, n: int, return_pos: bool = False):
     """Batch-wide word n-gram explosion: -> (doc_pos int64[G],
-    gram_hash uint64[G], gram_strings Arrow string[G]).
+    gram_hash uint64[G], gram_strings Arrow string[G]) — plus, with
+    ``return_pos``, the 0-based WORD OFFSET of each gram within its
+    document (int64[G]), for span/position consumers (dup_spans).
 
     Fully vectorized: tokens explode once per batch (Arrow kernels),
     every token gets a C-level siphash (``pd.util.hash_array`` — the
@@ -390,6 +392,8 @@ def batch_word_ngrams(batch: pa.Table, n: int):
         np.empty(0, np.uint64),
         pa.array([], pa.string()),
     )
+    if return_pos:
+        empty = empty + (np.empty(0, np.int64),)
     if L <= 0:
         return empty
     th = pd.util.hash_array(toks.to_pandas().to_numpy()).astype(np.uint64)
@@ -403,7 +407,17 @@ def batch_word_ngrams(batch: pa.Table, n: int):
         *(toks.slice(j, L) for j in range(n)), " "
     )
     vmask = pa.array(valid)
-    return d[:L][valid], h[valid], grams.filter(vmask)
+    dv = d[:L][valid]
+    out = (dv, h[valid], grams.filter(vmask))
+    if return_pos:
+        # gram i starts at flat token i; subtract its doc's first
+        # flat-token index to get the 0-based in-doc word offset
+        uniq, first = np.unique(d, return_index=True)
+        fmap = np.zeros(int(uniq.max()) + 1, dtype=np.int64)
+        fmap[uniq] = first
+        pos = np.flatnonzero(valid) - fmap[dv]
+        out = out + (pos,)
+    return out
 
 
 # --- count-based LM fluency (CCNet-shaped scoring loop) ----------------------

@@ -1141,3 +1141,55 @@ def test_heavy_hitters_exact_and_batch_invariant(ray_session):
     # k=6: threshold 50 -> warm (60) now qualifies
     k6 = ts.heavy_hitters(ds, k=6).to_pandas()
     assert sorted(k6["token"]) == ["hot", "warm"]
+
+
+def test_dup_spans_planted_and_islands(ray_session):
+    """Planted repeats: a shared 8-gram between two docs marks exactly
+    w positions in each; overlapping repeats within one doc must merge
+    into one island (interval-union, not per-gram sum)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = [
+        # docs 1 and 2 share the 8-gram once, surrounded by unique text
+        {"doc_id": 1, "text": f"u1a u1b {shared} u1c u1d"},
+        {"doc_id": 2, "text": f"u2a {shared} u2b u2c u2d"},
+        # doc 3: internal repeat 'x1..x8 x1..x8' -> grams at many
+        # offsets are duplicated ACROSS the two copies; the island
+        # union must cover the repeated region once, not 8x
+        {"doc_id": 3, "text": " ".join([f"x{i}" for i in range(1, 9)] * 2)},
+        {"doc_id": 4, "text": "only unique words here nothing repeats at all"},
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+                "text": pa.array([d["text"] for d in docs], pa.string()),
+            }
+        )
+    )
+    got = (
+        dd.dup_spans(ds, w=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    by = got.set_index("doc_id")
+    # one shared gram -> 1 dup position, 8-word span
+    assert by.loc[1, "n_dup_grams"] == 1 and by.loc[1, "dup_span_words"] == 8
+    assert by.loc[2, "n_dup_grams"] == 1 and by.loc[2, "dup_span_words"] == 8
+    # doc 3: 16 tokens, 9 grams, gram(x1..x8) appears at pos 0 and 8;
+    # every other gram is unique -> 2 dup positions, islands [0,8)+[8,16)
+    assert by.loc[3, "n_dup_grams"] == 2
+    assert by.loc[3, "dup_span_words"] == 16
+    # batch-size invariance (candidate/verify must not depend on
+    # partitioning)
+    got7 = (
+        dd.dup_spans(ds, w=8, batch_size=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(got7)
