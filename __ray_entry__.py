@@ -354,6 +354,19 @@ def _q_kg_lift(sf_dir: str):
     return cooccur_lift(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_assortativity(sf_dir: str):
+    """Degree assortativity of the co-mention graph (one-row macro
+    scalar: hub-hub vs hub-leaf attachment), exact big-int sums with
+    a single IEEE division mirrored by the HUGEINT oracle."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        assortativity,
+        cooccur_edges,
+    )
+
+    return assortativity(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_ktruss(sf_dir: str):
     """k-truss of the co-mention graph (k=8: every surviving edge sits
     in >= 6 triangles among survivors — the cohesion primitive one
@@ -910,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_lift": _q_kg_lift,
         "kg_hits": _q_kg_hits,
         "kg_ktruss": _q_kg_ktruss,
+        "kg_assortativity": _q_kg_assortativity,
         "heavy_hitters": c.q_heavy_hitters,
         "dup_spans": c.q_dup_spans,
         "weighted_sample": c.q_weighted_sample,
@@ -1044,6 +1058,7 @@ def oracle_sql() -> dict[str, str]:
         kg_lift_sql,
         kg_hits_sql,
         kg_ktruss_sql,
+        kg_assortativity_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -1109,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_lift": kg_lift_sql(),
         "kg_hits": kg_hits_sql(),
         "kg_ktruss": kg_ktruss_sql(k=8),
+        "kg_assortativity": kg_assortativity_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
         "weighted_sample": oc.weighted_sample_sql(),

@@ -169,6 +169,11 @@ def _bench_queries(sf_dir: str):
 
         return cooccur_lift(_edges(False)).count()
 
+    def kg_assortativity() -> int:
+        from information_extraction_t5_ray.stages.graph import assortativity
+
+        return len(assortativity(_edges(True)))
+
     def kg_hits() -> int:
         from information_extraction_t5_ray.stages.graph import hits_scores
 
@@ -407,6 +412,7 @@ def _bench_queries(sf_dir: str):
         "kg_wcore": kg_wcore,
         "kg_hits": kg_hits,
         "kg_ktruss": kg_ktruss,
+        "kg_assortativity": kg_assortativity,
         "kg_ball2": kg_ball2,
         "kg_hyperball": kg_hyperball,
         "kg_harmonic": kg_harmonic,

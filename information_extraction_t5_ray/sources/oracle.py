@@ -789,6 +789,25 @@ JOIN w wb ON wb.node = e0.b
 CROSS JOIN nt"""
 
 
+def kg_assortativity_sql() -> str:
+    """Degree assortativity over the symmetric co-mention graph —
+    ground truth for stages/graph.assortativity: symmetric marginals
+    collapse Pearson to (m*sxy - sx^2) / (m*sxx - sx^2), folded in
+    HUGEINT with ONE final double division (the engine folds Python
+    big ints and performs the same single division)."""
+    return f"""{_graph_cte()},
+d AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY a),
+p AS (SELECT CAST(da.deg AS HUGEINT) AS x, CAST(db.deg AS HUGEINT) AS y
+      FROM e JOIN d da ON da.node = e.a JOIN d db ON db.node = e.b),
+s AS (SELECT CAST(count(*) AS HUGEINT) AS m, SUM(x) AS sx,
+             SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM p)
+SELECT CAST(m AS BIGINT) AS m,
+       CASE WHEN m*sxx - sx*sx = 0 THEN NULL
+            ELSE CAST(m*sxy - sx*sx AS DOUBLE)
+                 / CAST(m*sxx - sx*sx AS DOUBLE) END AS assortativity
+FROM s"""
+
+
 def kg_hits_sql() -> str:
     """Integer-exact HITS over the directed (subj -> obj) assertion
     graph — ground truth for stages/graph.hits_scores: distinct pairs,

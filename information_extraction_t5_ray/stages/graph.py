@@ -4757,3 +4757,150 @@ def hits_scores(
         .groupby("_bucket")
         .map_groups(arrowed(outer), batch_format="pandas")
     )
+
+
+def assortativity(edges_ds, num_buckets: Optional[int] = None):
+    """Degree assortativity coefficient (Newman 2002) over a SYMMETRIC
+    edge list — one row ``(m, assortativity)``: do hubs attach to hubs
+    (r > 0) or to leaves (r < 0)?  The macro-structure scalar a KG
+    health check reports next to clustering/kcore.
+
+    On a symmetric list the x/y marginals coincide, so Pearson over
+    edge-endpoint degrees collapses to ``r = (m*sxy - sx*sx) /
+    (m*sxx - sx*sx)`` — every sum folded EXACTLY (per-group partials
+    ship as decimal strings, the driver folds Python big ints, so no
+    int64 ceiling at any edge volume), then ONE float division both
+    engines execute identically (HUGEINT -> DOUBLE in the mirror).
+
+    Shape: one degree aggregate + two degree-attach co-groups (the
+    cooccur_lift pattern) + a bounded driver fold of num_buckets
+    partial rows.  Regular graphs (zero degree variance) yield NULL.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.materialize()
+    _check_symmetric(edges, num_buckets)
+
+    deg_ds = _degree_ds(edges, num_buckets)  # per-a counts == degree
+
+    def tag_edge(key_col: str, other_col: str, x_col: Optional[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            kv = pd.Series(
+                batch[key_col].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            n = len(kv)
+            x = (
+                batch[x_col].cast(pa.int64())
+                if x_col is not None and x_col in batch.column_names
+                else pa.array(np.zeros(n, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "key": pa.array(kv, pa.string()),
+                    "other": batch[other_col].cast(pa.string()),
+                    "d": x,
+                    "_bucket": pa.array(
+                        bucket_of(kv, num_buckets), pa.int32()
+                    ),
+                },
+                schema=_DEG_TAG,
+            )
+
+        return fn
+
+    def attach_x(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "other": pa.array([], pa.string()),
+                    "x": pa.array([], pa.int64()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        m = e[["key", "other"]].merge(s[["key", "d"]], on="key", how="inner")
+        b = m["other"].to_numpy(dtype=object)
+        return pd.DataFrame(
+            {
+                "key": b,  # re-keyed by the b endpoint
+                "other": m["key"].to_numpy(dtype=object),
+                "x": m["d"].to_numpy(np.int64),
+                "_bucket": bucket_of(
+                    pd.Series(b, dtype=object).astype(str), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def attach_y_sums(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pa.table(
+                {
+                    "m": pa.array([], pa.int64()),
+                    "sx": pa.array([], pa.string()),
+                    "sxx": pa.array([], pa.string()),
+                    "sxy": pa.array([], pa.string()),
+                }
+            )
+        mg = e[["key", "other", "d"]].rename(columns={"d": "x"}).merge(
+            s[["key", "d"]].rename(columns={"d": "y"}), on="key", how="inner"
+        )
+        # exact big-int partials (object dtype = Python ints)
+        x = mg["x"].astype(object)
+        y = mg["y"].astype(object)
+        return pd.DataFrame(
+            {
+                "m": [np.int64(len(mg))],
+                "sx": [str(x.sum())],
+                "sxx": [str((x * x).sum())],
+                "sxy": [str((x * y).sum())],
+            }
+        )
+
+    # exchange 1: attach deg(a), re-key by b
+    t1 = edges.map_batches(
+        tag_edge("a", "b", None), batch_format="pyarrow"
+    ).union(deg_ds.map_batches(_tag_deg_state, batch_format="pyarrow"))
+    keyed_b = (
+        t1.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach_x), batch_format="pandas")
+    )
+
+    def tag_stage2(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "side": pa.array(np.zeros(n, dtype=np.int8)),
+                "key": batch["key"].cast(pa.string()),
+                "other": batch["other"].cast(pa.string()),
+                "d": batch["x"].cast(pa.int64()),
+                "_bucket": batch["_bucket"].cast(pa.int32()),
+            },
+            schema=_DEG_TAG,
+        )
+
+    t2 = keyed_b.map_batches(tag_stage2, batch_format="pyarrow").union(
+        deg_ds.map_batches(_tag_deg_state, batch_format="pyarrow")
+    )
+    parts = (
+        t2.repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(attach_y_sums), batch_format="pandas")
+        .to_pandas()
+    )
+    # bounded fold: num_buckets rows of decimal-string partials
+    m = int(parts["m"].sum()) if len(parts) else 0
+    sx = sum(int(v) for v in parts["sx"]) if len(parts) else 0
+    sxx = sum(int(v) for v in parts["sxx"]) if len(parts) else 0
+    sxy = sum(int(v) for v in parts["sxy"]) if len(parts) else 0
+    num, den = m * sxy - sx * sx, m * sxx - sx * sx
+    # ONE float division (mirror: CAST(HUGEINT AS DOUBLE) / ...)
+    r = float(num) / float(den) if den != 0 else None
+    return pd.DataFrame(
+        {"m": pd.Series([m], dtype=np.int64),
+         "assortativity": pd.Series([r], dtype=np.float64)}
+    )

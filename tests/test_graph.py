@@ -863,3 +863,19 @@ def test_ktruss_distributed_matches_local(ray_session):
             assert len(loc) == 10  # the clique alone
         if k == 6:
             assert loc == []
+
+
+def test_assortativity_closed_form(ray_session):
+    """Star K(1,3): every edge joins deg-3 to deg-1 -> r = -1.
+    Perfect 4-clique: zero degree variance -> NULL (None)."""
+    import itertools
+
+    star = [("hub", f"l{i}", 1) for i in range(3)]
+    got = G.assortativity(_sym(star))
+    assert got["m"].iloc[0] == 6  # symmetric: 3 undirected edges
+    assert got["assortativity"].iloc[0] == -1.0
+    clique = [(f"c{i}", f"c{j}", 1) for i, j in
+              itertools.combinations(range(4), 2)]
+    reg = G.assortativity(_sym(clique))
+    assert reg["m"].iloc[0] == 12
+    assert pd.isna(reg["assortativity"].iloc[0])
