@@ -860,26 +860,27 @@ def _q_kg_nt_roundtrip(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """124 entries, ordered by driver value: the verify gate checks the
+    """130 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (CORRECTNESS_r0{2,3,4} are exactly the first 50 keys of
     each round's dict), so queries whose newest green row is STALEST —
     or whose running code/oracle changed since that row — come first.
 
     Round-5 window: flagship KG (a row every round), the r5-new
-    kg_neighbor_agg2, the five sketch queries that just gained
-    derived-set oracles, the HLL pair that just gained tolerance
-    oracles, kg_pagerank/kg_ppr/kg_walks (fast paths moved worker-side
-    this round), then the graph + kgstats/fusion families — r3-green
-    rows but r4 consolidated their degree-state exchange machinery and
-    rewired the wedge family AFTER those rows were earned (VERDICT r4
-    item 1), and the six NEW r5 ops (weighted core, exact 2-hop ball,
-    HyperBall cross-validation, radius-2 harmonic centrality, weighted
-    Poisson sampling, grouping-sets rollup).  Everything r4-green
-    (relational, corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg)
-    rotates out on its fresh rows; kg_fuse / kg_pg_roundtrip and the
-    crawl + eval/pivot families ride r3 rows (their own code untouched
-    since r3; the builder's sf0.01 mirror sweep re-verifies all 124
-    every round)."""
+    kg_neighbor_agg2, the five sketch queries that gained derived-set
+    oracles this round, the HLL pair with their new tolerance oracles,
+    kg_pagerank/kg_ppr/kg_walks (fast paths moved worker-side this
+    round), the graph family (r3 rows but r4 consolidated its
+    degree-state machinery — VERDICT r4 item 1), and the THIRTEEN new
+    r5 operators: weighted core, exact 2-hop ball, HyperBall
+    cross-validation, radius-2 harmonic centrality, association lift,
+    integer-exact HITS, k-truss, degree assortativity, exact heavy
+    hitters, repeated-span detection (ExactSubstr), URL-canonicalize
+    dedup, weighted Poisson sampling, grouping-sets rollup — then the
+    kgstats/fusion head.  Everything r4-green (relational,
+    corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg) rotates out
+    on its fresh rows; kg_degrees/kg_neighbors (simple two-phase
+    aggregates untouched since r3) cede their slots; the builder's
+    sf0.01 mirror sweep re-verifies all 130 every round."""
     from information_extraction_t5_ray.pipelines import corpus as c
 
     return {
@@ -902,10 +903,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
-        # --- graph family: r3 rows, machinery consolidated in r4 ---
-        "kg_degrees": _q_kg_degrees,
+        # --- graph family: r3 rows, machinery consolidated in r4
+        # (kg_degrees / kg_neighbors — simple two-phase aggregates
+        # untouched since r3 — yield their slots to the r5-new ops
+        # below and ride the in-repo mirror sweep) ---
         "kg_cooccur": _q_kg_cooccur,
-        "kg_neighbors": _q_kg_neighbors,
         "kg_components": _q_kg_components,
         "kg_triangles": _q_kg_triangles,
         "kg_clustering": _q_kg_clustering,
@@ -926,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _q_kg_assortativity,
         "heavy_hitters": c.q_heavy_hitters,
         "dup_spans": c.q_dup_spans,
+        "crawl_canonical": _q_crawl_canonical,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
         # --- kgstats / fusion family: r3 rows, shared primitives and
@@ -953,11 +956,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- crawl-intake family (code untouched since r3; rides the
         # r3 rows + the in-repo mirror sweep) ---
         "crawl_latest": _q_crawl_latest,
-        "crawl_canonical": _q_crawl_canonical,
         "domain_stats": _q_domain_stats,
         "blocklist_filter": _q_blocklist_filter,
         "recrawl_changes": _q_recrawl_changes,
         # ==== past the ~50-entry driver window ====
+        # simple two-phase aggregates untouched since r3 (slots ceded
+        # to the r5-new ops above)
+        "kg_degrees": _q_kg_degrees,
+        "kg_neighbors": _q_kg_neighbors,
         # crawl remainder + eval/pivot: r3 rows, code untouched since
         "host_quota": _q_host_quota,
         "snapshot_intervals": _q_snapshot_intervals,

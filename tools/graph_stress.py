@@ -115,6 +115,82 @@ for op in OPS:
             batch_format="pyarrow",
         ).materialize()
         out = G.cooccur_lift(lo)
+    elif op == "ktruss":
+        # triangle-rich dedicated a<b list (ring + i+2 + i+3 chords:
+        # every edge sits in ~4 triangles), k=5 forces a real partial
+        # peel through the per-round wedge recompute
+        # every edge sits in 2-4 triangles; at k=5 the diff-3 chords
+        # (support 2) peel first and the cascade empties the periphery,
+        # but every 100th node closes a K5 (one extra i+4 chord) whose
+        # 10 edges keep support 3 after the collapse -> N/10 survivors
+        # through a REAL multi-round cascade
+        def tri_edges(batch):
+            i = batch["id"].to_numpy()
+            k5 = i[i % 100 == 0]
+            a = np.concatenate([i, i, i, k5])
+            b = np.concatenate(
+                [(i + 1) % N, (i + 2) % N, (i + 3) % N, (k5 + 4) % N]
+            )
+            lo_, hi_ = np.minimum(a, b), np.maximum(a, b)
+            s_ = np.char.add("n", np.char.zfill(lo_.astype(str), 10))
+            t_ = np.char.add("n", np.char.zfill(hi_.astype(str), 10))
+            return pa.table({
+                "a": pa.array(s_.tolist(), pa.string()),
+                "b": pa.array(t_.tolist(), pa.string()),
+            })
+
+        tri = ray.data.range(N).map_batches(
+            tri_edges, batch_format="pyarrow"
+        ).materialize()
+        out = G.k_truss(tri, k=5, n_rounds=4, local_threshold=THRESH)
+    elif op == "hits":
+        # directed edges: reuse (a -> b) as (subj -> obj) assertions
+        out = G.hits_scores(
+            edges.map_batches(
+                lambda t: pa.table(
+                    {"subj": t["a"], "pred": t["a"], "obj": t["b"]}
+                ),
+                batch_format="pyarrow",
+            ),
+            local_edge_threshold=THRESH,
+        )
+    elif op == "assort":
+        # degree variance: every 4th node carries one extra chord (the
+        # shared ring+chord graph is 4-regular -> NULL by definition;
+        # an every-2nd-node chord is ALSO regular — the 13t+5 map
+        # covers each odd node exactly once)
+        def var_edges(batch):
+            i = batch["id"].to_numpy()
+            ev = i[i % 4 == 0]
+            c2 = (ev * 13 + 5) % N
+            a = np.concatenate([i, (i + 1) % N, ev, c2])
+            b = np.concatenate([(i + 1) % N, i, c2, ev])
+            s_ = np.char.add("n", np.char.zfill(a.astype(str), 10))
+            t_ = np.char.add("n", np.char.zfill(b.astype(str), 10))
+            return pa.table({
+                "a": pa.array(s_.tolist(), pa.string()),
+                "b": pa.array(t_.tolist(), pa.string()),
+                "cnt": pa.array(np.ones(len(a), dtype=np.int64)),
+            })
+
+        vedges = ray.data.range(N).map_batches(
+            var_edges, batch_format="pyarrow"
+        ).materialize()
+        t0 = time.time()
+        df = G.assortativity(vedges)
+        nrows = len(df)
+        dt = time.time() - t0
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+        grew = rss - rss0
+        print(
+            f"{op}: {dt:.1f}s rows={nrows} r={df['assortativity'].iloc[0]:.4f} "
+            f"driver_peak_rss={rss:.0f}MB (+{grew:.0f}MB)",
+            flush=True,
+        )
+        if RSS_BOUND is not None and grew > RSS_BOUND:
+            print(f"FAIL: {op} grew driver RSS by {grew:.0f}MB > {RSS_BOUND}MB")
+            failed = True
+        continue
     else:
         raise SystemExit(f"unknown op {op}")
     nrows = out.count()
