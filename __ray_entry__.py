@@ -928,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_assortativity": _q_kg_assortativity,
         "heavy_hitters": c.q_heavy_hitters,
         "dup_spans": c.q_dup_spans,
+        "funnel": c.q_funnel,
         "crawl_canonical": _q_crawl_canonical,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
@@ -1133,6 +1134,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_assortativity": kg_assortativity_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
+        "funnel": oc.funnel_sql(),
         "weighted_sample": oc.weighted_sample_sql(),
         "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),

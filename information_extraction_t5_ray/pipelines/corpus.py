@@ -1506,6 +1506,7 @@ def bench_queries(sf_dir: str):
         "docs_rollup": lambda: q_docs_rollup(sf_dir).count(),
         "heavy_hitters": lambda: q_heavy_hitters(sf_dir).count(),
         "dup_spans": lambda: q_dup_spans(sf_dir).count(),
+        "funnel": lambda: q_funnel(sf_dir).count(),
     }
 
 
@@ -1640,3 +1641,24 @@ def q_dup_spans(sf_dir: str):
     the duplicated spans cover — exact twice over (hash candidates,
     then string-verified)."""
     return dedup_ops.dup_spans(dup_corpus(sf_dir), w=8)
+
+
+FUNNEL_WINDOW_MINUTES = 1440  # 24 h conversion window
+
+
+def q_funnel(sf_dir: str):
+    """Ordered signup -> click -> purchase funnel per user (stage k
+    counts only at-or-after stage k-1 and within a 24 h conversion
+    window — the window creates real drop-off: ~57/24/19% splits at
+    sf0.01), one user-hash exchange."""
+    import datetime as dt
+
+    from ..stages.temporal import funnel
+
+    events = _read_pq(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel(
+        events, within=dt.timedelta(minutes=FUNNEL_WINDOW_MINUTES)
+    )

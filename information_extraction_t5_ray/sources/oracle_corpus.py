@@ -1161,3 +1161,51 @@ SELECT doc_id,
                      ELSE least(pos - prev, {w}) END) AS BIGINT)
          AS dup_span_words
 FROM m GROUP BY doc_id"""
+
+
+def funnel_sql(
+    stages=("signup", "click", "purchase"),
+    within_minutes: int | str = "default",
+) -> str:
+    """Ordered funnel conversion — ground truth for
+    stages/temporal.funnel: stage k's earliest timestamp at or after
+    the user's stage-(k-1) time (and within the conversion window when
+    ``within_minutes`` is set), chained LEFT JOINs from the stage-1
+    cohort."""
+    if within_minutes == "default":
+        from ..pipelines.corpus import FUNNEL_WINDOW_MINUTES
+
+        within_minutes = FUNNEL_WINDOW_MINUTES
+    stages = list(stages)
+    parts = [
+        f"""WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{stages[0]}' GROUP BY user_id)"""
+    ]
+    for k, st in enumerate(stages[1:], start=2):
+        win = (
+            f" AND e.ts <= p.t{k - 1} + INTERVAL {within_minutes} MINUTE"
+            if within_minutes is not None else ""
+        )
+        parts.append(
+            f""", s{k} AS (
+  SELECT e.user_id, min(e.ts) AS t{k}
+  FROM events e JOIN s{k - 1} p USING (user_id)
+  WHERE e.event_type = '{st}' AND e.ts >= p.t{k - 1}{win}
+  GROUP BY e.user_id)"""
+        )
+    n = len(stages)
+    done = " + ".join(
+        f"CASE WHEN s{k}.t{k} IS NULL THEN 0 ELSE 1 END"
+        for k in range(2, n + 1)
+    )
+    tcols = ", ".join(f"s{k}.t{k}" for k in range(1, n + 1))
+    joins = "".join(
+        f" LEFT JOIN s{k} ON s{k}.user_id = s1.user_id"
+        for k in range(2, n + 1)
+    )
+    return (
+        f"{''.join(parts)}\nSELECT s1.user_id, "
+        f"CAST(1 + {done} AS BIGINT) AS stages_completed, {tcols} "
+        f"FROM s1{joins}"
+    )

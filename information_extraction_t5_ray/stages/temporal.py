@@ -200,3 +200,95 @@ def rolling_window_sum(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=16384)
     return tagged.groupby("_bucket").map_groups(assign, batch_format="pyarrow")
+
+
+def funnel(
+    events_ds,
+    stages=("signup", "click", "purchase"),
+    within: Optional[_dt.timedelta] = None,
+    num_buckets: Optional[int] = None,
+):
+    """Ordered funnel conversion per user: stage k counts only if it
+    happens AT OR AFTER the user's stage-(k-1) completion time — and,
+    with ``within``, no later than ``t_{k-1} + within`` (the
+    conversion-window form every product-analytics funnel uses) — the
+    signup -> click -> purchase primitive.
+
+    Output one row per user who completed stage 1:
+    ``(user_id, stages_completed, t1, t2, ..., tK)`` with ``t_k`` the
+    earliest qualifying timestamp (NULL once the chain breaks).
+
+    Scale shape: map-side projection drops every non-funnel event and
+    every unused column, then ONE user-hash exchange co-locates each
+    user's funnel events; the per-bucket fold is a K-step vectorized
+    merge chain (min-ts per stage filtered by the previous stage's
+    time), never a per-user Python loop.  Deterministic: min() over
+    timestamps is order-free.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    stages = list(stages)
+    if len(stages) < 2:
+        raise ValueError("funnel needs >= 2 stages")
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    stage_set = pa.array(stages, pa.string())
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=stage_set)
+        t = batch.filter(keep).select(["user_id", "event_type", "ts"])
+        b = pa.array(
+            (t["user_id"].to_numpy(zero_copy_only=False) % num_buckets)
+            .astype(np.int32)
+        )
+        return t.append_column("_bucket", b)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            # typed Arrow empty (size-estimator spam rule)
+            fields = [
+                ("user_id", pa.int64()),
+                ("stages_completed", pa.int64()),
+            ] + [(f"t{k}", pa.timestamp("us"))
+                 for k in range(1, len(stages) + 1)]
+            return pa.table(
+                {n: pa.array([], t) for n, t in fields}
+            )
+        cur = (
+            df[df["event_type"] == stages[0]]
+            .groupby("user_id", as_index=False)["ts"]
+            .min()
+            .rename(columns={"ts": "t1"})
+        )
+        out = cur
+        for k, st in enumerate(stages[1:], start=2):
+            prev_col = f"t{k - 1}"
+            nxt = df[df["event_type"] == st].merge(
+                out[["user_id", prev_col]].dropna(subset=[prev_col]),
+                on="user_id",
+            )
+            nxt = nxt[nxt["ts"] >= nxt[prev_col]]
+            if within is not None:
+                nxt = nxt[nxt["ts"] <= nxt[prev_col] + within]
+            tk = (
+                nxt.groupby("user_id", as_index=False)["ts"]
+                .min()
+                .rename(columns={"ts": f"t{k}"})
+            )
+            out = out.merge(tk, on="user_id", how="left")
+        done = np.ones(len(out), dtype=np.int64)
+        for k in range(2, len(stages) + 1):
+            done += out[f"t{k}"].notna().to_numpy()
+        out["stages_completed"] = done
+        cols = ["user_id", "stages_completed"] + [
+            f"t{k}" for k in range(1, len(stages) + 1)
+        ]
+        return out[cols]
+
+    return (
+        _guard_reserved(events_ds)
+        .map_batches(project, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(fold, batch_format="pandas")
+    )

@@ -1193,3 +1193,46 @@ def test_dup_spans_planted_and_islands(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(got7)
+
+
+def test_funnel_ordering_semantics(ray_session):
+    """Stage k counts only AT OR AFTER stage k-1: a purchase BEFORE
+    the click must not complete the funnel; equal timestamps do."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    T = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    rows = [
+        # u1: full ordered funnel
+        (1, "signup", T(0)), (1, "click", T(1)), (1, "purchase", T(2)),
+        # u2: purchase BEFORE click -> stages_completed = 2
+        (2, "signup", T(0)), (2, "purchase", T(1)), (2, "click", T(2)),
+        # u3: click before signup doesn't count; the later one does
+        (3, "click", T(0)), (3, "signup", T(1)), (3, "click", T(2)),
+        # u4: no signup -> not in output at all
+        (4, "click", T(0)), (4, "purchase", T(1)),
+        # u5: equal timestamps chain (>= semantics)
+        (5, "signup", T(0)), (5, "click", T(0)), (5, "purchase", T(0)),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "event_type": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    from information_extraction_t5_ray.stages.temporal import funnel
+
+    import pandas as pd
+
+    got = funnel(ds).to_pandas().sort_values("user_id").set_index("user_id")
+    assert got.index.tolist() == [1, 2, 3, 5]
+    assert got["stages_completed"].tolist() == [3, 2, 2, 3]
+    # u2's t2 is the LATER click; no qualifying purchase after it
+    assert got.loc[2, "t2"] == T(2) and pd.isna(got.loc[2, "t3"])
+    # u3's t2 is the click AFTER signup
+    assert got.loc[3, "t2"] == T(2)
