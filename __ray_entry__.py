@@ -929,6 +929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": c.q_heavy_hitters,
         "dup_spans": c.q_dup_spans,
         "funnel": c.q_funnel,
+        "cohort_retention": c.q_cohort_retention,
         "crawl_canonical": _q_crawl_canonical,
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
@@ -1135,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
         "funnel": oc.funnel_sql(),
+        "cohort_retention": oc.cohort_retention_sql(),
         "weighted_sample": oc.weighted_sample_sql(),
         "docs_rollup": oc.docs_rollup_sql(),
         "kg_support": kg_support_sql(),

@@ -1507,6 +1507,7 @@ def bench_queries(sf_dir: str):
         "heavy_hitters": lambda: q_heavy_hitters(sf_dir).count(),
         "dup_spans": lambda: q_dup_spans(sf_dir).count(),
         "funnel": lambda: q_funnel(sf_dir).count(),
+        "cohort_retention": lambda: q_cohort_retention(sf_dir).count(),
     }
 
 
@@ -1662,3 +1663,15 @@ def q_funnel(sf_dir: str):
     return funnel(
         events, within=dt.timedelta(minutes=FUNNEL_WINDOW_MINUTES)
     )
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort-retention triangle over the events stream: users
+    grouped by first-activity week, counted once per later active
+    week — map-side distinct shrink, one user-hash exchange."""
+    from ..stages.temporal import cohort_retention
+
+    events = _read_pq(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(events)

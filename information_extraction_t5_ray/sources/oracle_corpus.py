@@ -1209,3 +1209,23 @@ def funnel_sql(
         f"CAST(1 + {done} AS BIGINT) AS stages_completed, {tcols} "
         f"FROM s1{joins}"
     )
+
+
+def cohort_retention_sql() -> str:
+    """Weekly cohort retention — ground truth for
+    stages/temporal.cohort_retention: epoch-day // 7 week indices
+    (convention-free), users counted once per (cohort, offset)."""
+    wk = "(date_diff('second', TIMESTAMP '1970-01-01', {c}) // 86400) // 7"
+    return f"""WITH f AS (
+  SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT e.user_id,
+    {wk.format(c='f.t0')} AS cohort_week,
+    {wk.format(c='e.ts')} - {wk.format(c='f.t0')} AS week_offset
+  FROM events e JOIN f USING (user_id)
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM a GROUP BY cohort_week, week_offset"""

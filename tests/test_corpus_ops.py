@@ -1236,3 +1236,44 @@ def test_funnel_ordering_semantics(ray_session):
     assert got.loc[2, "t2"] == T(2) and pd.isna(got.loc[2, "t3"])
     # u3's t2 is the click AFTER signup
     assert got.loc[3, "t2"] == T(2)
+
+
+def test_cohort_retention_closed_form(ray_session):
+    """Hand-built cohorts: epoch-week indices, distinct-per-week
+    counting, and offsets anchored at each user's first event."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    D = lambda d, h=0: dt.datetime(1970, 1, 1 + d, h)
+    rows = [
+        (1, D(0)), (1, D(0, 5)), (1, D(7)),        # cohort 0: wk 0, 1
+        (2, D(1)), (2, D(15)),                     # cohort 0: wk 0, 2
+        (3, D(8)), (3, D(9)),                      # cohort 1: wk 0 only
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    from information_extraction_t5_ray.stages.temporal import (
+        cohort_retention,
+    )
+
+    got = (
+        cohort_retention(ds)
+        .to_pandas()
+        .sort_values(["cohort_week", "week_offset"])
+        .reset_index(drop=True)
+    )
+    want = [
+        (0, 0, 2),  # users 1 and 2, counted once despite repeats
+        (0, 1, 1),  # user 1 back in week 1
+        (0, 2, 1),  # user 2 back in week 2
+        (1, 0, 1),  # user 3's cohort
+    ]
+    assert list(map(tuple, got.values.tolist())) == want
