@@ -354,6 +354,19 @@ def _q_kg_lift(sf_dir: str):
     return cooccur_lift(cooccur_edges(run_kg(sf_dir)))
 
 
+def _q_kg_matching(sf_dir: str):
+    """Deterministic greedy maximal matching over the symmetric
+    co-mention graph (handshake rounds, min-neighbor proposals) — the
+    graph-coarsening / one-to-one entity-pairing primitive."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        maximal_matching,
+    )
+
+    return maximal_matching(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_assortativity(sf_dir: str):
     """Degree assortativity of the co-mention graph (one-row macro
     scalar: hub-hub vs hub-leaf attachment), exact big-int sums with
@@ -926,6 +939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,
         "kg_ktruss": _q_kg_ktruss,
         "kg_assortativity": _q_kg_assortativity,
+        "kg_matching": _q_kg_matching,
         "heavy_hitters": c.q_heavy_hitters,
         "dup_spans": c.q_dup_spans,
         "funnel": c.q_funnel,
@@ -1067,6 +1081,7 @@ def oracle_sql() -> dict[str, str]:
         kg_hits_sql,
         kg_ktruss_sql,
         kg_assortativity_sql,
+        kg_matching_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -1133,6 +1148,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_hits": kg_hits_sql(),
         "kg_ktruss": kg_ktruss_sql(k=8),
         "kg_assortativity": kg_assortativity_sql(),
+        "kg_matching": kg_matching_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
         "funnel": oc.funnel_sql(),

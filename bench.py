@@ -169,6 +169,13 @@ def _bench_queries(sf_dir: str):
 
         return cooccur_lift(_edges(False)).count()
 
+    def kg_matching() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            maximal_matching,
+        )
+
+        return maximal_matching(_edges(True)).count()
+
     def kg_assortativity() -> int:
         from information_extraction_t5_ray.stages.graph import assortativity
 
@@ -413,6 +420,7 @@ def _bench_queries(sf_dir: str):
         "kg_hits": kg_hits,
         "kg_ktruss": kg_ktruss,
         "kg_assortativity": kg_assortativity,
+        "kg_matching": kg_matching,
         "kg_ball2": kg_ball2,
         "kg_hyperball": kg_hyperball,
         "kg_harmonic": kg_harmonic,

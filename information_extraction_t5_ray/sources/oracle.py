@@ -716,6 +716,37 @@ t{i} AS MATERIALIZED (
     return "".join(parts)
 
 
+def kg_matching_sql(n_rounds: int = 8) -> str:
+    """Deterministic greedy maximal matching, unrolled MATERIALIZED
+    CTEs — ground truth for stages/graph.maximal_matching: per round,
+    every alive node proposes to its min alive neighbor; mutual
+    proposals match and both endpoints leave."""
+    parts = [_graph_cte()]
+    parts.append(
+        ", al0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e)"
+    )
+    unions = []
+    for i in range(1, n_rounds + 1):
+        prev = f"al{i - 1}"
+        parts.append(
+            f""", ei{i} AS MATERIALIZED (
+  SELECT a, b FROM e
+  WHERE a IN (SELECT node FROM {prev})
+    AND b IN (SELECT node FROM {prev})),
+pi{i} AS MATERIALIZED (SELECT a AS u, min(b) AS v FROM ei{i} GROUP BY a),
+mi{i} AS MATERIALIZED (
+  SELECT p1.u AS a, p1.v AS b FROM pi{i} p1
+  JOIN pi{i} p2 ON p2.u = p1.v AND p2.v = p1.u
+  WHERE p1.u < p1.v),
+al{i} AS MATERIALIZED (
+  SELECT node FROM {prev}
+  WHERE node NOT IN (SELECT a FROM mi{i} UNION ALL SELECT b FROM mi{i}))"""
+        )
+        unions.append(f"SELECT a, b FROM mi{i}")
+    parts.append(" " + " UNION ALL ".join(unions))
+    return "".join(parts)
+
+
 def kg_ball2_sql() -> str:
     """Exact 2-hop neighborhood sizes — ground truth for
     stages/graph.two_hop_counts: distinct nodes within distance <= 2,

@@ -4904,3 +4904,358 @@ def assortativity(edges_ds, num_buckets: Optional[int] = None):
         {"m": pd.Series([m], dtype=np.int64),
          "assortativity": pd.Series([r], dtype=np.float64)}
     )
+
+
+def _local_matching(batch: pa.Table, n_rounds: int) -> pa.Table:
+    """Single-task deterministic handshake matching over one complete
+    SYMMETRIC edge block: each alive node proposes to its
+    lexicographically smallest alive neighbor; mutual proposals match
+    and leave the graph.  numpy mirror of the distributed rounds."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    empty = pa.table(
+        {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+    )
+    if len(a) == 0:
+        return empty
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src, dst = inv[: len(a)], inv[len(a):]
+    alive = np.ones(len(nodes), dtype=bool)
+    out_a: List[np.ndarray] = []
+    out_b: List[np.ndarray] = []
+    for _ in range(n_rounds):
+        keep = alive[src] & alive[dst]
+        s, d = src[keep], dst[keep]
+        if len(s) == 0:
+            break
+        # candidate per node: min neighbor CODE == min name (codes
+        # are sorted-unique positions)
+        order = np.lexsort((d, s))
+        ss, dd = s[order], d[order]
+        first = np.ones(len(ss), dtype=bool)
+        first[1:] = ss[1:] != ss[:-1]
+        prop_src = ss[first]
+        prop_dst = dd[first]
+        # mutual: candidate-of-candidate == self
+        cand = np.full(len(nodes), -1, dtype=np.int64)
+        cand[prop_src] = prop_dst
+        mutual = (cand[prop_dst] == prop_src) & (prop_src < prop_dst)
+        if not mutual.any():
+            break
+        ma, mb = prop_src[mutual], prop_dst[mutual]
+        out_a.append(ma)
+        out_b.append(mb)
+        alive[ma] = False
+        alive[mb] = False
+    if not out_a:
+        return empty
+    fa = np.concatenate(out_a)
+    fb = np.concatenate(out_b)
+    return pa.table(
+        {
+            "a": pa.array(nodes[fa], pa.string()),
+            "b": pa.array(nodes[fb], pa.string()),
+        }
+    )
+
+
+def maximal_matching(
+    edges_ds,
+    n_rounds: int = 8,
+    num_buckets: Optional[int] = None,
+    local_threshold: int = 4_000_000,
+):
+    """Deterministic greedy maximal matching over a SYMMETRIC edge
+    list — the graph-coarsening primitive (multilevel partitioners
+    contract matched pairs; a KG uses it to pair near-duplicate
+    entities one-to-one).  Handshake rounds: every alive node proposes
+    to its lexicographically SMALLEST alive neighbor; mutual proposals
+    become matches and both endpoints leave.  Output the matched pairs
+    ``(a, b)``, a < b, sorted.
+
+    Fixed-round contract (the LPA/k-core posture, mirrored by the
+    oracle's unrolled CTEs): converged rounds are no-ops; the greedy
+    min-name rule makes every round's matches unique and
+    partition-independent, so the result is deterministic with no
+    randomness to reconcile across engines.
+
+    Distributed shape per round: two alive-set semi-join co-groups
+    (the k_core exchange), one per-node min-neighbor merge, one
+    unordered-pair-key co-group for the mutual check, one alive-set
+    anti merge.  Driver state: the alive/matched COUNTS only.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    edges = edges_ds.select_columns(["a", "b"]).materialize()
+    _check_symmetric(edges, num_buckets)
+    if edges.count() <= local_threshold:
+        return edges.repartition(1).map_batches(
+            lambda t: _local_matching(t, n_rounds),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    import ray.data as rd
+
+    _MM_TAG = pa.schema(
+        [
+            ("side", pa.int8()),
+            ("key", pa.string()),
+            ("other", pa.string()),
+            ("_bucket", pa.int32()),
+        ]
+    )
+
+    def tag_edges_on(key_col: str, other_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            kv = pd.Series(
+                batch[key_col].to_numpy(zero_copy_only=False)
+            ).astype(str)
+            n = len(kv)
+            return pa.table(
+                {
+                    "side": pa.array(np.zeros(n, dtype=np.int8)),
+                    "key": pa.array(kv, pa.string()),
+                    "other": batch[other_col].cast(pa.string()),
+                    "_bucket": pa.array(
+                        bucket_of(kv, num_buckets), pa.int32()
+                    ),
+                },
+                schema=_MM_TAG,
+            )
+
+        return fn
+
+    def tag_nodes(batch: pa.Table, col: str = "node") -> pa.Table:
+        kv = pd.Series(batch[col].to_numpy(zero_copy_only=False)).astype(str)
+        n = len(kv)
+        return pa.table(
+            {
+                "side": pa.array(np.ones(n, dtype=np.int8)),
+                "key": pa.array(kv, pa.string()),
+                "other": pa.array([""] * n, pa.string()),
+                "_bucket": pa.array(bucket_of(kv, num_buckets), pa.int32()),
+            },
+            schema=_MM_TAG,
+        )
+
+    def semi_rekey(df: pd.DataFrame) -> pd.DataFrame:
+        """Keep edge rows whose key is alive; re-key by other."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "other": pa.array([], pa.string()),
+                    "_bucket": pa.array([], pa.int32()),
+                }
+            )
+        sn = np.sort(s["key"].to_numpy(dtype=object).astype(str))
+        kv = e["key"].to_numpy(dtype=object).astype(str)
+        keep = np.isin(kv, sn)
+        oth = e["other"].to_numpy(dtype=object).astype(str)[keep]
+        return pd.DataFrame(
+            {
+                "key": oth,
+                "other": kv[keep],
+                "_bucket": bucket_of(
+                    pd.Series(oth, dtype=object), num_buckets
+                ).astype(np.int32),
+            }
+        )
+
+    def semi_candidate(df: pd.DataFrame) -> pd.DataFrame:
+        """Second semi-join + PER-BUCKET partial min proposal.  The
+        bucket key here is the v endpoint, so one proposer u can span
+        buckets — these are partials; the global per-u min happens in
+        :func:`propose_merge` (u-keyed)."""
+        e = df[df["side"] == 0]
+        s = df[df["side"] == 1]
+        if len(e) == 0 or len(s) == 0:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                    "_bucketu": pa.array([], pa.int32()),
+                }
+            )
+        sn = np.sort(s["key"].to_numpy(dtype=object).astype(str))
+        kv = e["key"].to_numpy(dtype=object).astype(str)
+        keep = np.isin(kv, sn)
+        # rows are keyed by the ALIVE-verified 'key' endpoint; the
+        # proposer is 'other' (alive-verified in the previous exchange)
+        u = e["other"].to_numpy(dtype=object).astype(str)[keep]
+        v = kv[keep]
+        g = (
+            pd.DataFrame({"u": u, "v": v})
+            .groupby("u", sort=False, as_index=False)["v"]
+            .min()
+        )
+        g["_bucketu"] = bucket_of(g["u"].astype(str), num_buckets).astype(
+            np.int32
+        )
+        return g
+
+    def propose_merge(df: pd.DataFrame) -> pd.DataFrame:
+        """Global per-u min over the bucket partials; re-key by the
+        unordered pair for the mutual check."""
+        if len(df) == 0 or "u" not in df.columns:
+            return pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                    "_bucketp": pa.array([], pa.int32()),
+                }
+            )
+        g = df.groupby("u", sort=False, as_index=False)["v"].min()
+        pk = np.where(g["u"] < g["v"], g["u"], g["v"]).astype(str)
+        pk2 = np.where(g["u"] < g["v"], g["v"], g["u"]).astype(str)
+        g["_bucketp"] = bucket_of(
+            pd.Series(pk, dtype=object) + "\x1f" + pd.Series(pk2, dtype=object),
+            num_buckets,
+        ).astype(np.int32)
+        return g
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        """Unordered-pair co-group: a pair with BOTH directed proposals
+        is a match."""
+        if len(df) == 0 or "u" not in df.columns:
+            return pa.table(
+                {"a": pa.array([], pa.string()),
+                 "b": pa.array([], pa.string())}
+            )
+        lo = np.where(df["u"] < df["v"], df["u"], df["v"]).astype(str)
+        hi = np.where(df["u"] < df["v"], df["v"], df["u"]).astype(str)
+        g = (
+            pd.DataFrame({"a": lo, "b": hi})
+            .groupby(["a", "b"], sort=False, as_index=False)
+            .size()
+        )
+        m = g[g["size"] >= 2]
+        return pd.DataFrame(
+            {
+                "a": m["a"].to_numpy(dtype=object),
+                "b": m["b"].to_numpy(dtype=object),
+            }
+        )
+
+    # node universe = every endpoint (two-phase distinct)
+    def node_partial(batch: pa.Table) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+        )
+        df = pd.DataFrame({"node": vals})
+        df["_bucket"] = bucket_of(df["node"], num_buckets)
+        return df
+
+    def node_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")[["node"]]
+
+    alive_ds = (
+        edges.map_batches(arrowed(node_partial), batch_format="pyarrow")
+        .repartition(num_buckets)
+        .groupby("_bucket")
+        .map_groups(arrowed(node_distinct), batch_format="pandas")
+        .materialize()
+    )
+    n_alive = alive_ds.count()
+    matched_parts = []
+
+    def remove_matched(df: pd.DataFrame) -> pd.DataFrame:
+        """side 1 = alive nodes, side 0 = matched-node rows (key)."""
+        alive_rows = df[df["side"] == 1]
+        dead = df[df["side"] == 0]
+        if len(alive_rows) == 0:
+            return pa.table({"node": pa.array([], pa.string())})
+        av = alive_rows["key"].to_numpy(dtype=object).astype(str)
+        dv = np.sort(dead["key"].to_numpy(dtype=object).astype(str))
+        keep = ~np.isin(av, dv)
+        return pd.DataFrame({"node": av[keep]})
+
+    for _ in range(n_rounds):
+        if n_alive < 2:
+            break
+        t1 = edges.map_batches(
+            tag_edges_on("a", "b"), batch_format="pyarrow"
+        ).union(alive_ds.map_batches(tag_nodes, batch_format="pyarrow"))
+        keyed_b = (
+            t1.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(semi_rekey), batch_format="pandas")
+        )
+        t2 = keyed_b.map_batches(
+            lambda t: pa.table(
+                {
+                    "side": pa.array(np.zeros(len(t), dtype=np.int8)),
+                    "key": t["key"].cast(pa.string()),
+                    "other": t["other"].cast(pa.string()),
+                    "_bucket": t["_bucket"].cast(pa.int32()),
+                },
+                schema=_MM_TAG,
+            ),
+            batch_format="pyarrow",
+        ).union(alive_ds.map_batches(tag_nodes, batch_format="pyarrow"))
+        proposals = (
+            t2.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(semi_candidate), batch_format="pandas")
+            .repartition(num_buckets)
+            .groupby("_bucketu")
+            .map_groups(arrowed(propose_merge), batch_format="pandas")
+        )
+        matches = (
+            proposals.repartition(num_buckets)
+            .groupby("_bucketp")
+            .map_groups(arrowed(mutual), batch_format="pandas")
+            .materialize()
+        )
+        n_matches = matches.count()
+        if n_matches == 0:
+            break
+        matched_parts.append(matches)
+
+        def tag_dead(batch: pa.Table) -> pa.Table:
+            nodes_ = np.concatenate(
+                [
+                    batch["a"].to_numpy(zero_copy_only=False).astype(str),
+                    batch["b"].to_numpy(zero_copy_only=False).astype(str),
+                ]
+            )
+            return pa.table(
+                {
+                    "side": pa.array(np.zeros(len(nodes_), dtype=np.int8)),
+                    "key": pa.array(nodes_, pa.string()),
+                    "other": pa.array([""] * len(nodes_), pa.string()),
+                    "_bucket": pa.array(
+                        bucket_of(pd.Series(nodes_), num_buckets), pa.int32()
+                    ),
+                },
+                schema=_MM_TAG,
+            )
+
+        t3 = matches.map_batches(tag_dead, batch_format="pyarrow").union(
+            alive_ds.map_batches(tag_nodes, batch_format="pyarrow")
+        )
+        alive_ds = (
+            t3.repartition(num_buckets)
+            .groupby("_bucket")
+            .map_groups(arrowed(remove_matched), batch_format="pandas")
+            .materialize()
+        )
+        n_alive = alive_ds.count()
+
+    if not matched_parts:
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        )
+    out = matched_parts[0]
+    for m in matched_parts[1:]:
+        out = out.union(m)
+    return out.sort(["a", "b"])

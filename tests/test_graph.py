@@ -879,3 +879,42 @@ def test_assortativity_closed_form(ray_session):
     reg = G.assortativity(_sym(clique))
     assert reg["m"].iloc[0] == 12
     assert pd.isna(reg["assortativity"].iloc[0])
+
+
+def test_matching_greedy_semantics(ray_session):
+    """Min-neighbor handshake: path a-b-c-d matches (a,b) and (c,d) in
+    round 1 (b proposes to a, c to b — only a<->b mutual; then c-d).
+    Star: exactly one pair ever matches."""
+    path = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    got = sorted(
+        map(tuple, G.maximal_matching(_sym(path)).to_pandas().values.tolist())
+    )
+    assert got == [("a", "b"), ("c", "d")]
+    star = [("hub", f"l{i}", 1) for i in range(4)]
+    got = G.maximal_matching(_sym(star)).to_pandas()
+    assert len(got) == 1 and got.iloc[0].tolist() == ["hub", "l0"]
+
+
+def test_matching_distributed_matches_local(ray_session):
+    """Forced-distributed handshake rounds must equal the single-task
+    kernel, including multi-round cascades and isolated leftovers."""
+    rows = (
+        [(f"p{i}", f"p{i+1}", 1) for i in range(7)]  # long path
+        + [("hub", f"l{i}", 1) for i in range(3)]    # star
+        + [("x", "y", 1)]                            # isolated pair
+    )
+
+    def pairs(ds):
+        df = ds.to_pandas()
+        if "a" not in df.columns:
+            return []
+        return sorted(map(tuple, df.values.tolist()))
+
+    loc = pairs(G.maximal_matching(_sym(rows)))
+    dist = pairs(G.maximal_matching(_sym(rows), local_threshold=0))
+    assert loc == dist
+    # a maximal matching: no two pairs share a node, and every
+    # unmatched adjacent pair would extend it (spot: x-y matched)
+    flat = [n for p in loc for n in p]
+    assert len(flat) == len(set(flat))
+    assert ("x", "y") in loc
