@@ -719,8 +719,11 @@ t{i} AS MATERIALIZED (
 def kg_matching_sql(n_rounds: int = 8) -> str:
     """Deterministic greedy maximal matching, unrolled MATERIALIZED
     CTEs — ground truth for stages/graph.maximal_matching: per round,
-    every alive node proposes to its min alive neighbor; mutual
-    proposals match and both endpoints leave."""
+    every alive node proposes to its alive neighbor with the smallest
+    (md5(name || ':round'), name) key — the salted-hash preference
+    both engines share (min NAME would be pathological on
+    sequentially-named graphs); mutual proposals match and both
+    endpoints leave."""
     parts = [_graph_cte()]
     parts.append(
         ", al0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM e)"
@@ -733,7 +736,11 @@ def kg_matching_sql(n_rounds: int = 8) -> str:
   SELECT a, b FROM e
   WHERE a IN (SELECT node FROM {prev})
     AND b IN (SELECT node FROM {prev})),
-pi{i} AS MATERIALIZED (SELECT a AS u, min(b) AS v FROM ei{i} GROUP BY a),
+pi{i} AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a AS u, b AS v, row_number() OVER (
+      PARTITION BY a ORDER BY md5(b || ':{i}'), b) AS rn
+    FROM ei{i}) WHERE rn = 1),
 mi{i} AS MATERIALIZED (
   SELECT p1.u AS a, p1.v AS b FROM pi{i} p1
   JOIN pi{i} p2 ON p2.u = p1.v AND p2.v = p1.u

@@ -4906,11 +4906,29 @@ def assortativity(edges_ds, num_buckets: Optional[int] = None):
     )
 
 
+def _mm_pref(names: np.ndarray, rnd: int) -> np.ndarray:
+    """Per-round salted preference key: md5 hex of ``f"{name}:{rnd}"``
+    — deterministic, partition-independent, and computable in SQL
+    (DuckDB ``md5(name || ':' || rnd)``), yet free of the min-NAME
+    rule's pathology on sequentially-named graphs (a ring under min
+    name proposes everyone 'backwards' and matches O(1) pairs/round;
+    a salted hash matches a constant fraction)."""
+    import hashlib
+
+    suffix = f":{rnd}".encode()
+    return np.fromiter(
+        (hashlib.md5(str(x).encode() + suffix).hexdigest() for x in names),
+        dtype="U32",
+        count=len(names),
+    )
+
+
 def _local_matching(batch: pa.Table, n_rounds: int) -> pa.Table:
     """Single-task deterministic handshake matching over one complete
-    SYMMETRIC edge block: each alive node proposes to its
-    lexicographically smallest alive neighbor; mutual proposals match
-    and leave the graph.  numpy mirror of the distributed rounds."""
+    SYMMETRIC edge block: each alive node proposes to its alive
+    neighbor with the smallest (md5(name:round), name) key; mutual
+    proposals match and leave the graph.  numpy mirror of the
+    distributed rounds."""
     a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
     b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
     empty = pa.table(
@@ -4923,14 +4941,15 @@ def _local_matching(batch: pa.Table, n_rounds: int) -> pa.Table:
     alive = np.ones(len(nodes), dtype=bool)
     out_a: List[np.ndarray] = []
     out_b: List[np.ndarray] = []
-    for _ in range(n_rounds):
+    for rnd in range(1, n_rounds + 1):
         keep = alive[src] & alive[dst]
         s, d = src[keep], dst[keep]
         if len(s) == 0:
             break
-        # candidate per node: min neighbor CODE == min name (codes
-        # are sorted-unique positions)
-        order = np.lexsort((d, s))
+        # candidate per node: min (md5(name:round), name) neighbor;
+        # node codes are name-sorted, so the code is the name tiebreak
+        pref = _mm_pref(nodes, rnd)
+        order = np.lexsort((d, pref[d], s))
         ss, dd = s[order], d[order]
         first = np.ones(len(ss), dtype=bool)
         first[1:] = ss[1:] != ss[:-1]
@@ -5064,41 +5083,46 @@ def maximal_matching(
             }
         )
 
-    def semi_candidate(df: pd.DataFrame) -> pd.DataFrame:
-        """Second semi-join + PER-BUCKET partial min proposal.  The
-        bucket key here is the v endpoint, so one proposer u can span
-        buckets — these are partials; the global per-u min happens in
-        :func:`propose_merge` (u-keyed)."""
-        e = df[df["side"] == 0]
-        s = df[df["side"] == 1]
-        if len(e) == 0 or len(s) == 0:
-            return pa.table(
-                {
-                    "u": pa.array([], pa.string()),
-                    "v": pa.array([], pa.string()),
-                    "_bucketu": pa.array([], pa.int32()),
-                }
+    def make_semi_candidate(rnd: int):
+        def semi_candidate(df: pd.DataFrame) -> pd.DataFrame:
+            """Second semi-join + PER-BUCKET partial min proposal by
+            the (md5(v:round), v) key.  The bucket key here is the v
+            endpoint, so one proposer u can span buckets — these are
+            partials; the global per-u min happens in propose_merge
+            (u-keyed)."""
+            e = df[df["side"] == 0]
+            s = df[df["side"] == 1]
+            if len(e) == 0 or len(s) == 0:
+                return pa.table(
+                    {
+                        "u": pa.array([], pa.string()),
+                        "v": pa.array([], pa.string()),
+                        "h": pa.array([], pa.string()),
+                        "_bucketu": pa.array([], pa.int32()),
+                    }
+                )
+            sn = np.sort(s["key"].to_numpy(dtype=object).astype(str))
+            kv = e["key"].to_numpy(dtype=object).astype(str)
+            keep = np.isin(kv, sn)
+            # rows are keyed by the ALIVE-verified 'key' endpoint; the
+            # proposer is 'other' (alive-verified one exchange back)
+            u = e["other"].to_numpy(dtype=object).astype(str)[keep]
+            v = kv[keep]
+            h = _mm_pref(v, rnd)
+            df2 = pd.DataFrame({"u": u, "v": v, "h": h}).sort_values(
+                ["u", "h", "v"], kind="stable"
             )
-        sn = np.sort(s["key"].to_numpy(dtype=object).astype(str))
-        kv = e["key"].to_numpy(dtype=object).astype(str)
-        keep = np.isin(kv, sn)
-        # rows are keyed by the ALIVE-verified 'key' endpoint; the
-        # proposer is 'other' (alive-verified in the previous exchange)
-        u = e["other"].to_numpy(dtype=object).astype(str)[keep]
-        v = kv[keep]
-        g = (
-            pd.DataFrame({"u": u, "v": v})
-            .groupby("u", sort=False, as_index=False)["v"]
-            .min()
-        )
-        g["_bucketu"] = bucket_of(g["u"].astype(str), num_buckets).astype(
-            np.int32
-        )
-        return g
+            g = df2.groupby("u", sort=False, as_index=False).head(1).copy()
+            g["_bucketu"] = bucket_of(
+                g["u"].astype(str), num_buckets
+            ).astype(np.int32)
+            return g
+
+        return semi_candidate
 
     def propose_merge(df: pd.DataFrame) -> pd.DataFrame:
-        """Global per-u min over the bucket partials; re-key by the
-        unordered pair for the mutual check."""
+        """Global per-u min over the bucket partials (same (h, v)
+        order); re-key by the unordered pair for the mutual check."""
         if len(df) == 0 or "u" not in df.columns:
             return pa.table(
                 {
@@ -5107,7 +5131,12 @@ def maximal_matching(
                     "_bucketp": pa.array([], pa.int32()),
                 }
             )
-        g = df.groupby("u", sort=False, as_index=False)["v"].min()
+        g = (
+            df.sort_values(["u", "h", "v"], kind="stable")
+            .groupby("u", sort=False, as_index=False)
+            .head(1)[["u", "v"]]
+            .copy()
+        )
         pk = np.where(g["u"] < g["v"], g["u"], g["v"]).astype(str)
         pk2 = np.where(g["u"] < g["v"], g["v"], g["u"]).astype(str)
         g["_bucketp"] = bucket_of(
@@ -5177,7 +5206,7 @@ def maximal_matching(
         keep = ~np.isin(av, dv)
         return pd.DataFrame({"node": av[keep]})
 
-    for _ in range(n_rounds):
+    for rnd in range(1, n_rounds + 1):
         if n_alive < 2:
             break
         t1 = edges.map_batches(
@@ -5203,7 +5232,9 @@ def maximal_matching(
         proposals = (
             t2.repartition(num_buckets)
             .groupby("_bucket")
-            .map_groups(arrowed(semi_candidate), batch_format="pandas")
+            .map_groups(
+                arrowed(make_semi_candidate(rnd)), batch_format="pandas"
+            )
             .repartition(num_buckets)
             .groupby("_bucketu")
             .map_groups(arrowed(propose_merge), batch_format="pandas")

