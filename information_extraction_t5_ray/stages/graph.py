@@ -4251,9 +4251,52 @@ def harmonic_centrality_2(
 LIFT_SCALE = 1_000_000  # fixed-point lift: floor(cnt * N * 1e6 / (ca * cb))
 
 
+def _local_lift(batch: pa.Table) -> pa.Table:
+    """Single-task lift kernel over one complete a<b edge block
+    (``repartition(1)`` keeps the strings off the driver): weighted
+    degrees via ``np.add.at``, then the same Python-big-int
+    ``floor(cnt * N * 1e6 // (ca * cb))`` the distributed fold runs —
+    bit-identical output, zero exchanges."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {
+                "a": pa.array([], pa.string()),
+                "b": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+                "lift_x1e6": pa.array([], pa.int64()),
+            }
+        )
+    cnt = batch["cnt"].to_numpy().astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src, dst = inv[: len(a)], inv[len(a):]
+    wdeg = np.zeros(len(nodes), dtype=np.int64)
+    np.add.at(wdeg, src, cnt)
+    np.add.at(wdeg, dst, cnt)
+    if _exact_sum_nonneg(wdeg) != 2 * _exact_sum_nonneg(cnt):
+        raise OverflowError("cooccur_lift: weighted degree wrapped int64")
+    n_total = _exact_sum_nonneg(cnt)  # exact Python int
+    # Python-int arithmetic end-to-end (cnt * N * 1e6 exceeds int64)
+    ca, cb, cc = wdeg[src].tolist(), wdeg[dst].tolist(), cnt.tolist()
+    lift = [
+        (c * n_total * LIFT_SCALE) // (x * y)
+        for c, x, y in zip(cc, ca, cb)
+    ]
+    return pa.table(
+        {
+            "a": pa.array(a.tolist(), pa.string()),
+            "b": pa.array(b.tolist(), pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "lift_x1e6": pa.array(lift, pa.int64()),
+        }
+    )
+
+
 def cooccur_lift(
     edges_ds,
     num_buckets: Optional[int] = None,
+    local_edge_threshold: int = 4_000_000,
 ):
     """Association lift per co-mention pair: ``(a, b, cnt, lift_x1e6)``
     with ``lift = P(a,b) / (P(a) P(b))`` over mention events — the
@@ -4269,9 +4312,17 @@ def cooccur_lift(
 
     Shape: one weighted-degree aggregate (bucketed partials), one
     tagged co-group attaching ``ca``/``cb`` to each pair (keyed twice
-    — the wedge-family degree-attach pattern), zero broadcasts."""
+    — the wedge-family degree-attach pattern), zero broadcasts.  At or
+    below ``local_edge_threshold`` pairs the whole computation runs as
+    ONE worker-side task (:func:`_local_lift`) — same numbers, none of
+    the fixed exchange cost."""
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()  # a < b rows (the cooccur contract)
+
+    if edges.count() <= local_edge_threshold:
+        return edges.repartition(1).map_batches(
+            _local_lift, batch_format="pyarrow", batch_size=None
+        )
 
     # total weight N: per-block partial sums -> driver scalar (exact:
     # int64 partials, Python-int fold)
@@ -4759,7 +4810,45 @@ def hits_scores(
     )
 
 
-def assortativity(edges_ds, num_buckets: Optional[int] = None):
+def _local_assort_partials(batch: pa.Table) -> pa.Table:
+    """Single-task exact-sum kernel over one complete SYMMETRIC edge
+    block: per-node degree = row count keyed on ``a`` (the symmetric
+    contract), then the same ``(m, sx, sxx, sxy)`` decimal-string
+    partial row the distributed ``attach_y_sums`` emits — the driver
+    fold downstream is shared, so the two paths are bit-identical."""
+    a = batch["a"].to_numpy(zero_copy_only=False).astype(str)
+    b = batch["b"].to_numpy(zero_copy_only=False).astype(str)
+    if len(a) == 0:
+        return pa.table(
+            {
+                "m": pa.array([], pa.int64()),
+                "sx": pa.array([], pa.string()),
+                "sxx": pa.array([], pa.string()),
+                "sxy": pa.array([], pa.string()),
+            }
+        )
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    src, dst = inv[: len(a)], inv[len(a):]
+    deg = np.bincount(src, minlength=len(nodes)).astype(np.int64)
+    # Python ints end-to-end: the squared sums exceed int64 early
+    x, y = deg[src].tolist(), deg[dst].tolist()
+    return pa.table(
+        {
+            "m": pa.array([len(a)], pa.int64()),
+            "sx": pa.array([str(sum(x))], pa.string()),
+            "sxx": pa.array([str(sum(v * v for v in x))], pa.string()),
+            "sxy": pa.array(
+                [str(sum(u * v for u, v in zip(x, y)))], pa.string()
+            ),
+        }
+    )
+
+
+def assortativity(
+    edges_ds,
+    num_buckets: Optional[int] = None,
+    local_edge_threshold: int = 4_000_000,
+):
     """Degree assortativity coefficient (Newman 2002) over a SYMMETRIC
     edge list — one row ``(m, assortativity)``: do hubs attach to hubs
     (r > 0) or to leaves (r < 0)?  The macro-structure scalar a KG
@@ -4774,11 +4863,26 @@ def assortativity(edges_ds, num_buckets: Optional[int] = None):
 
     Shape: one degree aggregate + two degree-attach co-groups (the
     cooccur_lift pattern) + a bounded driver fold of num_buckets
-    partial rows.  Regular graphs (zero degree variance) yield NULL.
+    partial rows; at or below ``local_edge_threshold`` rows the
+    partials come from ONE worker-side task
+    (:func:`_local_assort_partials`) feeding the same fold.  Regular
+    graphs (zero degree variance) yield NULL.
     """
     num_buckets = resolve_parallelism(num_buckets)
     edges = edges_ds.materialize()
     _check_symmetric(edges, num_buckets)
+
+    if edges.count() <= local_edge_threshold:
+        parts = (
+            edges.repartition(1)
+            .map_batches(
+                _local_assort_partials,
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            .to_pandas()
+        )
+        return _assort_fold(parts)
 
     deg_ds = _degree_ds(edges, num_buckets)  # per-a counts == degree
 
@@ -4892,7 +4996,13 @@ def assortativity(edges_ds, num_buckets: Optional[int] = None):
         .map_groups(arrowed(attach_y_sums), batch_format="pandas")
         .to_pandas()
     )
-    # bounded fold: num_buckets rows of decimal-string partials
+    return _assort_fold(parts)
+
+
+def _assort_fold(parts: pd.DataFrame) -> pd.DataFrame:
+    """Bounded driver fold of (m, sx, sxx, sxy) decimal-string partial
+    rows (≤ num_buckets of them) into the one-row result — shared by
+    the local and distributed assortativity paths."""
     m = int(parts["m"].sum()) if len(parts) else 0
     sx = sum(int(v) for v in parts["sx"]) if len(parts) else 0
     sxx = sum(int(v) for v in parts["sxx"]) if len(parts) else 0

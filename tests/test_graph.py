@@ -881,6 +881,53 @@ def test_assortativity_closed_form(ray_session):
     assert pd.isna(reg["assortativity"].iloc[0])
 
 
+def test_assortativity_distributed_matches_local(ray_session):
+    """The single-task partials kernel (default ≤4M edges) must agree
+    with the forced-distributed degree-attach rounds bit-for-bit,
+    including the exact big-int sums behind the one float division."""
+    rows = (
+        [("hub", f"l{i}", 1) for i in range(5)]       # star
+        + [("p", "q", 2), ("q", "r", 3), ("r", "s", 1)]  # weighted path
+        + [("x", "y", 1), ("y", "z", 1), ("x", "z", 1)]  # triangle
+    )
+    loc = G.assortativity(_sym(rows))
+    dist = G.assortativity(_sym(rows), local_edge_threshold=0)
+    pd.testing.assert_frame_equal(loc, dist)
+    assert loc["m"].iloc[0] == 22
+
+
+def test_lift_closed_form_and_parity(ray_session):
+    """Two disjoint pairs: each pair's weighted degrees equal its own
+    cnt, so lift = N/cnt ×1e6 exactly; and the single-task kernel must
+    match the forced-distributed degree-attach path bit-for-bit."""
+    two = [("a", "b", 3), ("c", "d", 1)]  # N = 4
+    got = (
+        G.cooccur_lift(_edges(two))
+        .to_pandas()
+        .sort_values("a")
+        .reset_index(drop=True)
+    )
+    # lift(a,b) = 3*4*1e6 // (3*3); lift(c,d) = 1*4*1e6 // (1*1)
+    assert got["lift_x1e6"].tolist() == [1_333_333, 4_000_000]
+    rows = (
+        [("hub", f"l{i}", i + 1) for i in range(6)]
+        + [("l0", "l1", 2), ("l2", "l3", 5), ("c", "d", 7)]
+    )
+    loc = (
+        G.cooccur_lift(_edges(rows, blocks=3))
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        G.cooccur_lift(_edges(rows, blocks=3), local_edge_threshold=0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(loc, dist)
+
+
 def test_matching_greedy_semantics(ray_session):
     """Salted-hash handshake: a star matches exactly ONE pair — the
     hub plus its argmin-(md5(leaf:1), leaf) leaf; a path yields a
