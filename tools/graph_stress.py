@@ -114,7 +114,7 @@ for op in OPS:
             ),
             batch_format="pyarrow",
         ).materialize()
-        out = G.cooccur_lift(lo)
+        out = G.cooccur_lift(lo, local_edge_threshold=THRESH)
     elif op == "ktruss":
         # triangle-rich dedicated a<b list (ring + i+2 + i+3 chords):
         # every edge sits in 2-4 triangles; at k=5 the diff-3 chords
@@ -177,7 +177,7 @@ for op in OPS:
             var_edges, batch_format="pyarrow"
         ).materialize()
         t0 = time.time()
-        df = G.assortativity(vedges)
+        df = G.assortativity(vedges, local_edge_threshold=THRESH)
         nrows = len(df)
         dt = time.time() - t0
         rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
