@@ -367,6 +367,20 @@ def _q_kg_matching(sf_dir: str):
     return maximal_matching(cooccur_edges(run_kg(sf_dir), symmetric=True))
 
 
+def _q_kg_neighbor_sample(sf_dir: str):
+    """Deterministic GraphSAGE fanout sampling: per entity, ≤5
+    neighbors drawn by (md5(node:neighbor), neighbor) order — the
+    unbiased minibatch-sampling primitive (hash-salted per epoch),
+    bit-identical to the SQL window mirror."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        neighbor_sample,
+    )
+
+    return neighbor_sample(cooccur_edges(run_kg(sf_dir), symmetric=True))
+
+
 def _q_kg_assortativity(sf_dir: str):
     """Degree assortativity of the co-mention graph (one-row macro
     scalar: hub-hub vs hub-leaf attachment), exact big-int sums with
@@ -942,6 +956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_ktruss": _q_kg_ktruss,
         "kg_assortativity": _q_kg_assortativity,
         "kg_matching": _q_kg_matching,
+        "kg_neighbor_sample": _q_kg_neighbor_sample,
         "heavy_hitters": c.q_heavy_hitters,
         "dup_spans": c.q_dup_spans,
         "funnel": c.q_funnel,
@@ -1084,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         kg_ktruss_sql,
         kg_assortativity_sql,
         kg_matching_sql,
+        kg_neighbor_sample_sql,
         kg_degree_sql,
         kg_communities_sql,
         kg_diff_sql,
@@ -1151,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ktruss": kg_ktruss_sql(k=8),
         "kg_assortativity": kg_assortativity_sql(),
         "kg_matching": kg_matching_sql(),
+        "kg_neighbor_sample": kg_neighbor_sample_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
         "funnel": oc.funnel_sql(),

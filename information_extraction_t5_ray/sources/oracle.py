@@ -393,6 +393,21 @@ SELECT a AS node, rnk AS rank, b AS neighbor, cnt FROM (
 ) WHERE rnk <= {k}"""
 
 
+def kg_neighbor_sample_sql(k: int = 5) -> str:
+    """Deterministic GNN fanout sample per node: k neighbors in
+    (md5(node:neighbor), neighbor) order — ground truth for
+    stages/graph.neighbor_sample (both engines hash the same string,
+    so the draw is identical)."""
+    return f"""{_graph_cte()}
+SELECT a AS node, rnk AS rank, b AS neighbor FROM (
+    SELECT a, b,
+           row_number() OVER (
+               PARTITION BY a ORDER BY md5(a || ':' || b), b
+           ) AS rnk
+    FROM e
+) WHERE rnk <= {k}"""
+
+
 def oracle_entities_sql() -> str:
     """Expected canonical entity table: mention counts per normalized
     object over the triples oracle (checks the SALTED two-phase

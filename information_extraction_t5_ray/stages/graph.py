@@ -1642,6 +1642,65 @@ def neighbor_topk(
     )
 
 
+def neighbor_sample(
+    edges_ds,
+    k: int = 5,
+    num_buckets: Optional[int] = None,
+):
+    """GNN minibatch fanout sampling (GraphSAGE §3.1): per node, an
+    UNBIASED deterministic sample of at most ``k`` neighbors — ordered
+    by ``(md5(node || ':' || neighbor), neighbor)``, so the draw is a
+    pure function of the edge (partition-independent, identical on
+    every worker and re-run, and computable in SQL: DuckDB
+    ``row_number() OVER (PARTITION BY a ORDER BY md5(...), b)``).
+    Unlike :func:`neighbor_topk` (cnt-ranked, biased toward heavy
+    ties) this is the uniform-without-replacement draw a GraphSAGE
+    trainer consumes; re-salting the hash string yields fresh epochs.
+
+    Input is the SYMMETRIC edge list; output ``(node, rank,
+    neighbor)``.  One node-bucketed exchange, per-group hash ordering
+    — no global sort, no broadcast.
+    """
+    import hashlib
+
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_of(
+            pd.Series(batch["a"].to_pandas().astype(str)), num_buckets
+        )
+        return batch.append_column(
+            "_bucket", pa.array(b, pa.int32())
+        ).replace_schema_metadata(None)
+
+    def sample(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a"].to_numpy(dtype=object)
+        b = df["b"].to_numpy(dtype=object)
+        key = np.fromiter(
+            (
+                hashlib.md5(f"{x}:{y}".encode("utf-8")).hexdigest()
+                for x, y in zip(a, b)
+            ),
+            dtype="U32",
+            count=len(df),
+        )
+        order = np.lexsort((b.astype(str), key, a.astype(str)))
+        s = df.iloc[order]
+        top = s.groupby("a", sort=False).head(k).copy()
+        top["rank"] = (top.groupby("a", sort=False).cumcount() + 1).astype(
+            np.int64
+        )
+        return top.rename(columns={"a": "node", "b": "neighbor"})[
+            ["node", "rank", "neighbor"]
+        ]
+
+    return (
+        edges_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(arrowed(sample), batch_format="pandas")
+    )
+
+
 def _blake2b_ids(values: np.ndarray) -> np.ndarray:
     """Collision-safe 63-bit node ids over UNIQUE surface forms (the
     factorize-over-uniques pattern of stages/triples.py): blake2b is

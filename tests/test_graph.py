@@ -881,6 +881,38 @@ def test_assortativity_closed_form(ray_session):
     assert pd.isna(reg["assortativity"].iloc[0])
 
 
+def test_neighbor_sample_deterministic(ray_session):
+    """The fanout draw is a pure function of the edge: block layout
+    must not change it, ranks follow (md5(node:neighbor), neighbor),
+    and a node with fewer than k neighbors keeps them all."""
+    import hashlib
+
+    star = [("hub", f"l{i}", 1) for i in range(9)] + [("p", "q", 1)]
+    got1 = (
+        G.neighbor_sample(_sym(star), k=3)
+        .to_pandas()
+        .sort_values(["node", "rank"])
+        .reset_index(drop=True)
+    )
+    got2 = (
+        G.neighbor_sample(_sym(star * 1), k=3, num_buckets=7)
+        .to_pandas()
+        .sort_values(["node", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, got2)
+    hub = got1[got1["node"] == "hub"]
+    assert len(hub) == 3
+    want = sorted(
+        (f"l{i}" for i in range(9)),
+        key=lambda v: (hashlib.md5(f"hub:{v}".encode()).hexdigest(), v),
+    )[:3]
+    assert hub["neighbor"].tolist() == want
+    # leaves have exactly one neighbor each -> rank 1, kept
+    assert (got1[got1["node"] == "l0"]["neighbor"] == "hub").all()
+    assert (got1[got1["node"] == "p"]["neighbor"] == "q").all()
+
+
 def test_assortativity_distributed_matches_local(ray_session):
     """The single-task partials kernel (default ≤4M edges) must agree
     with the forced-distributed degree-attach rounds bit-for-bit,
