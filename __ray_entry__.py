@@ -958,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_matching": _q_kg_matching,
         "kg_neighbor_sample": _q_kg_neighbor_sample,
         "heavy_hitters": c.q_heavy_hitters,
+        "cms_heavy_hitters": c.q_cms_heavy_hitters,
         "dup_spans": c.q_dup_spans,
         "funnel": c.q_funnel,
         "cohort_retention": c.q_cohort_retention,
@@ -1169,6 +1170,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_matching": kg_matching_sql(),
         "kg_neighbor_sample": kg_neighbor_sample_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
+        "cms_heavy_hitters": oc.cms_heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
         "funnel": oc.funnel_sql(),
         "cohort_retention": oc.cohort_retention_sql(),

@@ -1505,6 +1505,7 @@ def bench_queries(sf_dir: str):
         "weighted_sample": lambda: q_weighted_sample(sf_dir).count(),
         "docs_rollup": lambda: q_docs_rollup(sf_dir).count(),
         "heavy_hitters": lambda: q_heavy_hitters(sf_dir).count(),
+        "cms_heavy_hitters": lambda: q_cms_heavy_hitters(sf_dir).count(),
         "dup_spans": lambda: q_dup_spans(sf_dir).count(),
         "funnel": lambda: q_funnel(sf_dir).count(),
         "cohort_retention": lambda: q_cohort_retention(sf_dir).count(),
@@ -1633,6 +1634,16 @@ def q_heavy_hitters(sf_dir: str):
     two-pass candidate/verify — the full vocabulary never crosses the
     wire, yet the output is exact (token, cnt)."""
     return textstats.heavy_hitters(_read_docs(sf_dir), k=150)
+
+
+def q_cms_heavy_hitters(sf_dir: str):
+    """Count-Min-sketch heavy hitters cross-validated against the
+    exact two-pass answer (the sketch path for the 100-TB regime):
+    exact (token, cnt) plus the deterministic within-tolerance flag of
+    the sketch's min-row estimate — sketch merge is an order-free
+    counter sum, so the flag is partition-independent and the oracle
+    asserts it TRUE next to the exact counts."""
+    return textstats.cms_heavy_hitters(_read_docs(sf_dir), k=150)
 
 
 def q_dup_spans(sf_dir: str):

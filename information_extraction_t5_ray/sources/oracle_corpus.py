@@ -898,6 +898,17 @@ FROM toks CROSS JOIN tot
 GROUP BY token, tot.n HAVING count(*) * {k} > tot.n"""
 
 
+def cms_heavy_hitters_sql(k: int = 150) -> str:
+    """Exact heavy hitters + the asserted sketch-tolerance flag —
+    ground truth for stages/textstats.cms_heavy_hitters (the Count-Min
+    estimate is a pure function of the token multiset, so the within
+    boolean is deterministic; the SQL side asserts it TRUE)."""
+    return (
+        f"SELECT token, cnt, TRUE AS cms_within_tol "
+        f"FROM ({heavy_hitters_sql(k)})"
+    )
+
+
 def events_pivot_sql() -> str:
     return """SELECT user_id,
   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,

@@ -919,3 +919,120 @@ def heavy_hitters(
         .groupby("_bucket")
         .map_groups(merge_threshold, batch_format="pandas")
     )
+
+
+def _cms_positions(tokens: np.ndarray, depth: int, width: int) -> np.ndarray:
+    """(depth, n) Count-Min cell positions per token: one blake2b-64
+    per token split into (h1, h2|1), rows derived by the standard
+    double-hashing scheme ``(h1 + i*h2) % width`` — deterministic,
+    platform-independent, vectorized after the single digest pass."""
+    h64 = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(t).encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+            )
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+    h1 = h64 & np.uint64(0xFFFFFFFF)
+    h2 = (h64 >> np.uint64(32)) | np.uint64(1)
+    rows = np.arange(depth, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + rows * h2[None, :]) % np.uint64(width)).astype(
+        np.int64
+    )
+
+
+def cms_heavy_hitters(
+    docs_ds,
+    k: int = 150,
+    width: int = 8192,
+    depth: int = 4,
+    num_buckets: int | None = None,
+    batch_size: int = 2048,
+):
+    """Count-Min-sketch heavy hitters (Cormode & Muthukrishnan 2005) —
+    the SKETCH path for the 100-TB regime, cross-validated against the
+    exact two-pass answer the way :func:`~.graph.ball2_check` validates
+    HyperBall: output ``(token, cnt, cms_within_tol)`` for every exact
+    1/k-heavy hitter, where ``cnt`` is the EXACT count and
+    ``cms_within_tol`` is the deterministic boolean
+
+        est >= cnt  AND  est <= cnt + max(1, 4 * N // width)
+
+    with ``est`` the sketch's min-over-rows estimate and ``N`` the
+    total token count.  The sketch merge is an element-wise counter
+    sum — commutative and associative — so ``est`` is a pure function
+    of the corpus token MULTISET under any partitioning/batching: the
+    boolean is deterministic and the SQL mirror asserts it as TRUE
+    alongside the exact counts (tolerance-oracle pattern).
+
+    Wire shape: ONE 64 KiB counter row per batch (depth x width int64,
+    shipped as binary) folded on the driver — bounded by batch count,
+    never by vocabulary; the exact side reuses
+    :func:`heavy_hitters`'s candidate/verify passes.
+    """
+    import ray.data as rd
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        toks: List[np.ndarray] = []
+        for t in batch["text"].to_pylist():
+            w = (t or "").split()
+            if w:
+                toks.append(np.asarray(w, dtype=object))
+        counters = np.zeros((depth, width), dtype=np.int64)
+        n_b = 0
+        if toks:
+            flat = np.concatenate(toks).astype(str)
+            n_b = len(flat)
+            vals, cnt = np.unique(flat, return_counts=True)
+            pos = _cms_positions(vals, depth, width)
+            for i in range(depth):
+                np.add.at(counters[i], pos[i], cnt.astype(np.int64))
+        return pa.table(
+            {
+                "sketch": pa.array([counters.tobytes()], pa.binary()),
+                "n_b": pa.array([n_b], pa.int64()),
+            }
+        )
+
+    parts = docs_ds.map_batches(
+        sketch_partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()  # bounded: one 64 KiB row per batch
+    counters = np.zeros((depth, width), dtype=np.int64)
+    for buf in parts["sketch"]:
+        counters += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
+    n_total = int(parts["n_b"].sum())
+
+    exact = heavy_hitters(
+        docs_ds, k=k, num_buckets=num_buckets, batch_size=batch_size
+    ).to_pandas()  # bounded: < k rows by the phi-HH definition
+    if len(exact) == 0:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                    "cms_within_tol": pa.array([], pa.bool_()),
+                }
+            )
+        )
+    tok = exact["token"].to_numpy(dtype=object)
+    cnt = exact["cnt"].to_numpy(np.int64)
+    pos = _cms_positions(tok, depth, width)
+    est = counters[np.arange(depth)[:, None], pos].min(axis=0)
+    tol = max(1, (4 * n_total) // width)
+    within = (est >= cnt) & (est <= cnt + tol)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(tok.tolist(), pa.string()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "cms_within_tol": pa.array(within.tolist(), pa.bool_()),
+            }
+        )
+    )

@@ -1143,6 +1143,57 @@ def test_heavy_hitters_exact_and_batch_invariant(ray_session):
     assert sorted(k6["token"]) == ["hot", "warm"]
 
 
+def test_cms_heavy_hitters_tolerance_and_invariance(ray_session):
+    """The CMS cross-validation must carry the exact counts, flag every
+    hitter within tolerance at a sane width, stay invariant to batch
+    size (order-free counter merge), and its min-row estimate must be
+    reproducible from _cms_positions by hand."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = [
+        {"doc_id": i, "text": f"hot hot warm u{i}a u{i}b"} for i in range(60)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+                "text": pa.array([d["text"] for d in docs], pa.string()),
+            }
+        )
+    )
+    for bs in (2048, 7):
+        got = (
+            ts.cms_heavy_hitters(ds, k=6, batch_size=bs)
+            .to_pandas()
+            .sort_values("token")
+            .reset_index(drop=True)
+        )
+        assert got["token"].tolist() == ["hot", "warm"], bs
+        assert got["cnt"].tolist() == [120, 60], bs
+        assert got["cms_within_tol"].all(), bs
+    # hand-check the estimate: one row, tiny width forces collisions —
+    # est = min over rows of the exact cell sums, always >= true cnt
+    toks = []
+    for d in docs:
+        toks.extend(d["text"].split())
+    vals, cnt = np.unique(np.asarray(toks, dtype=str), return_counts=True)
+    for width, depth in ((4, 1), (8192, 4)):
+        pos = ts._cms_positions(vals, depth, width)
+        counters = np.zeros((depth, width), dtype=np.int64)
+        for i in range(depth):
+            np.add.at(counters[i], pos[i], cnt)
+        hot = np.where(vals == "hot")[0][0]
+        est = counters[np.arange(depth), pos[:, hot]].min()
+        assert est >= 120
+        got = ts.cms_heavy_hitters(ds, k=6, width=width, depth=depth)
+        df = got.to_pandas().set_index("token")
+        # the flag definition: est <= cnt + max(1, 4N//width)
+        tol = max(1, (4 * len(toks)) // width)
+        assert df.loc["hot", "cms_within_tol"] == (est <= 120 + tol)
+
+
 def test_dup_spans_planted_and_islands(ray_session):
     """Planted repeats: a shared 8-gram between two docs marks exactly
     w positions in each; overlapping repeats within one doc must merge
