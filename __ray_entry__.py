@@ -704,6 +704,20 @@ def _q_kg_yield(sf_dir: str):
     return extraction_yield(run_kg(sf_dir), sf_dir)
 
 
+def _q_kg_retract(sf_dir: str):
+    """Right-to-be-forgotten retraction delta: which (pred, obj)
+    assertions lose support if every page of the blocked crawl
+    sources is withdrawn — churn-bounded provenance maintenance (the
+    page->host map is co-grouped, never broadcast)."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.sources.oracle_crawl import (
+        BLOCKED_SOURCES,
+    )
+    from information_extraction_t5_ray.stages.kgstats import retract_hosts
+
+    return retract_hosts(run_kg(sf_dir), sf_dir, list(BLOCKED_SOURCES))
+
+
 def _q_kg_encode(sf_dir: str):
     """Dense-id (h, r, t) export for KG-embedding training (page-id
     heads, predicate indices, broadcast entity-vocab tail indices)."""
@@ -977,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_sameas": _q_kg_sameas,
         "kg_canonical": _q_kg_canonical,
         "kg_yield": _q_kg_yield,
+        "kg_retract": _q_kg_retract,
         "kg_encode": _q_kg_encode,
         "kg_negatives": _q_kg_negatives,
         "kg_assoc": _q_kg_assoc,
@@ -1123,6 +1138,7 @@ def oracle_sql() -> dict[str, str]:
         kg_sameas_sql,
         kg_canonical_sql,
         kg_yield_sql,
+        kg_retract_sql,
         kg_encode_sql,
         kg_negatives_sql,
         kg_assoc_sql,
@@ -1182,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_sameas": kg_sameas_sql(),
         "kg_canonical": kg_canonical_sql(),
         "kg_yield": kg_yield_sql(),
+        "kg_retract": kg_retract_sql(),
         "kg_encode": kg_encode_sql(),
         "kg_negatives": kg_negatives_sql(),
         "kg_assoc": kg_assoc_sql(),

@@ -1033,6 +1033,24 @@ SELECT host,
 FROM j GROUP BY host"""
 
 
+def kg_retract_sql() -> str:
+    """Host-retraction support delta — ground truth for
+    stages/kgstats.retract_hosts: lossy (pred, obj) assertions after
+    withdrawing every page of the blocked crawl sources."""
+    from .oracle_crawl import BLOCKED_SOURCES
+
+    blocked = ",".join(f"'{s}'" for s in BLOCKED_SOURCES)
+    return f"""WITH t AS ({oracle_triples_sql()}),
+d AS (SELECT {URL_SQL} AS url,
+             CASE WHEN source IN ({blocked}) THEN 1 ELSE 0 END AS blk
+      FROM documents),
+j AS (SELECT t.pred, t.obj, d.blk FROM t JOIN d ON t.subj = d.url)
+SELECT pred, obj,
+       CAST(count(*) AS BIGINT) AS n_before,
+       CAST(sum(1 - blk) AS BIGINT) AS n_after
+FROM j GROUP BY pred, obj HAVING sum(blk) > 0"""
+
+
 def kg_encode_sql() -> str:
     """Dense-id (h, r, t) encoding of the graph-predicate triples —
     ground truth for stages/kgstats.encode_triples (page-id head,

@@ -33,7 +33,7 @@ Scale notes (100 TB / 10^12 pages):
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
@@ -602,6 +602,114 @@ def extraction_yield(
     ).map_batches(arrowed(doc_rows), batch_format="pyarrow")
     if docs_scatter is not None:
         docs = docs.repartition(docs_scatter)
+    return (
+        docs.union(tri)
+        .groupby("_bucket")
+        .map_groups(arrowed(per_bucket), batch_format="pandas")
+        .groupby("_b2")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )
+
+
+def retract_hosts(
+    triples_ds,
+    sf_dir: str,
+    blocked: List[str],
+    num_buckets: Optional[int] = None,
+):
+    """Right-to-be-forgotten retraction delta: if every page of the
+    ``blocked`` source hosts is withdrawn (GDPR erasure, DMCA, a
+    poisoned-domain takedown), which ``(pred, obj)`` assertions lose
+    support and by how much?  Output ``(pred, obj, n_before,
+    n_after)`` for the LOSSY assertions only (``n_after <
+    n_before``; ``n_after = 0`` means the fact leaves the KG
+    entirely) — the churn-bounded input a fusion layer re-scores
+    instead of recomputing the corpus (the maintenance complement of
+    :func:`~.triples.diff_triples`, keyed on provenance rather than
+    extractor version).
+
+    Scale shape: per-batch ``(url, pred, obj)`` count partials
+    (combiner-reduced) co-group with the column-pruned documents
+    table hashed on the page url — the corpus-sized page->host map is
+    NEVER broadcast; only the blocked list itself rides the closure
+    (web blocklists are list-of-hosts small).  Exchange 2 merges one
+    partial row per (bucket, assertion) on the assertion key and
+    keeps the lossy rows."""
+    from ..sources.synth import URL_PREFIX
+    from .common import read_parquet_clean
+
+    width = resolve_parallelism(num_buckets)
+    blocked_set = {str(b) for b in blocked}
+
+    def tri_partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "url": batch["subj"].to_pandas().astype(str),
+                "pred": batch["pred"].to_pandas().astype(str),
+                "obj": batch["obj"].to_pandas().astype(str),
+            }
+        )
+        g = df.groupby(["url", "pred", "obj"], sort=False, as_index=False)
+        g = g.size().rename(columns={"size": "cnt"})
+        g["cnt"] = g["cnt"].astype(np.int64)
+        g["blk"] = np.int8(0)
+        g["_side"] = np.int8(1)
+        g["_bucket"] = bucket_of(g["url"].to_numpy(), width)
+        return g[["url", "pred", "obj", "cnt", "blk", "_side", "_bucket"]]
+
+    def doc_rows(batch: pa.Table) -> pd.DataFrame:
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch["source"].to_pandas().astype(str)
+        df = pd.DataFrame(
+            {
+                "url": URL_PREFIX + pd.Series(d).astype(str).str.zfill(8),
+                "pred": "",
+                "obj": "",
+                "cnt": np.int64(0),
+                "blk": src.isin(blocked_set).to_numpy().astype(np.int8),
+                "_side": np.int8(0),
+            }
+        )
+        df["_bucket"] = bucket_of(df["url"].to_numpy(), width)
+        return df
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["_side"] == 0][["url", "blk"]]
+        tri = df[df["_side"] == 1][["url", "pred", "obj", "cnt"]]
+        j = tri.merge(docs, on="url", how="inner")
+        nb = j["cnt"].to_numpy(np.int64)
+        na = np.where(j["blk"].to_numpy(np.int8) == 1, 0, nb)
+        out = pd.DataFrame(
+            {
+                "pred": j["pred"].to_numpy(dtype=object),
+                "obj": j["obj"].to_numpy(dtype=object),
+                "n_before": nb,
+                "n_after": na.astype(np.int64),
+            }
+        )
+        g = out.groupby(["pred", "obj"], sort=False, as_index=False).sum()
+        for c in ("n_before", "n_after"):
+            g[c] = g[c].astype(np.int64)
+        g["_b2"] = bucket_of(
+            (g["pred"].astype(str) + "\x1f" + g["obj"].astype(str)).to_numpy(),
+            width,
+        )
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["pred", "obj"], sort=False, as_index=False).agg(
+            n_before=("n_before", "sum"), n_after=("n_after", "sum")
+        )
+        for c in ("n_before", "n_after"):
+            g[c] = g[c].astype(np.int64)
+        return g[g["n_after"] < g["n_before"]]
+
+    tri = triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        arrowed(tri_partial), batch_format="pyarrow"
+    )
+    docs = read_parquet_clean(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    ).map_batches(arrowed(doc_rows), batch_format="pyarrow")
     return (
         docs.union(tri)
         .groupby("_bucket")

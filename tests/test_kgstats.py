@@ -642,3 +642,41 @@ def test_neighbor_agg_no_vector_overlap_keeps_schema(ray_session):
             "avg",
         ], thresh
         assert ds.count() == 0, thresh
+
+
+def test_retract_hosts_planted(ray_session, tmp_path):
+    """Planted provenance: withdrawing src-b pages must zero facts only
+    they support, shrink shared facts, and drop untouched facts from
+    the output entirely (lossy rows only)."""
+    import pyarrow.parquet as pq
+
+    from information_extraction_t5_ray.sources.synth import URL_PREFIX
+
+    def url(i):
+        return f"{URL_PREFIX}{i:08d}"
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "source": pa.array(["a", "b", "a"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = [
+        (url(1), "p", "shared"),   # survives (src a)
+        (url(2), "p", "shared"),   # withdrawn (src b)
+        (url(2), "p", "only_b"),   # fully lost
+        (url(3), "q", "safe"),     # untouched -> not in output
+    ]
+    got = (
+        K.retract_hosts(_triples(rows), str(tmp_path), ["b"], num_buckets=3)
+        .to_pandas()
+        .sort_values(["pred", "obj"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        ["p", "only_b", 1, 0],
+        ["p", "shared", 2, 1],
+    ]
