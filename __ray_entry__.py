@@ -974,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": c.q_heavy_hitters,
         "cms_heavy_hitters": c.q_cms_heavy_hitters,
         "dup_spans": c.q_dup_spans,
+        "dup_spans_apply": c.q_dup_spans_apply,
         "funnel": c.q_funnel,
         "cohort_retention": c.q_cohort_retention,
         "crawl_canonical": _q_crawl_canonical,
@@ -1188,6 +1189,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "cms_heavy_hitters": oc.cms_heavy_hitters_sql(k=150),
         "dup_spans": oc.dup_spans_sql(w=8),
+        "dup_spans_apply": oc.dup_spans_apply_sql(w=8),
         "funnel": oc.funnel_sql(),
         "cohort_retention": oc.cohort_retention_sql(),
         "weighted_sample": oc.weighted_sample_sql(),

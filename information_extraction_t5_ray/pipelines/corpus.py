@@ -1655,6 +1655,15 @@ def q_dup_spans(sf_dir: str):
     return dedup_ops.dup_spans(dup_corpus(sf_dir), w=8)
 
 
+def q_dup_spans_apply(sf_dir: str):
+    """Exact-substring REMOVAL (ExactSubstr apply phase): the
+    dup-injected corpus with every duplicated-8-gram span stripped —
+    one row per doc, kept word count + surviving text (exact-duplicate
+    docs collapse to '' on both copies, the all-occurrences
+    contract)."""
+    return dedup_ops.dup_spans_apply(dup_corpus(sf_dir), w=8)
+
+
 FUNNEL_WINDOW_MINUTES = 1440  # 24 h conversion window
 
 

@@ -1174,6 +1174,47 @@ SELECT doc_id,
 FROM m GROUP BY doc_id"""
 
 
+def dup_spans_apply_sql(w: int = 8) -> str:
+    """Exact-substring removal — ground truth for
+    stages/dedup.dup_spans_apply: every word covered by a duplicated
+    w-gram span is stripped; one row per doc with the kept count and
+    the space-joined surviving text ('' when fully covered)."""
+    gram = " || ' ' || ".join(f"w[i+{j}]" for j in range(w))
+    gram = gram.replace("w[i+0]", "w[i]")
+    return f"""WITH {DUP_CORPUS_CTE},
+t AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM corpus
+),
+g AS (
+  SELECT doc_id,
+    unnest(range(1, len(w) - {w - 2})) AS pos,
+    unnest(list_transform(range(1, len(w) - {w - 2}), i -> {gram})) AS gram
+  FROM t WHERE len(w) >= {w}
+),
+d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+cand AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+cov AS (SELECT DISTINCT doc_id, pos + u.j AS i
+        FROM cand, unnest(range(0, {w})) AS u(j)),
+words AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, unnest(w) AS word
+  FROM t
+),
+kept AS (
+  SELECT words.doc_id, words.i, words.word
+  FROM words LEFT JOIN cov
+    ON cov.doc_id = words.doc_id AND cov.i = words.i
+  WHERE cov.doc_id IS NULL
+)
+SELECT t.doc_id,
+       CAST(COALESCE(k.n, 0) AS BIGINT) AS n_kept,
+       COALESCE(k.txt, '') AS text
+FROM t LEFT JOIN (
+  SELECT doc_id, count(*) AS n,
+         string_agg(word, ' ' ORDER BY i) AS txt
+  FROM kept GROUP BY doc_id
+) k ON k.doc_id = t.doc_id"""
+
+
 def funnel_sql(
     stages=("signup", "click", "purchase"),
     within_minutes: int | str = "default",

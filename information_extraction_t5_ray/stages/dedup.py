@@ -1605,44 +1605,21 @@ def incremental_dedup(new_ds, snapshot_ds, num_partitions: int | None = None,
 # ---------------------------------------------------------------------------
 
 
-def dup_spans(
+def _dup_gram_positions(
     docs_ds,
-    w: int = 8,
-    num_buckets: int | None = None,
-    batch_size: int = 1024,
+    w: int,
+    num_buckets: int,
+    batch_size: int,
 ):
-    """Repeated-span detection — the detection phase of exact-substring
-    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
-    Language Models Better", at word granularity): for every document,
-    how many of its word ``w``-grams occur at least TWICE anywhere in
-    the corpus (including within the same document — boilerplate
-    counts), and how many words those duplicated spans cover (union of
-    the [pos, pos+w) intervals).
-
-    Output ``(doc_id, n_dup_grams, dup_span_words)`` for docs with at
-    least one duplicated gram — the mask a removal pass would consume.
-
-    Exact without ever shipping the full gram stream as strings (the
-    decontaminate posture — hash first, string-verify only the hits):
-
-    1. duplicate-hash sketch: per-batch uint64 gram-hash count folds
-       (int64-only wire) -> bucketed sum -> hashes with count >= 2.
-       The DUPLICATED-gram vocabulary is the small side (bounded by
-       true duplication, not corpus size) and broadcasts once.
-    2. verify pass: batches re-derive grams, ``np.isin`` against the
-       broadcast dup-hash array, and only HIT rows ship their literal
-       gram string, bucketed BY HASH (same-string grams always share a
-       hash, so string groups are complete within a hash bucket);
-       per-bucket exact string counts drop hash collisions.
-    3. per-doc island fold: verified (doc, pos) rows bucket by doc;
-       sorted-position interval union via the min(gap, w) telescope —
-       no per-position Python loop.
-    """
+    """Phases 1-2 of exact-substring dedup, shared by the detection
+    (:func:`dup_spans`) and removal (:func:`dup_spans_apply`) ops:
+    duplicate-hash sketch -> broadcast dup-hash array -> string-verify
+    pass.  Returns the ``(doc_id, pos, dbucket)`` Dataset of verified
+    duplicated-gram start offsets (0-based words), doc-bucketed — or
+    ``None`` when the corpus has no duplicated gram at all."""
     import ray
 
     from .textstats import batch_word_ngrams
-
-    num_buckets = resolve_parallelism(num_buckets)
 
     def hash_partial(batch: pa.Table) -> pa.Table:
         _, h, _ = batch_word_ngrams(batch, w)
@@ -1684,17 +1661,7 @@ def dup_spans(
         else np.empty(0, np.uint64)
     )
     if len(dups) == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "n_dup_grams": pa.array([], pa.int64()),
-                    "dup_span_words": pa.array([], pa.int64()),
-                }
-            )
-        )
+        return None
     dups_ref = ray.put(dups)
 
     def verify_rows(batch: pa.Table) -> pa.Table:
@@ -1745,6 +1712,64 @@ def dup_spans(
         )
         return out
 
+    return (
+        docs_ds.map_batches(
+            verify_rows, batch_format="pyarrow", batch_size=batch_size
+        )
+        .groupby("bucket")
+        .map_groups(string_verify, batch_format="pandas")
+    )
+
+
+def dup_spans(
+    docs_ds,
+    w: int = 8,
+    num_buckets: int | None = None,
+    batch_size: int = 1024,
+):
+    """Repeated-span detection — the detection phase of exact-substring
+    dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", at word granularity): for every document,
+    how many of its word ``w``-grams occur at least TWICE anywhere in
+    the corpus (including within the same document — boilerplate
+    counts), and how many words those duplicated spans cover (union of
+    the [pos, pos+w) intervals).
+
+    Output ``(doc_id, n_dup_grams, dup_span_words)`` for docs with at
+    least one duplicated gram — the mask the removal pass
+    (:func:`dup_spans_apply`) consumes.
+
+    Exact without ever shipping the full gram stream as strings (the
+    decontaminate posture — hash first, string-verify only the hits):
+
+    1. duplicate-hash sketch: per-batch uint64 gram-hash count folds
+       (int64-only wire) -> bucketed sum -> hashes with count >= 2.
+       The DUPLICATED-gram vocabulary is the small side (bounded by
+       true duplication, not corpus size) and broadcasts once.
+    2. verify pass: batches re-derive grams, ``np.isin`` against the
+       broadcast dup-hash array, and only HIT rows ship their literal
+       gram string, bucketed BY HASH (same-string grams always share a
+       hash, so string groups are complete within a hash bucket);
+       per-bucket exact string counts drop hash collisions.
+    3. per-doc island fold: verified (doc, pos) rows bucket by doc;
+       sorted-position interval union via the min(gap, w) telescope —
+       no per-position Python loop.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+    pos_ds = _dup_gram_positions(docs_ds, w, num_buckets, batch_size)
+    if pos_ds is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_dup_grams": pa.array([], pa.int64()),
+                    "dup_span_words": pa.array([], pa.int64()),
+                }
+            )
+        )
+
     def islands(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "doc_id" not in df.columns:
             return pa.table(
@@ -1778,12 +1803,104 @@ def dup_spans(
             }
         )
 
-    return (
-        docs_ds.map_batches(
-            verify_rows, batch_format="pyarrow", batch_size=batch_size
+    return pos_ds.groupby("dbucket").map_groups(
+        islands, batch_format="pandas"
+    )
+
+
+def dup_spans_apply(
+    docs_ds,
+    w: int = 8,
+    num_buckets: int | None = None,
+    batch_size: int = 1024,
+):
+    """Exact-substring REMOVAL (the apply phase of Lee et al. 2022's
+    ExactSubstr, word granularity): strip from every document the
+    union of its duplicated-``w``-gram spans — every occurrence goes,
+    the cross-engine-deterministic reading of "deduplicate repeated
+    substrings" — and emit the surviving text.
+
+    Output one row PER DOCUMENT: ``(doc_id, n_kept, text)`` where
+    ``text`` is the space-joined kept words ('' when the whole doc was
+    duplicated — e.g. an exact-duplicate pair covers both copies
+    entirely) — whitespace-normalized on both engines (``\\S+`` split
+    + single-space join).
+
+    Scale shape: the shared detection phases (:func:`dup_spans` notes)
+    plus ONE doc-bucketed co-group joining the verified span offsets
+    back to the document text; per-doc work is a numpy coverage mask +
+    one join — no corpus-wide state, wire bounded by true duplication.
+    """
+    num_buckets = resolve_parallelism(num_buckets)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "pos": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+                "text": batch["text"].cast(pa.string()),
+                "dbucket": pa.array((ids % num_buckets).astype(np.int32)),
+            }
         )
-        .groupby("bucket")
-        .map_groups(string_verify, batch_format="pandas")
-        .groupby("dbucket")
-        .map_groups(islands, batch_format="pandas")
+
+    def strip_spans(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[df["pos"] < 0]
+        spans = df[df["pos"] >= 0]
+        covered: dict = {}
+        for did, g in spans.groupby("doc_id", sort=False):
+            covered[did] = g["pos"].to_numpy(np.int64)
+        out_id: list = []
+        out_n: list = []
+        out_txt: list = []
+        for did, txt in zip(
+            docs["doc_id"].to_numpy(np.int64), docs["text"]
+        ):
+            words = (txt or "").split()
+            pos = covered.get(did)
+            if pos is None:
+                kept = words
+            else:
+                mask = np.ones(len(words), dtype=bool)
+                # vectorized interval union: difference array over
+                # [pos, pos+w) then cumsum > 0 = covered
+                diff = np.zeros(len(words) + 1, dtype=np.int64)
+                np.add.at(diff, pos, 1)
+                np.add.at(diff, np.minimum(pos + w, len(words)), -1)
+                mask &= np.cumsum(diff[:-1]) == 0
+                kept = [wd for wd, m in zip(words, mask) if m]
+            out_id.append(did)
+            out_n.append(len(kept))
+            out_txt.append(" ".join(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, dtype=np.int64),
+                "n_kept": np.asarray(out_n, dtype=np.int64),
+                "text": pd.Series(out_txt, dtype=object),
+            }
+        )
+
+    docs_side = docs_ds.map_batches(
+        doc_rows, batch_format="pyarrow", batch_size=batch_size
+    )
+    pos_ds = _dup_gram_positions(docs_ds, w, num_buckets, batch_size)
+    if pos_ds is None:
+        tagged = docs_side
+    else:
+
+        def tag_spans(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "pos": batch["pos"].cast(pa.int64()),
+                    "text": pa.array([""] * len(batch), pa.string()),
+                    "dbucket": batch["dbucket"].cast(pa.int32()),
+                }
+            )
+
+        tagged = docs_side.union(
+            pos_ds.map_batches(tag_spans, batch_format="pyarrow")
+        )
+    return tagged.groupby("dbucket").map_groups(
+        strip_spans, batch_format="pandas"
     )

@@ -1194,6 +1194,47 @@ def test_cms_heavy_hitters_tolerance_and_invariance(ray_session):
         assert df.loc["hot", "cms_within_tol"] == (est <= 120 + tol)
 
 
+def test_dup_spans_apply_planted(ray_session):
+    """Removal contract: the shared 8-gram vanishes from BOTH docs
+    (all occurrences go), the fully-self-duplicated doc collapses to
+    '', the clean doc survives whitespace-normalized, and batch size
+    must not change anything."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = [
+        {"doc_id": 1, "text": f"u1a u1b {shared} u1c u1d"},
+        {"doc_id": 2, "text": f"u2a {shared}  u2b u2c u2d"},  # 2 spaces
+        {"doc_id": 3, "text": " ".join([f"x{i}" for i in range(1, 9)] * 2)},
+        {"doc_id": 4, "text": "only unique words here nothing repeats at all"},
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], pa.int64()),
+                "text": pa.array([d["text"] for d in docs], pa.string()),
+            }
+        )
+    )
+    for bs in (1024, 1):
+        got = (
+            dd.dup_spans_apply(ds, w=8, batch_size=bs)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [1, 2, 3, 4], bs
+        by = got.set_index("doc_id")
+        assert by.loc[1, "text"] == "u1a u1b u1c u1d"
+        assert by.loc[1, "n_kept"] == 4
+        # double space collapses: \S+ split + single-space join
+        assert by.loc[2, "text"] == "u2a u2b u2c u2d"
+        assert by.loc[3, "text"] == "" and by.loc[3, "n_kept"] == 0
+        assert by.loc[4, "text"] == docs[3]["text"]
+        assert by.loc[4, "n_kept"] == 8
+
+
 def test_dup_spans_planted_and_islands(ray_session):
     """Planted repeats: a shared 8-gram between two docs marks exactly
     w positions in each; overlapping repeats within one doc must merge
