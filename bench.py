@@ -176,6 +176,25 @@ def _bench_queries(sf_dir: str):
 
         return maximal_matching(_edges(True)).count()
 
+    def kg_neighbor_sample() -> int:
+        from information_extraction_t5_ray.stages.graph import (
+            neighbor_sample,
+        )
+
+        return neighbor_sample(_edges(True)).count()
+
+    def kg_retract() -> int:
+        from information_extraction_t5_ray.sources.oracle_crawl import (
+            BLOCKED_SOURCES,
+        )
+        from information_extraction_t5_ray.stages.kgstats import (
+            retract_hosts,
+        )
+
+        return retract_hosts(
+            _tri(), sf_dir, list(BLOCKED_SOURCES)
+        ).count()
+
     def kg_assortativity() -> int:
         from information_extraction_t5_ray.stages.graph import assortativity
 
@@ -421,6 +440,8 @@ def _bench_queries(sf_dir: str):
         "kg_ktruss": kg_ktruss,
         "kg_assortativity": kg_assortativity,
         "kg_matching": kg_matching,
+        "kg_neighbor_sample": kg_neighbor_sample,
+        "kg_retract": kg_retract,
         "kg_ball2": kg_ball2,
         "kg_hyperball": kg_hyperball,
         "kg_harmonic": kg_harmonic,

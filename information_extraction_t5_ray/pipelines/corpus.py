@@ -1507,6 +1507,7 @@ def bench_queries(sf_dir: str):
         "heavy_hitters": lambda: q_heavy_hitters(sf_dir).count(),
         "cms_heavy_hitters": lambda: q_cms_heavy_hitters(sf_dir).count(),
         "dup_spans": lambda: q_dup_spans(sf_dir).count(),
+        "dup_spans_apply": lambda: q_dup_spans_apply(sf_dir).count(),
         "funnel": lambda: q_funnel(sf_dir).count(),
         "cohort_retention": lambda: q_cohort_retention(sf_dir).count(),
     }
