@@ -974,6 +974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_neighbor_sample": _q_kg_neighbor_sample,
         "heavy_hitters": c.q_heavy_hitters,
         "cms_heavy_hitters": c.q_cms_heavy_hitters,
+        "token_counts": c.q_token_counts,
         "dup_spans": c.q_dup_spans,
         "dup_spans_apply": c.q_dup_spans_apply,
         "funnel": c.q_funnel,
@@ -1189,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_sample": kg_neighbor_sample_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "cms_heavy_hitters": oc.cms_heavy_hitters_sql(k=150),
+        "token_counts": oc.token_counts_sql(),
         "dup_spans": oc.dup_spans_sql(w=8),
         "dup_spans_apply": oc.dup_spans_apply_sql(w=8),
         "funnel": oc.funnel_sql(),

@@ -1637,6 +1637,13 @@ def q_heavy_hitters(sf_dir: str):
     return textstats.heavy_hitters(_read_docs(sf_dir), k=150)
 
 
+def q_token_counts(sf_dir: str):
+    """Per-doc token budgets under both regimes (whitespace runs and
+    the RE2-common BPE-ish pretokenizer) — shuffle-free Arrow-kernel
+    counts, the LLM-token-cost estimator a mixture planner consumes."""
+    return textstats.bpe_token_counts(_read_docs(sf_dir))
+
+
 def q_cms_heavy_hitters(sf_dir: str):
     """Count-Min-sketch heavy hitters cross-validated against the
     exact two-pass answer (the sketch path for the 100-TB regime):

@@ -898,6 +898,19 @@ FROM toks CROSS JOIN tot
 GROUP BY token, tot.n HAVING count(*) * {k} > tot.n"""
 
 
+def token_counts_sql() -> str:
+    """Whitespace + BPE-ish token counts — ground truth for
+    stages/textstats.bpe_token_counts (both engines run the SAME RE2
+    pattern, so the counts agree by construction)."""
+    from ..stages.textstats import BPE_TOKEN_PATTERN
+
+    pat = BPE_TOKEN_PATTERN.replace("'", "''")
+    return f"""SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_bpe_tokens
+FROM documents"""
+
+
 def cms_heavy_hitters_sql(k: int = 150) -> str:
     """Exact heavy hitters + the asserted sketch-tolerance flag —
     ground truth for stages/textstats.cms_heavy_hitters (the Count-Min

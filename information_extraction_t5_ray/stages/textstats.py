@@ -1036,3 +1036,52 @@ def cms_heavy_hitters(
             }
         )
     )
+
+
+# BPE-ish pretokenizer (GPT-2-style shape: contraction suffixes, letter
+# runs, digit runs, punctuation runs, each with an optional leading
+# space) restricted to the RE2-and-DuckDB-common subset — no \p{L}
+# (Python re lacks it) and no lookahead (RE2 lacks it): the SAME string
+# runs verbatim in pyarrow (RE2) and DuckDB (RE2), so both engines
+# count identical non-overlapping matches by construction.
+BPE_TOKEN_PATTERN = (
+    r"'(?:ll|ve|re|[sdmt])"
+    r"| ?[A-Za-zÀ-ÿ]+"
+    r"| ?[0-9]+"
+    r"| ?[^\sA-Za-zÀ-ÿ0-9]+"
+)
+
+
+def bpe_token_counts(docs_ds, batch_size: int = 4096):
+    """Per-document token counting under BOTH tokenization regimes a
+    data pipeline budgets with: whitespace tokens (``\\S+`` runs, the
+    heavy-hitters/doc_stats convention) and BPE-ish pretokens
+    (:data:`BPE_TOKEN_PATTERN` — the GPT-2 pretokenizer shape, the
+    better proxy for LLM token cost on punctuation/number-dense text).
+    Output ``(doc_id, n_ws_tokens, n_bpe_tokens)``.
+
+    Shuffle-free: one zero-copy Arrow map, both counts from RE2 kernels
+    (``pc.count_substring_regex``) — no Python loop, no token strings
+    materialized."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(batch["text"], pa.string())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_ws_tokens": pc.cast(
+                    pc.count_substring_regex(txt, pattern=r"\S+"),
+                    pa.int64(),
+                ),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(
+                        txt, pattern=BPE_TOKEN_PATTERN
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return docs_ds.map_batches(
+        counts, batch_format="pyarrow", batch_size=batch_size
+    )
