@@ -877,6 +877,24 @@ def _q_kg_fuse(sf_dir: str):
     )
 
 
+def _q_kg_conflicts(sf_dir: str):
+    """Cross-extractor conflict screening (the step before kg_fuse's
+    vote): (subj, pred) keys asserted with >= 2 distinct objects
+    across the three disagreeing extractor versions, with the value
+    spread — one (subj, pred)-hashed exchange."""
+    from information_extraction_t5_ray.pipelines.kg import (
+        FUSE_MODS,
+        perturb_objs,
+        run_kg,
+    )
+    from information_extraction_t5_ray.stages.triples import conflict_report
+
+    tri = run_kg(sf_dir).select_columns(["subj", "pred", "obj"]).materialize()
+    return conflict_report(
+        [tri] + [perturb_objs(tri, m) for m in FUSE_MODS]
+    )
+
+
 def _q_kg_nt_roundtrip(sf_dir: str):
     """RDF interchange sink validated end-to-end: triples serialized as
     sharded W3C N-Triples text (content-addressed shards + manifest),
@@ -983,6 +1001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": c.q_weighted_sample,
         "docs_rollup": c.q_docs_rollup,
         "kg_retract": _q_kg_retract,
+        "kg_conflicts": _q_kg_conflicts,
         # --- kgstats / fusion family: r3 rows, shared primitives and
         # triples/kg sinks touched in r4 ---
         "kg_merge": _q_kg_merge,
@@ -1152,6 +1171,7 @@ def oracle_sql() -> dict[str, str]:
         kg_neighbor_agg_sql,
         kg_neighbor_agg2_sql,
         kg_fuse_sql,
+        kg_conflicts_sql,
     )
 
     return {
@@ -1215,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_agg": kg_neighbor_agg_sql(),
         "kg_neighbor_agg2": kg_neighbor_agg2_sql(),
         "kg_fuse": kg_fuse_sql(),
+        "kg_conflicts": kg_conflicts_sql(),
         "kg_pg_roundtrip": kg_cooccur_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "crawl_canonical": ocr.crawl_canonical_sql(),

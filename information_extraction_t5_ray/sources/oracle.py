@@ -1212,6 +1212,28 @@ SELECT subj, pred,
 FROM k"""
 
 
+def kg_conflicts_sql(m2: int = None, m3: int = None) -> str:
+    """Cross-extractor conflict report — ground truth for
+    stages/triples.conflict_report over the same three perturbed
+    versions kg_fuse votes on: a (subj, pred) conflicts exactly where
+    at least one perturbation hit (the value set is then
+    {obj, 'alt-'||obj}); the base KG holds one object per key (the
+    kg_fuse closed form's proven premise)."""
+    from ..pipelines.kg import FUSE_MODS
+
+    if m2 is None:
+        m2 = FUSE_MODS[0]
+    if m3 is None:
+        m3 = FUSE_MODS[1]
+    return f"""WITH t AS ({oracle_triples_sql()}),
+k AS (SELECT subj, pred, obj,
+             CAST(right(subj, 8) AS BIGINT) AS pid FROM t)
+SELECT subj, pred, CAST(2 AS BIGINT) AS n_vals,
+       least(obj, 'alt-' || obj) AS min_obj,
+       greatest(obj, 'alt-' || obj) AS max_obj
+FROM k WHERE pid % {m2} = 0 OR pid % {m3} = 0"""
+
+
 def kg_assoc_sql() -> str:
     """Predicate association rules — ground truth for
     stages/kgstats.predicate_assoc: ordered pairs over the distinct

@@ -491,6 +491,54 @@ def fuse_majority(sources, num_buckets=None):
     )
 
 
+def conflict_report(sources, num_buckets=None):
+    """Conflict detection across extractor versions — the screening
+    step BEFORE :func:`fuse_majority` (which assertions even NEED a
+    vote, and what is the value spread): per ``(subj, pred)`` asserted
+    with >= 2 DISTINCT objects anywhere across the sources, emit
+    ``(subj, pred, n_vals, min_obj, max_obj)``.  Distinctness is on
+    VALUES, not votes — a source repeating an object adds nothing.
+
+    Same scale shape as fuse_majority: per-batch distinct
+    ``(subj, pred, obj)`` partials from every source, ONE exchange
+    hashed on the ``(subj, pred)`` key, per-bucket distinct + fold;
+    output bounded by true disagreement."""
+    from .common import arrowed, resolve_parallelism
+
+    if not sources:
+        raise ValueError("conflict_report: need at least one source")
+    num_buckets = resolve_parallelism(num_buckets)
+    cols = ["subj", "pred", "obj"]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = batch.select(cols).to_pandas().drop_duplicates(cols)
+        df = df.astype(str)
+        df["_bucket"] = bucket_of(
+            (df["subj"] + "\x1f" + df["pred"]).to_numpy(), num_buckets
+        )
+        return df
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(cols)
+        g = d.groupby(["subj", "pred"], sort=False).agg(
+            n_vals=("obj", "nunique"),
+            min_obj=("obj", "min"),
+            max_obj=("obj", "max"),
+        )
+        g = g.reset_index()
+        g["n_vals"] = g["n_vals"].astype(np.int64)
+        return g[g["n_vals"] >= 2]
+
+    tagged = sources[0].map_batches(arrowed(partial), batch_format="pyarrow")
+    for src in sources[1:]:
+        tagged = tagged.union(
+            src.map_batches(arrowed(partial), batch_format="pyarrow")
+        )
+    return tagged.groupby("_bucket").map_groups(
+        arrowed(fold), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # N-Triples sink / source — the RDF interchange materialize.  The
 # reference stops at its own txt/sheet reports (models/qa_model.py

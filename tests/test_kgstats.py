@@ -680,3 +680,37 @@ def test_retract_hosts_planted(ray_session, tmp_path):
         ["p", "only_b", 1, 0],
         ["p", "shared", 2, 1],
     ]
+
+
+def test_conflict_report_distinct_values_only(ray_session):
+    """Conflicts are on VALUES, not votes: a source repeating an object
+    adds nothing; agreeing keys never appear; the spread columns carry
+    the lexicographic extremes across ALL sources."""
+    from information_extraction_t5_ray.stages.triples import conflict_report
+
+    s1 = _triples(
+        [
+            ("d1", "p", "x"),
+            ("d1", "p", "x"),      # in-source duplicate: still 1 value
+            ("d2", "p", "same"),
+            ("d3", "q", "a"),
+        ]
+    )
+    s2 = _triples(
+        [
+            ("d1", "p", "y"),      # disagrees with s1 -> conflict
+            ("d2", "p", "same"),   # agrees -> no row
+            ("d3", "q", "c"),
+        ]
+    )
+    s3 = _triples([("d3", "q", "b")])  # third value for (d3, q)
+    got = (
+        conflict_report([s1, s2, s3], num_buckets=3)
+        .to_pandas()
+        .sort_values(["subj", "pred"])
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [
+        ["d1", "p", 2, "x", "y"],
+        ["d3", "q", 3, "a", "c"],
+    ]
