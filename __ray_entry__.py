@@ -993,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": c.q_heavy_hitters,
         "cms_heavy_hitters": c.q_cms_heavy_hitters,
         "token_counts": c.q_token_counts,
+        "embedding_quantize": c.q_embedding_quantize,
         "dup_spans": c.q_dup_spans,
         "dup_spans_apply": c.q_dup_spans_apply,
         "funnel": c.q_funnel,
@@ -1211,6 +1212,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": oc.heavy_hitters_sql(k=150),
         "cms_heavy_hitters": oc.cms_heavy_hitters_sql(k=150),
         "token_counts": oc.token_counts_sql(),
+        "embedding_quantize": oc.embedding_quantize_sql(),
         "dup_spans": oc.dup_spans_sql(w=8),
         "dup_spans_apply": oc.dup_spans_apply_sql(w=8),
         "funnel": oc.funnel_sql(),

@@ -1637,6 +1637,15 @@ def q_heavy_hitters(sf_dir: str):
     return textstats.heavy_hitters(_read_docs(sf_dir), k=150)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding table (the ANN-index
+    compression step): exploded (vec_id, dim, code) rows, exact on
+    both engines via the shared fixed-point floor + integer affine."""
+    from ..stages.similarity import quantize_embeddings
+
+    return quantize_embeddings(_read_embeddings(sf_dir))
+
+
 def q_token_counts(sf_dir: str):
     """Per-doc token budgets under both regimes (whitespace runs and
     the RE2-common BPE-ish pretokenizer) — shuffle-free Arrow-kernel

@@ -898,6 +898,22 @@ FROM toks CROSS JOIN tot
 GROUP BY token, tot.n HAVING count(*) * {k} > tot.n"""
 
 
+def embedding_quantize_sql(scale: int = 1_000_000) -> str:
+    """Per-dim int8 affine quantization — ground truth for
+    stages/similarity.quantize_embeddings (shared fixed-point floor,
+    then pure BIGINT arithmetic on both engines)."""
+    return f"""WITH q AS (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale}) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+),
+r AS (SELECT dim, min(qv) AS lo, max(qv) AS hi FROM q GROUP BY dim)
+SELECT q.vec_id, q.dim,
+       CAST((q.qv - r.lo) * 255 // GREATEST(r.hi - r.lo, 1) AS BIGINT)
+         AS code
+FROM q JOIN r USING (dim)"""
+
+
 def token_counts_sql() -> str:
     """Whitespace + BPE-ish token counts — ground truth for
     stages/textstats.bpe_token_counts (both engines run the SAME RE2

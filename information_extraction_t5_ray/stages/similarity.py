@@ -641,3 +641,72 @@ def semdedup(
     return assigned.groupby("gkey").map_groups(
         dedup_group, batch_format="pandas"
     )
+
+
+def quantize_embeddings(emb_ds, scale: int = 1_000_000):
+    """Per-dimension int8 affine quantization of the embedding table —
+    the compression step a billion-vector ANN index applies before
+    building (scalar-quantization flavor of PQ): output one exploded
+    row per ``(vec_id, dim, code)`` with ``code in [0, 255]``.
+
+    Exactness contract (the kg_entity_vecs fixed-point pattern): both
+    engines first quantize ``qv = floor(float64(v) * scale)`` to exact
+    int64, then ``code = (qv - lo_dim) * 255 // max(hi_dim - lo_dim,
+    1)`` in pure integer arithmetic — no cross-engine float ulps
+    anywhere past the one shared floor.
+
+    Scale shape: ZERO exchanges.  Pass 1 folds per-batch per-dim
+    (lo, hi) partials on the driver (bounded: dims x batches rows);
+    the tiny per-dim range table rides the pass-2 closure and every
+    batch emits its codes map-side."""
+
+    def range_partial(batch: pa.Table) -> pa.Table:
+        m = _mat(batch["embedding"])
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * scale).astype(np.int64)
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "lo": pa.array(q.min(axis=0)),
+                "hi": pa.array(q.max(axis=0)),
+            }
+        )
+
+    parts = emb_ds.map_batches(
+        range_partial, batch_format="pyarrow"
+    ).to_pandas()  # bounded: one row per (batch, dim)
+    g = parts.groupby("dim", sort=True).agg(lo=("lo", "min"), hi=("hi", "max"))
+    lo = g["lo"].to_numpy(np.int64)
+    span = np.maximum(g["hi"].to_numpy(np.int64) - lo, 1)
+
+    def codes(batch: pa.Table) -> pa.Table:
+        m = _mat(batch["embedding"])
+        n, d = m.shape if m.size else (0, len(lo))
+        if n == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * scale).astype(np.int64)
+        c = (q - lo[None, :]) * 255 // span[None, :]
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d)),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), n)),
+                "code": pa.array(c.reshape(-1)),
+            }
+        )
+
+    return emb_ds.map_batches(codes, batch_format="pyarrow")

@@ -1369,3 +1369,43 @@ def test_cohort_retention_closed_form(ray_session):
         (1, 0, 1),  # user 3's cohort
     ]
     assert list(map(tuple, got.values.tolist())) == want
+
+
+def test_embedding_quantize_extremes_and_invariance(ray_session):
+    """Per-dim affine contract: the dim minimum maps to code 0, the
+    maximum to 255, constant dims to 0 (span clamp); block layout must
+    not change anything (the range fold is a driver-side min/max)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages.similarity import (
+        quantize_embeddings,
+    )
+
+    vecs = [
+        [0.0, -1.0, 7.5],
+        [1.0, 3.0, 7.5],   # dim2 constant
+        [0.5, 1.0, 7.5],
+    ]
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    for blocks in (1, 3):
+        ds = rd.from_arrow(tbl).repartition(blocks)
+        got = (
+            quantize_embeddings(ds)
+            .to_pandas()
+            .sort_values(["vec_id", "dim"])
+            .reset_index(drop=True)
+        )
+        by = got.set_index(["vec_id", "dim"])["code"]
+        assert by[(1, 0)] == 0 and by[(2, 0)] == 255, blocks
+        assert by[(1, 1)] == 0 and by[(2, 1)] == 255, blocks
+        # midpoint 0.5 in [0,1]: floor(0.5 * 255 / 1) via int affine
+        assert by[(3, 0)] == (500000 * 255) // 1000000, blocks
+        assert {by[(1, 2)], by[(2, 2)], by[(3, 2)]} == {0}, blocks
+        assert got["code"].between(0, 255).all(), blocks
