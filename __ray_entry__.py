@@ -877,6 +877,31 @@ def _q_kg_fuse(sf_dir: str):
     )
 
 
+def _q_kg_degree_hist(sf_dir: str):
+    """Co-mention degree distribution (power-law-tail health check):
+    (degree, n_nodes) over the a<b pair list — output bounded by max
+    degree, two bounded exchanges."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.graph import (
+        cooccur_edges,
+        degree_histogram,
+    )
+
+    return degree_histogram(cooccur_edges(run_kg(sf_dir)))
+
+
+def _q_kg_training_pairs(sf_dir: str):
+    """Consumable KGE trainer input: encode's dense positives fused
+    with the filtered corruption draw in one vectorized map —
+    (h, r, t_pos, t_neg) int64 rows, zero exchanges."""
+    from information_extraction_t5_ray.pipelines.kg import run_kg
+    from information_extraction_t5_ray.stages.kgstats import (
+        kge_training_pairs,
+    )
+
+    return kge_training_pairs(run_kg(sf_dir))
+
+
 def _q_kg_conflicts(sf_dir: str):
     """Cross-extractor conflict screening (the step before kg_fuse's
     vote): (subj, pred) keys asserted with >= 2 distinct objects
@@ -1003,6 +1028,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": c.q_docs_rollup,
         "kg_retract": _q_kg_retract,
         "kg_conflicts": _q_kg_conflicts,
+        "kg_degree_hist": _q_kg_degree_hist,
+        "kg_training_pairs": _q_kg_training_pairs,
         # --- kgstats / fusion family: r3 rows, shared primitives and
         # triples/kg sinks touched in r4 ---
         "kg_merge": _q_kg_merge,
@@ -1173,6 +1200,8 @@ def oracle_sql() -> dict[str, str]:
         kg_neighbor_agg2_sql,
         kg_fuse_sql,
         kg_conflicts_sql,
+        kg_degree_hist_sql,
+        kg_training_pairs_sql,
     )
 
     return {
@@ -1238,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_neighbor_agg2": kg_neighbor_agg2_sql(),
         "kg_fuse": kg_fuse_sql(),
         "kg_conflicts": kg_conflicts_sql(),
+        "kg_degree_hist": kg_degree_hist_sql(),
+        "kg_training_pairs": kg_training_pairs_sql(),
         "kg_pg_roundtrip": kg_cooccur_sql(),
         "crawl_latest": ocr.crawl_latest_sql(),
         "crawl_canonical": ocr.crawl_canonical_sql(),

@@ -393,6 +393,15 @@ SELECT a AS node, rnk AS rank, b AS neighbor, cnt FROM (
 ) WHERE rnk <= {k}"""
 
 
+def kg_degree_hist_sql() -> str:
+    """Co-mention degree distribution — ground truth for
+    stages/graph.degree_histogram."""
+    return f"""{_graph_cte()},
+d AS (SELECT a, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY a)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM d GROUP BY degree"""
+
+
 def kg_neighbor_sample_sql(k: int = 5) -> str:
     """Deterministic GNN fanout sample per node: k neighbors in
     (md5(node:neighbor), neighbor) order — ground truth for
@@ -1101,6 +1110,37 @@ SELECT i.subj AS subj, i.pred AS pred, i.obj AS obj,
 FROM i
 JOIN v v1 ON v1.idx = i.idx
 JOIN v v2 ON v2.idx = (i.idx + 1) % i.n"""
+
+
+def kg_training_pairs_sql() -> str:
+    """Fused dense-id KGE training pairs — ground truth for
+    stages/kgstats.kge_training_pairs: encode's (h, r, t_pos) joined
+    with the corruption draw's index, self-collision stepping +1 on
+    the INDEX (vocab is sorted-unique)."""
+    from ..stages.balance import LCG_INC, LCG_MULT
+    from ..stages.graph import GRAPH_PREDS
+
+    preds = ",".join(f"'{p}'" for p in GRAPH_PREDS)
+    cases = " ".join(
+        f"WHEN '{p}' THEN {i}" for i, p in enumerate(GRAPH_PREDS)
+    )
+    return f"""WITH t AS ({oracle_triples_sql()}),
+g AS (SELECT subj, pred, obj FROM t WHERE pred IN ({preds})),
+v AS (SELECT ent, CAST(row_number() OVER (ORDER BY ent) - 1 AS BIGINT) AS idx
+      FROM (SELECT DISTINCT obj AS ent FROM g)),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+k AS (SELECT CAST(right(subj, 8) AS BIGINT) AS h,
+             CAST(CASE pred {cases} END AS BIGINT) AS r, obj
+      FROM g),
+i AS (SELECT k.h, k.r, k.obj,
+             ((k.h * {len(GRAPH_PREDS)} + k.r) * {LCG_MULT} + {LCG_INC})
+               % {2**31} // 65536 % nn.n AS idx,
+             nn.n AS n
+      FROM k, nn)
+SELECT i.h, i.r, vp.idx AS t_pos,
+       CASE WHEN i.idx = vp.idx THEN (i.idx + 1) % i.n
+            ELSE i.idx END AS t_neg
+FROM i JOIN v vp ON vp.ent = i.obj"""
 
 
 def kg_neighbor_agg_sql(scale: int = 1_000_000) -> str:

@@ -1906,6 +1906,41 @@ def _degree_ds(edges, num_buckets: int):
     )
 
 
+def degree_histogram(edges_ds, num_buckets: Optional[int] = None):
+    """KG health-check readout: the co-mention degree DISTRIBUTION
+    ``(degree, n_nodes)`` — the power-law-tail summary a graph report
+    prints next to clustering/kcore (hub inflation after a bad
+    extractor release shows up here first).  Input is the a<b pair
+    list; output cardinality is bounded by max degree.
+
+    Shape: the shared :func:`_degree_ds` aggregate (two-phase) plus
+    one degree-keyed count merge — wire carries one row per
+    (bucket, degree)."""
+    num_buckets = resolve_parallelism(num_buckets)
+    deg = _degree_ds(edges_ds.materialize(), num_buckets)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        vals, cnt = np.unique(batch["c"].to_numpy(), return_counts=True)
+        return pd.DataFrame(
+            {
+                "degree": vals.astype(np.int64),
+                "n_nodes": cnt.astype(np.int64),
+                "_b2": (vals % num_buckets).astype(np.int32),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("degree", sort=False, as_index=False)["n_nodes"].sum()
+        g["n_nodes"] = g["n_nodes"].astype(np.int64)
+        return g
+
+    return (
+        deg.map_batches(arrowed(partial), batch_format="pyarrow")
+        .groupby("_b2")
+        .map_groups(arrowed(merge), batch_format="pandas")
+    )
+
+
 # tagged union schema for every degree-state exchange: side-0 rows carry
 # an operator-specific (key, other, d) payload; side-1 rows are the
 # degree state (key = node, d = c) — one schema, one tagger, shared by

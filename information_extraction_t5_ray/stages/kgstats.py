@@ -1277,6 +1277,58 @@ def corruption_negatives(
     )
 
 
+def kge_training_pairs(triples_ds, preds: Sequence[str] = GRAPH_PREDS):
+    """The consumable KGE trainer input: one ``(h, r, t_pos, t_neg)``
+    int64 row per graph-predicate triple — :func:`encode_triples`'s
+    dense positives FUSED with :func:`corruption_negatives`' filtered
+    draw in a single vectorized map (same page-id / predicate-index /
+    row_number-vocab key spaces, so no join is ever materialized;
+    margin-ranking losses read this table directly).
+
+    Zero exchanges: the bounded entity vocabulary broadcasts once,
+    ``t_pos`` is a vectorized searchsorted, the corruption index is
+    the same high-bits LCG as corruption_negatives with the +1
+    self-collision step on INDEX equality (vocab is sorted-unique, so
+    index equality == string equality)."""
+    preds = tuple(preds)
+    vocab = _entity_vocab(triples_ds, preds)
+    n = len(vocab)
+    if n < 2:
+        raise ValueError(
+            f"kge_training_pairs: need >=2 distinct entities, got {n}"
+        )
+    pidx_map = {p: i for i, p in enumerate(preds)}
+    stride = np.uint64(len(preds))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
+        t = batch.filter(mask).select(["subj", "pred", "obj"])
+        subj = t["subj"].to_pandas().astype(str)
+        pred = t["pred"].to_pandas().astype(str)
+        obj = t["obj"].to_pandas().astype(str).to_numpy()
+        h = subj.str[-8:].astype(np.int64).to_numpy()
+        r = pred.map(pidx_map).to_numpy().astype(np.int64)
+        t_pos = np.searchsorted(vocab, obj).astype(np.int64)
+        key = h.astype(np.uint64) * stride + r.astype(np.uint64)
+        raw = (key * np.uint64(LCG_MULT) + np.uint64(LCG_INC)) % _LCG_M
+        idx = ((raw >> np.uint64(16)) % np.uint64(n)).astype(np.int64)
+        t_neg = np.where(idx == t_pos, (idx + 1) % n, idx)
+        return pa.table(
+            {
+                "h": pa.array(h),
+                "r": pa.array(r),
+                "t_pos": pa.array(t_pos),
+                "t_neg": pa.array(t_neg),
+            }
+        )
+
+    return triples_ds.select_columns(["subj", "pred", "obj"]).map_batches(
+        pairs, batch_format="pyarrow"
+    )
+
+
 def neighbor_agg(
     edges_ds,
     vecs_ds,

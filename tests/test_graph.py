@@ -1006,3 +1006,23 @@ def test_matching_distributed_matches_local(ray_session):
     flat = [n for p in loc for n in p]
     assert len(flat) == len(set(flat))
     assert ("x", "y") in loc
+
+
+def test_degree_histogram_closed_form(ray_session):
+    """Star K(1,4): one degree-4 hub + four degree-1 leaves; adding a
+    disjoint edge shifts the degree-1 bucket by 2."""
+    star = [("hub", f"l{i}", 1) for i in range(4)]
+    got = (
+        G.degree_histogram(_edges(star, blocks=2))
+        .to_pandas()
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    assert got.values.tolist() == [[1, 4], [4, 1]]
+    got2 = (
+        G.degree_histogram(_edges(star + [("p", "q", 1)]))
+        .to_pandas()
+        .sort_values("degree")
+        .reset_index(drop=True)
+    )
+    assert got2.values.tolist() == [[1, 6], [4, 1]]

@@ -714,3 +714,46 @@ def test_conflict_report_distinct_values_only(ray_session):
         ["d1", "p", 2, "x", "y"],
         ["d3", "q", 3, "a", "c"],
     ]
+
+
+def test_kge_training_pairs_matches_components(ray_session):
+    """The fused table must agree row-for-row with its two components:
+    (h, r, t_pos) with encode_triples, and vocab[t_neg] with
+    corruption_negatives' neg_obj."""
+    from information_extraction_t5_ray.stages.graph import GRAPH_PREDS
+    from information_extraction_t5_ray.stages.kgstats import (
+        _entity_vocab,
+        corruption_negatives,
+        encode_triples,
+        kge_training_pairs,
+    )
+
+    p0, p1 = GRAPH_PREDS[0], GRAPH_PREDS[1]
+    rows = [
+        (f"https://example.org/{i:08d}", p, v)
+        for i, (p, v) in enumerate(
+            [(p0, "ssp"), (p0, "sp"), (p1, "rj"), (p0, "ssp"), (p1, "mg")]
+        )
+    ]
+    tri = _triples(rows)
+    got = (
+        kge_training_pairs(tri)
+        .to_pandas()
+        .sort_values(["h", "r"])
+        .reset_index(drop=True)
+    )
+    enc = (
+        encode_triples(tri)
+        .to_pandas()
+        .sort_values(["h", "r"])
+        .reset_index(drop=True)
+    )
+    assert got[["h", "r", "t_pos"]].values.tolist() == enc[
+        ["h", "r", "t"]
+    ].values.tolist()
+    vocab = _entity_vocab(tri, GRAPH_PREDS)
+    neg = corruption_negatives(tri).to_pandas()
+    neg["h"] = neg["subj"].str[-8:].astype("int64")
+    m = got.merge(neg[["h", "neg_obj"]], on="h")
+    assert (vocab[m["t_neg"].to_numpy()] == m["neg_obj"].to_numpy()).all()
+    assert (got["t_neg"] != got["t_pos"]).all()
