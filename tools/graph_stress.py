@@ -97,6 +97,18 @@ for op in OPS:
 
         wedges = edges.map_batches(_w, batch_format="pyarrow").materialize()
         out = G.k_core(wedges, k=12, n_rounds=3, local_threshold=THRESH, weighted=True)
+    elif op == "nsample":
+        out = G.neighbor_sample(edges, k=5)
+    elif op == "deghist":
+        lo = edges.map_batches(
+            lambda t: t.filter(
+                __import__("pyarrow.compute", fromlist=["compute"]).less(
+                    t["a"], t["b"]
+                )
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        out = G.degree_histogram(lo)
     elif op == "ball2":
         out = G.two_hop_counts(edges, local_threshold=THRESH)
     elif op == "hyperball":
