@@ -1409,3 +1409,38 @@ def test_embedding_quantize_extremes_and_invariance(ray_session):
         assert by[(3, 0)] == (500000 * 255) // 1000000, blocks
         assert {by[(1, 2)], by[(2, 2)], by[(3, 2)]} == {0}, blocks
         assert got["code"].between(0, 255).all(), blocks
+
+
+def test_dup_spans_apply_consistent_with_detection(ray_session):
+    """Cross-op invariant on the real dup-injected corpus: for every
+    document, (total words) - (kept words) must equal the detection
+    phase's dup_span_words — the two ops share one coverage
+    definition, so any drift is a bug in one of them."""
+    import pyarrow.compute as pc
+
+    corpus = c.dup_corpus(SF)
+    det = dd.dup_spans(corpus, w=8).to_pandas().set_index("doc_id")
+    app = dd.dup_spans_apply(corpus, w=8).to_pandas().set_index("doc_id")
+    tot = (
+        corpus.map_batches(
+            lambda b: __import__("pyarrow").table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n": pc.count_substring_regex(
+                        pc.cast(b["text"], "string"), pattern=r"\S+"
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .set_index("doc_id")["n"]
+    )
+    assert set(det.index) <= set(app.index)
+    removed = tot.loc[app.index] - app["n_kept"]
+    # docs absent from detection lost nothing
+    clean = app.index.difference(det.index)
+    assert (removed.loc[clean] == 0).all()
+    assert (
+        removed.loc[det.index].to_numpy() == det["dup_span_words"].to_numpy()
+    ).all()
