@@ -944,7 +944,7 @@ def _q_kg_nt_roundtrip(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """137 entries, ordered by driver value: the verify gate checks the
+    """142 entries, ordered by driver value: the verify gate checks the
     FIRST ~50 (CORRECTNESS_r0{2,3,4} are exactly the first 50 keys of
     each round's dict), so queries whose newest green row is STALEST —
     or whose running code/oracle changed since that row — come first.
@@ -967,7 +967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg) rotates out
     on its fresh rows; kg_degrees/kg_neighbors (simple two-phase
     aggregates untouched since r3) cede their slots; the builder's
-    sf0.01 mirror sweep re-verifies all 137 every round."""
+    sf0.01 mirror sweep re-verifies all 142 every round."""
     from information_extraction_t5_ray.pipelines import corpus as c
 
     return {

@@ -1917,7 +1917,10 @@ def degree_histogram(edges_ds, num_buckets: Optional[int] = None):
     one degree-keyed count merge — wire carries one row per
     (bucket, degree)."""
     num_buckets = resolve_parallelism(num_buckets)
-    deg = _degree_ds(edges_ds.materialize(), num_buckets)
+    # no edges materialize: unlike the wedge ops, this is the edge
+    # list's ONLY consumption (only deg itself is reused downstream,
+    # and _degree_ds pins that)
+    deg = _degree_ds(edges_ds, num_buckets)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         vals, cnt = np.unique(batch["c"].to_numpy(), return_counts=True)

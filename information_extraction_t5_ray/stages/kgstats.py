@@ -1170,6 +1170,37 @@ def _entity_vocab(triples_ds, preds: Sequence[str]) -> np.ndarray:
     return np.array(sorted({r["obj"] for r in rows}), dtype=object)
 
 
+def _dense_batch(batch: pa.Table, preds: Tuple[str, ...], pidx_map: Dict):
+    """Shared dense-id extraction over one batch's graph-pred rows —
+    THE single home of the page-id (last 8 url chars) and
+    predicate-index contracts every KGE op keys on
+    (:func:`encode_triples`, :func:`corruption_negatives`,
+    :func:`kge_training_pairs`).  Returns ``(subj, pred, obj, h, r)``.
+    """
+    import pyarrow.compute as pc
+
+    mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
+    t = batch.filter(mask)
+    subj = t["subj"].to_pandas().astype(str)
+    pred = t["pred"].to_pandas().astype(str)
+    obj = t["obj"].to_pandas().astype(str).to_numpy()
+    h = subj.str[-8:].astype(np.int64).to_numpy()
+    r = pred.map(pidx_map).to_numpy().astype(np.int64)
+    return subj, pred, obj, h, r
+
+
+def _corruption_idx(
+    h: np.ndarray, r: np.ndarray, stride: np.uint64, n: int
+) -> np.ndarray:
+    """The shared filtered-corruption draw: glibc LCG over
+    ``h * |preds| + r``, HIGH bits of the residue mod ``|vocab|`` (low
+    bits of a power-of-two-modulus LCG cycle; see
+    :func:`corruption_negatives`)."""
+    key = h.astype(np.uint64) * stride + r.astype(np.uint64)
+    raw = (key * np.uint64(LCG_MULT) + np.uint64(LCG_INC)) % _LCG_M
+    return ((raw >> np.uint64(16)) % np.uint64(n)).astype(np.int64)
+
+
 def encode_triples(triples_ds, preds: Sequence[str] = GRAPH_PREDS):
     """Dense-id triple encoding for KG-embedding training: one
     ``(h, r, t)`` int64 row per graph-predicate triple — the tensor
@@ -1196,15 +1227,7 @@ def encode_triples(triples_ds, preds: Sequence[str] = GRAPH_PREDS):
     pidx_map = {p: i for i, p in enumerate(preds)}
 
     def encode(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
-        t = batch.filter(mask)
-        subj = t["subj"].to_pandas().astype(str)
-        pred = t["pred"].to_pandas().astype(str)
-        obj = t["obj"].to_pandas().astype(str).to_numpy()
-        h = subj.str[-8:].astype(np.int64).to_numpy()
-        r = pred.map(pidx_map).to_numpy().astype(np.int64)
+        _, _, obj, h, r = _dense_batch(batch, preds, pidx_map)
         tt = np.searchsorted(vocab_str, obj)
         return pa.table(
             {
@@ -1246,21 +1269,10 @@ def corruption_negatives(
     stride = np.uint64(len(preds))
 
     def corrupt(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
-        t = batch.filter(mask).select(["subj", "pred", "obj"])
-        subj = t["subj"].to_pandas().astype(str)
-        pred = t["pred"].to_pandas().astype(str)
-        obj = t["obj"].to_pandas().astype(str)
-        # page id is the last 8 url chars by the pages-source contract
-        d = subj.str[-8:].astype(np.int64).to_numpy().astype(np.uint64)
-        p = pred.map(pidx_map).to_numpy().astype(np.uint64)
-        key = d * stride + p
-        raw = (key * np.uint64(LCG_MULT) + np.uint64(LCG_INC)) % _LCG_M
-        idx = ((raw >> np.uint64(16)) % np.uint64(n)).astype(np.int64)
+        subj, pred, obj, h, r = _dense_batch(batch, preds, pidx_map)
+        idx = _corruption_idx(h, r, stride, n)
         neg = vocab[idx].astype(str)
-        coll = neg == obj.to_numpy()
+        coll = neg == obj
         if coll.any():
             neg[coll] = vocab[(idx[coll] + 1) % n].astype(str)
         return pa.table(
@@ -1301,19 +1313,9 @@ def kge_training_pairs(triples_ds, preds: Sequence[str] = GRAPH_PREDS):
     stride = np.uint64(len(preds))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(batch["pred"], value_set=pa.array(list(preds)))
-        t = batch.filter(mask).select(["subj", "pred", "obj"])
-        subj = t["subj"].to_pandas().astype(str)
-        pred = t["pred"].to_pandas().astype(str)
-        obj = t["obj"].to_pandas().astype(str).to_numpy()
-        h = subj.str[-8:].astype(np.int64).to_numpy()
-        r = pred.map(pidx_map).to_numpy().astype(np.int64)
+        _, _, obj, h, r = _dense_batch(batch, preds, pidx_map)
         t_pos = np.searchsorted(vocab, obj).astype(np.int64)
-        key = h.astype(np.uint64) * stride + r.astype(np.uint64)
-        raw = (key * np.uint64(LCG_MULT) + np.uint64(LCG_INC)) % _LCG_M
-        idx = ((raw >> np.uint64(16)) % np.uint64(n)).astype(np.int64)
+        idx = _corruption_idx(h, r, stride, n)
         t_neg = np.where(idx == t_pos, (idx + 1) % n, idx)
         return pa.table(
             {

@@ -971,10 +971,10 @@ def cms_heavy_hitters(
     boolean is deterministic and the SQL mirror asserts it as TRUE
     alongside the exact counts (tolerance-oracle pattern).
 
-    Wire shape: ONE 64 KiB counter row per batch (depth x width int64,
-    shipped as binary) folded on the driver — bounded by batch count,
-    never by vocabulary; the exact side reuses
-    :func:`heavy_hitters`'s candidate/verify passes.
+    Wire shape: ONE counter row per batch (depth x width int64 shipped
+    as binary — 256 KiB at the 4 x 8192 default) folded on the driver
+    — bounded by batch count, never by vocabulary; the exact side
+    reuses :func:`heavy_hitters`'s candidate/verify passes.
     """
     import ray.data as rd
 
