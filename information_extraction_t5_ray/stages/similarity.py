@@ -683,6 +683,18 @@ def quantize_embeddings(emb_ds, scale: int = 1_000_000):
     parts = emb_ds.map_batches(
         range_partial, batch_format="pyarrow"
     ).to_pandas()  # bounded: one row per (batch, dim)
+    if len(parts) == 0 or "dim" not in parts.columns:  # empty shard set
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "code": pa.array([], pa.int64()),
+                }
+            )
+        )
     g = parts.groupby("dim", sort=True).agg(lo=("lo", "min"), hi=("hi", "max"))
     lo = g["lo"].to_numpy(np.int64)
     span = np.maximum(g["hi"].to_numpy(np.int64) - lo, 1)

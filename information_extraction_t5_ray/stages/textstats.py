@@ -858,6 +858,8 @@ def heavy_hitters(
     pass1 = docs_ds.map_batches(
         candidates_partial, batch_format="pyarrow", batch_size=batch_size
     ).to_pandas()
+    if "n_b" not in pass1.columns:  # empty shard set yields no batches
+        pass1 = pd.DataFrame({"token": [], "n_b": []})
     n_total = int(pass1["n_b"].sum())
     cand = np.unique(
         pass1.loc[pass1["token"] != "", "token"].to_numpy(dtype=object).astype(str)
@@ -1002,11 +1004,14 @@ def cms_heavy_hitters(
 
     parts = docs_ds.map_batches(
         sketch_partial, batch_format="pyarrow", batch_size=batch_size
-    ).to_pandas()  # bounded: one 64 KiB row per batch
+    ).to_pandas()  # bounded: one counter row per batch
     counters = np.zeros((depth, width), dtype=np.int64)
-    for buf in parts["sketch"]:
-        counters += np.frombuffer(buf, dtype=np.int64).reshape(depth, width)
-    n_total = int(parts["n_b"].sum())
+    if "sketch" in parts.columns:  # an empty shard set yields no batches
+        for buf in parts["sketch"]:
+            counters += np.frombuffer(buf, dtype=np.int64).reshape(
+                depth, width
+            )
+    n_total = int(parts["n_b"].sum()) if "n_b" in parts.columns else 0
 
     exact = heavy_hitters(
         docs_ds, k=k, num_buckets=num_buckets, batch_size=batch_size

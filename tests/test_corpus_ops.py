@@ -1444,3 +1444,44 @@ def test_dup_spans_apply_consistent_with_detection(ray_session):
     assert (
         removed.loc[det.index].to_numpy() == det["dup_span_words"].to_numpy()
     ).all()
+
+
+def test_new_ops_empty_input(ray_session):
+    """Empty shard sets (real at 100-TB scale) must yield empty results,
+    not crashes, across the r5 additions."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from information_extraction_t5_ray.stages import graph as G
+    from information_extraction_t5_ray.stages.similarity import (
+        quantize_embeddings,
+    )
+
+    empty_docs = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string())}
+        )
+    )
+    empty_edges = rd.from_arrow(
+        pa.table(
+            {"a": pa.array([], pa.string()),
+             "b": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+    )
+    empty_emb = rd.from_arrow(
+        pa.table(
+            {"vec_id": pa.array([], pa.int64()),
+             "embedding": pa.array([], pa.list_(pa.float32()))}
+        )
+    )
+    assert len(ts.cms_heavy_hitters(empty_docs).to_pandas()) == 0
+    assert len(dd.dup_spans_apply(empty_docs).to_pandas()) == 0
+    assert len(ts.bpe_token_counts(empty_docs).to_pandas()) == 0
+    assert len(quantize_embeddings(empty_emb).to_pandas()) == 0
+    assert len(G.neighbor_sample(empty_edges).to_pandas()) == 0
+    assert len(G.degree_histogram(empty_edges).to_pandas()) == 0
+    assert len(G.cooccur_lift(empty_edges).to_pandas()) == 0
+    a = G.assortativity(empty_edges)
+    assert a["m"].iloc[0] == 0 and a["assortativity"].isna().iloc[0]
