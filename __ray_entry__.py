@@ -952,22 +952,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     Round-5 window: flagship KG (a row every round), the r5-new
     kg_neighbor_agg2, the five sketch queries that gained derived-set
     oracles this round, the HLL pair with their new tolerance oracles,
-    kg_pagerank/kg_ppr/kg_walks (fast paths moved worker-side this
-    round), the graph family (r3 rows but r4 consolidated its
-    degree-state machinery — VERDICT r4 item 1), and the TWENTY new
-    r5 operators: weighted core, exact 2-hop ball, HyperBall
-    cross-validation, radius-2 harmonic centrality, association lift,
-    integer-exact HITS, k-truss, degree assortativity, greedy maximal
-    matching, GNN fanout sampling, exact heavy hitters + their
-    Count-Min cross-validation, repeated-span detection AND removal
-    (the ExactSubstr pair), windowed funnel conversion, weekly cohort
-    retention, URL-canonicalize dedup, weighted Poisson sampling,
-    grouping-sets rollup, host-retraction delta — then the
-    kgstats/fusion head.  Everything r4-green (relational,
-    corpus-dedup, eval harness, kg_sssp/kg_neighbor_agg) rotates out
-    on its fresh rows; kg_degrees/kg_neighbors (simple two-phase
-    aggregates untouched since r3) cede their slots; the builder's
-    sf0.01 mirror sweep re-verifies all 142 every round."""
+    kg_pagerank/kg_walks (fast paths moved worker-side this round;
+    kg_ppr rides its r4 row — it is pagerank(seeds=...)), the graph
+    family (r3 rows but r4 consolidated its degree-state machinery —
+    VERDICT r4 item 1), the TWENTY-FIVE new r5 operators (weighted
+    core, exact 2-hop ball, HyperBall cross-validation, radius-2
+    harmonic centrality, association lift, integer-exact HITS,
+    k-truss, degree assortativity, greedy maximal matching, GNN fanout
+    sampling, exact heavy hitters + their Count-Min cross-validation,
+    dual-regime token counting, int8 embedding quantization,
+    repeated-span detection AND removal — the ExactSubstr pair —
+    windowed funnel conversion, weekly cohort retention,
+    URL-canonicalize dedup, weighted Poisson sampling, grouping-sets
+    rollup, host-retraction delta, cross-extractor conflict screening,
+    degree histogram, fused KGE training pairs), and finally
+    squad_sample + media_features, never-strict-green until their r5
+    oracles — with those two, EVERY registry query will have earned a
+    strict driver row at least once across r1-r5.  Everything
+    r4-green (relational, corpus-dedup, eval harness,
+    kg_sssp/kg_neighbor_agg) rotates out on its fresh rows;
+    kg_degrees/kg_neighbors and kg_merge/kg_from_crawl/kg_temporal
+    (r3-green, components window-covered) cede their slots; the
+    builder's sf0.01 mirror sweep re-verifies all 142 every round."""
     from information_extraction_t5_ray.pipelines import corpus as c
 
     return {
@@ -986,9 +992,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- r5: HLL pair, first round WITH tolerance oracles ---
         "approx_distinct_users": c.q_approx_distinct_users,
         "approx_users_by_type": c.q_approx_users_by_type,
-        # --- r5: local fast paths moved worker-side this round ---
+        # --- r5: local fast paths moved worker-side this round
+        # (kg_ppr rides its r4 row: it IS pagerank(seeds=...) — the
+        # moved kernel is window-covered by kg_pagerank) ---
         "kg_pagerank": _q_kg_pagerank,
-        "kg_ppr": _q_kg_ppr,
         "kg_walks": _q_kg_walks,
         # --- graph family: r3 rows, machinery consolidated in r4
         # (kg_degrees / kg_neighbors — simple two-phase aggregates
@@ -1030,6 +1037,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_conflicts": _q_kg_conflicts,
         "kg_degree_hist": _q_kg_degree_hist,
         "kg_training_pairs": _q_kg_training_pairs,
+        # never-strict-green until their r5 oracles (frozen-golden /
+        # decode-completeness): a green row here completes the
+        # all-142-queries-ever-green coverage
+        "squad_sample": _q_squad_sample,
+        "media_features": c.q_media_features,
         # --- kgstats / fusion family: r3 rows, shared primitives and
         # triples/kg sinks touched in r4 ---
         "kg_merge": _q_kg_merge,
@@ -1075,6 +1087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "balanced_sample": c.q_balanced_sample,
         "eval_by_qaid": _q_eval_by_qaid,
         # r4-green graph additions, code unchanged this round
+        "kg_ppr": _q_kg_ppr,
         "kg_sssp": _q_kg_sssp,
         "kg_neighbor_agg": _q_kg_neighbor_agg,
         # r4-green relational family
@@ -1133,9 +1146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": c.q_ann_topk,
         "purchase_asof_signup": c.q_purchase_asof_signup,
         "sessionize": c.q_sessionize,
-        # every remaining query now carries an oracle (r5)
-        "squad_sample": _q_squad_sample,  # r5: frozen-golden oracle
-        "media_features": c.q_media_features,  # r5: decode-completeness oracle
     }
 
 
